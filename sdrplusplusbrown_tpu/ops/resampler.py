@@ -1,0 +1,215 @@
+"""Polyphase rational resampling and power-of-two decimation.
+
+TPU-native re-design of the reference's multirate stack:
+
+  * ``PolyphaseBank`` construction — prototype lowpass split into ``interp``
+    phases, tapsPerPhase = ceil(size/phases), *reversed* phase order
+    (reference: core/src/dsp/multirate/polyphase_bank.h:14-48).
+  * ``PolyphaseResampler`` — per output o: phase=(o*decim)%interp,
+    offset=floor(o*decim/interp)
+    (reference: core/src/dsp/multirate/polyphase_resampler.h:69-99).
+  * ``PowerDecimator`` — cascaded decimate-by-2 FIR stages up to 2^13
+    (reference: core/src/dsp/multirate/power_decimator.h:51-113).  The
+    reference ships pre-computed "magic optimized FIR" coefficient tables
+    (multirate/decim/taps/*); we instead *design* each half-band stage at
+    build time with the same windowed-sinc machinery, protecting the final
+    passband so cascade aliasing stays below ~90 dB.
+  * ``RationalResampler`` — orchestration: largest power-of-2 pre-decimation,
+    gcd-reduced interp/decim, Nuttall lowpass prototype scaled by interp,
+    0.01% rate-error check (reference: multirate/rational_resampler.h:128-173).
+
+The static-shape trick: JAX needs static output lengths, but the reference's
+resampler emits a data-dependent ``outCount``.  Requiring the block length to
+be a multiple of ``decim`` makes the (phase, offset) carry *identically zero*
+across blocks, so output length is exactly ``len*interp//decim`` and the whole
+gather pattern becomes a single strided conv with ``interp`` output channels
+(one per output phase, offsets folded into the kernels) — an MXU matmul.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import taps as taps_mod
+from .fir import FIR, _conv1d, correlate
+from ..runtime.block import Block, Chain
+
+import jax
+
+
+def build_polyphase_bank(interp: int, prototype: np.ndarray) -> np.ndarray:
+    """Split prototype into ``interp`` phases, reversed phase order.
+
+    Returns [interp, tapsPerPhase]; phases[(interp-1) - (i % interp), i//interp]
+    = prototype[i]  (reference polyphase_bank.h:31-37).
+    """
+    size = prototype.shape[0]
+    tpp = (size + interp - 1) // interp
+    bank = np.zeros((interp, tpp), dtype=prototype.dtype)
+    idx = np.arange(interp * tpp)
+    vals = np.where(idx < size, np.pad(prototype, (0, interp * tpp - size)), 0)
+    bank[(interp - 1) - (idx % interp), idx // interp] = vals
+    return bank
+
+
+class PolyphaseResampler(Block):
+    """Rational L/M resampler as one strided grouped convolution.
+
+    For output o = m*interp + r (with zero carried phase/offset):
+        y[o] = sum_k ext[m*decim + c_r + k] * bank[p_r, k]
+        p_r = (r*decim) % interp ;  c_r = floor(r*decim / interp)
+    The shift c_r ∈ [0, decim) is embedded into a widened kernel
+    [interp, K + decim - 1] so one conv with stride=decim and ``interp``
+    output channels produces all phases; outputs interleave as [m, r].
+    """
+
+    def __init__(self, interp: int, decim: int, prototype: np.ndarray):
+        self.interp = int(interp)
+        self.decim = int(decim)
+        bank = build_polyphase_bank(self.interp, np.asarray(prototype, np.float64))
+        self.tpp = bank.shape[1]
+        K = self.tpp
+        kw = K + self.decim - 1
+        kernel = np.zeros((self.interp, kw), dtype=np.float64)
+        for r in range(self.interp):
+            p_r = (r * self.decim) % self.interp
+            c_r = (r * self.decim) // self.interp
+            kernel[r, c_r:c_r + K] = bank[p_r]
+        self.kernel = kernel
+        self.ratio = Fraction(self.interp, self.decim)
+        self.in_multiple = self.decim
+
+    def init_state(self, batch_shape=(), dtype=jnp.complex64):
+        return jnp.zeros(batch_shape + (self.tpp - 1,), dtype)
+
+    def apply(self, params, state, x):
+        lead = x.shape[:-1]
+        state = state.astype(x.dtype) if state.dtype != x.dtype else state
+        ext = jnp.concatenate([state, x], axis=-1)
+        W = ext.shape[-1]
+        kw = self.kernel.shape[1]
+        if jnp.iscomplexobj(x):
+            xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=-2)
+            xf = xf.reshape((-1, 1, W)).astype(jnp.float32)
+            ker = jnp.asarray(self.kernel, jnp.float32)[:, None, :]
+            y = _conv1d(xf, ker, self.decim)            # [N*2, interp, M]
+            M = y.shape[-1]
+            y = jnp.moveaxis(y, 1, 2).reshape((-1, 2, M * self.interp))
+            out = jax.lax.complex(y[:, 0], y[:, 1])
+            out = out.reshape(lead + (M * self.interp,))
+        else:
+            xf = ext.reshape((-1, 1, W)).astype(jnp.float32)
+            ker = jnp.asarray(self.kernel, jnp.float32)[:, None, :]
+            y = _conv1d(xf, ker, self.decim)            # [N, interp, M]
+            M = y.shape[-1]
+            out = jnp.moveaxis(y, 1, 2).reshape(lead + (M * self.interp,))
+        new_state = ext[..., W - (self.tpp - 1):]
+        return out, new_state
+
+
+def design_halfband_stage(fs_in: float, protect: float) -> np.ndarray:
+    """Design one decimate-by-2 lowpass stage protecting [0, protect] Hz.
+
+    Aliasing into the protected band after decimation comes from
+    [fs_in/2 - protect, fs_in/2]; we place the stopband edge there and the
+    passband edge at ``protect`` (TPU-side replacement for the reference's
+    pre-baked tables, multirate/decim/plans.h).
+    """
+    pass_edge = protect
+    stop_edge = fs_in / 2.0 - protect
+    assert stop_edge > pass_edge, (fs_in, protect)
+    # windowed-sinc with the 3.8 tap rule reaches ~-90 dB at cutoff + trans
+    # (and is flat by cutoff - trans), so center the transition and use half
+    # the available width on each side.
+    trans = (stop_edge - pass_edge) / 2.0
+    cutoff = (pass_edge + stop_edge) / 2.0
+    count = taps_mod.estimate_tap_count(trans, fs_in)
+    count = max(count, 7)
+    return taps_mod.windowed_sinc_hz(count, cutoff, fs_in, norm=1.0)
+
+
+class PowerDecimator(Block):
+    """Power-of-2 decimation via cascaded halfband FIR stages.
+
+    reference: core/src/dsp/multirate/power_decimator.h (max ratio 2^13).
+    """
+
+    MAX_RATIO = 8192
+
+    def __init__(self, fs_in: float, ratio: int, protect_frac: float = 0.45):
+        assert ratio >= 2 and (ratio & (ratio - 1)) == 0 and ratio <= self.MAX_RATIO
+        self.ratio_int = ratio
+        fs_out = fs_in / ratio
+        protect = protect_frac * fs_out
+        stages: List[FIR] = []
+        fs = fs_in
+        while fs > fs_out:
+            stages.append(FIR(design_halfband_stage(fs, protect), decim=2))
+            fs /= 2.0
+        self.stages = stages
+        self.ratio = Fraction(1, ratio)
+        self.in_multiple = ratio
+
+    def init_state(self, batch_shape=(), dtype=jnp.complex64):
+        return [s.init_state(batch_shape, dtype) for s in self.stages]
+
+    def apply(self, params, state, x):
+        new_state = []
+        for s, st in zip(self.stages, state):
+            x, nst = s.apply(None, st, x)
+            new_state.append(nst)
+        return x, new_state
+
+
+class RationalResampler(Block):
+    """Arbitrary-rate resampler: PowerDecimator then PolyphaseResampler.
+
+    Mirrors reference multirate/rational_resampler.h:128-173 reconfigure():
+      predecPower = min(floor(log2(in/out)), 13); int rate = in/2^p;
+      interp/decim = round(outSR)/gcd, round(intSR)/gcd;
+      prototype lowpass: cutoff = min(in,out)/2, trans = cutoff*0.1, designed
+      at rate intSR*interp and scaled by interp; warn at >0.01% rate error.
+    """
+
+    def __init__(self, fs_in: float, fs_out: float):
+        self.fs_in = float(fs_in)
+        self.fs_out = float(fs_out)
+        predec_power = 0
+        if fs_in > fs_out:
+            predec_power = min(int(math.floor(math.log2(fs_in / fs_out))), 13)
+        predec_ratio = min(1 << predec_power, PowerDecimator.MAX_RATIO)
+        use_decim = fs_in > fs_out and predec_power > 0
+        int_sr = fs_in / predec_ratio if use_decim else fs_in
+
+        int_i = round(int_sr)
+        out_i = round(fs_out)
+        g = math.gcd(int_i, out_i)
+        interp = out_i // g
+        decim = int_i // g
+        actual_out = int_i * interp / decim
+        self.rate_error_pct = abs((actual_out - fs_out) / fs_out) * 100.0
+        # reference warns above 0.01% (rational_resampler.h:149-153)
+
+        blocks = []
+        if use_decim:
+            blocks.append(("decim", PowerDecimator(fs_in, predec_ratio)))
+        if interp != decim:
+            tap_sr = int_sr * interp
+            bw = min(fs_in, fs_out) / 2.0
+            proto = taps_mod.low_pass(bw, bw * 0.1, tap_sr) * interp
+            blocks.append(("resamp", PolyphaseResampler(interp, decim, proto)))
+        self.chain = Chain(blocks) if blocks else Chain([])
+        self.ratio = self.chain.ratio
+        self.in_multiple = self.chain.in_multiple
+
+    def init_state(self, batch_shape=(), dtype=jnp.complex64):
+        return {name: blk.init_state(batch_shape, dtype)
+                for name, blk in self.chain.named_blocks}
+
+    def apply(self, params, state, x):
+        return self.chain.apply(None, state, x)

@@ -1,0 +1,32 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU needed), mirroring how the
+reference tests run fully in-process with file sources and null audio sinks
+(reference: e2e/e2e_common.py base config, tests/test_runner.h).
+Must set the env vars before jax initialises its backends.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The harness sitecustomize imports jax (pinning JAX_PLATFORMS=axon) before
+# conftest runs, so the env var alone is not enough — override the live
+# config before any backend is instantiated.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
