@@ -1,0 +1,223 @@
+"""Radio — the demodulation pipeline ("model"), the analog of the
+reference's radio decoder module.
+
+reference: decoder_modules/radio/src/radio_module.h — a VFO feeds an IF
+chain [NoiseBlanker, Squelch, FMIF] (radio_module.h:92-98), the selected
+demodulator, then an AF chain [RationalResampler→48 kHz, Deemphasis]
+(radio_module.h:100-107).  Demodulator IDs and their fixed IF rates
+(reference: radio_module_interface.h:6-16 and demodulators/*.h):
+
+    id  name  IF rate   default bw   default deemphasis
+    0   NFM    50 kHz    12.5 kHz    none        (nfm.h:65,69)
+    1   WFM   500 kHz   150 kHz      50 µs       (wfm.h:261-271)
+    2   AM     15 kHz    10 kHz      none        (am.h:76-86)
+    3   DSB    24 kHz     4.6 kHz    none        (dsb.h:69-79)
+    4   USB    24 kHz     2.8 kHz    none        (usb.h:70-80)
+    5   CW      3 kHz     0.2 kHz    none; 800 Hz tone (cw.h:82-86)
+    6   LSB    24 kHz     2.8 kHz    none        (lsb.h:69-79)
+    7   RAW    48 kHz    audio SR    none        (raw.h:48-59)
+
+A demod switch builds a new compiled pipeline (the functional analog of
+selectDemod's tempStop→re-splice→tempStart, radio_module.h:655-774).
+
+Everything is batched over a leading channel axis: a Radio built with
+``batch_shape=(C,)`` demodulates C VFOs of the same mode in one kernel;
+mixed modes are grouped by the RadioBank (models/radio_bank.py).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.block import Block, Chain
+from ..ops import taps as taps_mod
+from ..ops.demod import (FMDemod, AMDemod, SSBDemod, CWDemod, Squelch)
+from ..ops.recurrence import Deemphasis, NoiseBlanker
+from ..ops.fmif import FMIF
+from ..ops.wfm import BroadcastFM
+from ..ops.resampler import RationalResampler
+from .rx_vfo import RxVFO
+
+# reference: radio_module_interface.h:6-16 (RADIO_IFACE_MODE_* order)
+DEMOD_NFM, DEMOD_WFM, DEMOD_AM, DEMOD_DSB = 0, 1, 2, 3
+DEMOD_USB, DEMOD_CW, DEMOD_LSB, DEMOD_RAW = 4, 5, 6, 7
+
+DEMOD_NAMES = ["NFM", "WFM", "AM", "DSB", "USB", "CW", "LSB", "RAW"]
+DEMOD_IDS = {n: i for i, n in enumerate(DEMOD_NAMES)}
+
+#: (IF samplerate, default bandwidth) per demod id; RAW uses audio SR.
+DEMOD_IF_RATES = {
+    DEMOD_NFM: (50_000.0, 12_500.0),
+    DEMOD_WFM: (500_000.0, 150_000.0),
+    DEMOD_AM: (15_000.0, 10_000.0),
+    DEMOD_DSB: (24_000.0, 4_600.0),
+    DEMOD_USB: (24_000.0, 2_800.0),
+    DEMOD_CW: (3_000.0, 200.0),
+    DEMOD_LSB: (24_000.0, 2_800.0),
+    DEMOD_RAW: (48_000.0, 48_000.0),
+}
+
+DEEMP_TAUS = {"none": None, "22us": 22e-6, "50us": 50e-6, "75us": 75e-6}
+
+
+class _RawDemod(Block):
+    """RAW mode: complex IQ re-interpreted as L=I, R=Q stereo."""
+
+    def apply(self, params, state, x):
+        return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-2) \
+            .astype(jnp.float32), state
+
+
+def make_demod(demod_id: int, bandwidth: float, audio_sr: float = 48_000.0,
+               stereo: bool = True, rds: bool = False,
+               pll_mode: str = "normalize", cw_tone: float = 800.0):
+    if_rate = DEMOD_IF_RATES[demod_id][0]
+    if demod_id == DEMOD_NFM:
+        return FMDemod(if_rate, bandwidth, low_pass=True), if_rate, False
+    if demod_id == DEMOD_WFM:
+        return BroadcastFM(bandwidth / 2.0, if_rate, stereo=stereo,
+                           low_pass=True, rds_out=rds,
+                           pll_mode=pll_mode), if_rate, True
+    if demod_id == DEMOD_AM:
+        return AMDemod(if_rate, bandwidth), if_rate, False
+    if demod_id in (DEMOD_USB, DEMOD_LSB, DEMOD_DSB):
+        mode = {DEMOD_USB: SSBDemod.USB, DEMOD_LSB: SSBDemod.LSB,
+                DEMOD_DSB: SSBDemod.DSB}[demod_id]
+        return SSBDemod(mode, bandwidth, if_rate), if_rate, False
+    if demod_id == DEMOD_CW:
+        return CWDemod(cw_tone, if_rate), if_rate, False
+    if demod_id == DEMOD_RAW:
+        return _RawDemod(), audio_sr, True
+    raise ValueError(f"unknown demod id {demod_id}")
+
+
+class Radio(Block):
+    """Full per-VFO demodulation pipeline: RxVFO → IF chain → demod → AF."""
+
+    def __init__(self, in_samplerate: float, demod_id: int,
+                 bandwidth: Optional[float] = None,
+                 audio_samplerate: float = 48_000.0,
+                 offset_hz: float = 0.0,
+                 stereo: bool = True, rds: bool = False,
+                 deemphasis: Optional[str] = None,
+                 nb_enabled: bool = False, squelch_enabled: bool = False,
+                 squelch_level: float = -100.0, fmif_enabled: bool = False,
+                 pll_mode: str = "normalize"):
+        self.in_samplerate = float(in_samplerate)
+        self.demod_id = demod_id
+        self.audio_samplerate = float(audio_samplerate)
+        if bandwidth is None:
+            bandwidth = DEMOD_IF_RATES[demod_id][1]
+        self.bandwidth = float(bandwidth)
+
+        self.demod, self.if_rate, self.demod_stereo = make_demod(
+            demod_id, self.bandwidth, audio_samplerate, stereo, rds, pll_mode)
+
+        self.vfo = RxVFO(in_samplerate, self.if_rate, self.bandwidth,
+                         offset_hz)
+
+        # IF chain (reference radio_module.h:92-98; NB rate 500/24000 lvl 10,
+        # FMIF 32 bins)
+        self.nb = NoiseBlanker(500.0 / 24000.0, 10.0)
+        self.squelch = Squelch(squelch_level)
+        self.fmif = FMIF(32)
+        self.nb_enabled = nb_enabled
+        self.squelch_enabled = squelch_enabled
+        self.fmif_enabled = fmif_enabled
+
+        # AF chain (reference radio_module.h:100-107)
+        self.af_resamp = None
+        if self.if_rate != self.audio_samplerate:
+            self.af_resamp = RationalResampler(self.if_rate,
+                                               self.audio_samplerate)
+        if deemphasis is None:
+            deemphasis = "50us" if demod_id == DEMOD_WFM else "none"
+        self.deemp_tau = DEEMP_TAUS[deemphasis]
+        self.deemp = (Deemphasis(self.deemp_tau, self.audio_samplerate)
+                      if self.deemp_tau else None)
+
+        # --- static granularity: input length L must make every stage length
+        # an exact integer multiple of its in_multiple.
+        need = Fraction(self.vfo.in_multiple)
+        r = self.vfo.ratio
+        for blk in ([self.demod] if getattr(self.demod, "in_multiple", 1) > 1
+                    else []):
+            need = self._lcm(need, Fraction(blk.in_multiple) / r)
+        r = r * getattr(self.demod, "ratio", Fraction(1))
+        if self.af_resamp is not None:
+            need = self._lcm(need, Fraction(self.af_resamp.in_multiple) / r)
+            r = r * self.af_resamp.ratio
+        # xlator outer-product span (ops/xlator.py) wants multiples of 1024
+        # for long blocks; harmless for short ones.
+        self.in_multiple = int(self._lcm(need, Fraction(1)))
+        self.ratio = r
+
+    @staticmethod
+    def _lcm(a: Fraction, b: Fraction) -> Fraction:
+        return Fraction(math.lcm(a.numerator, b.numerator),
+                        math.gcd(a.denominator, b.denominator))
+
+    # ------------------------------------------------------------------
+    def init_state(self, batch_shape=()):
+        st = {"vfo": self.vfo.init_state(batch_shape),
+              "demod": self.demod.init_state(batch_shape)}
+        if self.nb_enabled:
+            st["nb"] = self.nb.init_state(batch_shape)
+        if self.fmif_enabled:
+            st["fmif"] = self.fmif.init_state(batch_shape)
+        af_shape = batch_shape + (2,) if self.demod_stereo else batch_shape
+        if self.af_resamp is not None:
+            st["af_resamp"] = self.af_resamp.init_state(af_shape, jnp.float32)
+        if self.deemp is not None:
+            st["deemp"] = self.deemp.init_state(af_shape)
+        return st
+
+    def init_params(self):
+        p = {"vfo": self.vfo.init_params()}
+        if self.squelch_enabled:
+            p["squelch"] = self.squelch.init_params()
+        return p
+
+    def make_params(self, offset_hz, squelch_level=None):
+        p = {"vfo": self.vfo.make_params(offset_hz)}
+        if self.squelch_enabled:
+            lvl = squelch_level if squelch_level is not None \
+                else self.squelch.default_level
+            p["squelch"] = {"level": jnp.float32(lvl)}
+        return p
+
+    def apply(self, params, state, x):
+        if params is None:
+            params = self.init_params()
+        st = dict(state)
+        y, st["vfo"] = self.vfo.apply(params["vfo"], state["vfo"], x)
+        if self.nb_enabled:
+            y, st["nb"] = self.nb.apply(None, state["nb"], y)
+        if self.squelch_enabled:
+            y, _ = self.squelch.apply(params.get("squelch"), None, y)
+        if self.fmif_enabled:
+            y, st["fmif"] = self.fmif.apply(None, state["fmif"], y)
+        y, st["demod"] = self.demod.apply(None, state["demod"], y)
+        rds = None
+        if isinstance(y, tuple):
+            y, rds = y
+        if self.af_resamp is not None:
+            y, st["af_resamp"] = self.af_resamp.apply(
+                None, state["af_resamp"], y)
+        if self.deemp is not None:
+            y, st["deemp"] = self.deemp.apply(None, state["deemp"], y)
+        if not self.demod_stereo:
+            y = jnp.stack([y, y], axis=-2)  # mono → stereo
+        if rds is not None:
+            return (y, rds), st
+        return y, st
+
+    # convenience: jitted step
+    def jit_step(self):
+        return jax.jit(lambda p, s, x: self.apply(p, s, x))

@@ -54,8 +54,7 @@ def rotor(phase0, omega, omega_span, T: int):
         n = jnp.arange(T, dtype=jnp.float32)
         ang = phase0[..., None] + omega[..., None] * n
         return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-    assert T % SPAN == 0, f"block length {T} must be a multiple of {SPAN}"
-    M = T // SPAN
+    M = -(-T // SPAN)  # ceil; surplus sliced off below
     m = jnp.arange(M, dtype=jnp.float32)
     k = jnp.arange(SPAN, dtype=jnp.float32)
     # keep A*m wrapped so the fp32 product stays small
@@ -63,17 +62,19 @@ def rotor(phase0, omega, omega_span, T: int):
     ang_k = omega[..., None] * k
     pm = jax.lax.complex(jnp.cos(ang_m), jnp.sin(ang_m))
     pk = jax.lax.complex(jnp.cos(ang_k), jnp.sin(ang_k))
-    return (pm[..., :, None] * pk[..., None, :]).reshape(batch + (T,))
+    full = (pm[..., :, None] * pk[..., None, :]).reshape(batch + (M * SPAN,))
+    return full[..., :T]
 
 
 def advance_phase(phase0, omega, omega_span, T: int):
     phase0 = jnp.asarray(phase0, jnp.float32)
     if T <= SPAN:
         return jnp.mod(phase0 + jnp.asarray(omega, jnp.float32) * T, _TWO_PI)
-    M = T // SPAN
-    return jnp.mod(
-        phase0 + jnp.mod(jnp.asarray(omega_span, jnp.float32) * M, _TWO_PI),
-        _TWO_PI)
+    M, rem = divmod(T, SPAN)
+    acc = jnp.mod(jnp.asarray(omega_span, jnp.float32) * M, _TWO_PI)
+    if rem:
+        acc = acc + jnp.asarray(omega, jnp.float32) * rem
+    return jnp.mod(phase0 + acc, _TWO_PI)
 
 
 class FrequencyXlator(Block):
