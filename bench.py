@@ -1,0 +1,77 @@
+"""Throughput benchmark: IQ Msamples/s/chip through the full
+xlate→resample→FIR→demod chain plus the FFT spectrum path.
+
+Config 2 of BASELINE.md's build targets: 8 parallel WFM-stereo VFOs on one
+2.4 MS/s wideband capture, with the 65536-bin/20 fps spectrum branch
+running alongside (reference defaults, core/src/core.cpp:559-561).
+``vs_baseline`` is the multiple of the real-time requirement (2.4 MS/s):
+the reference is a real-time app, so 1.0 = "keeps up with the antenna";
+higher = how many such receivers one chip could serve.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_WFM
+    from sdrplusplusbrown_tpu.ops.spectrum import SpectrumPath
+
+    fs = 2_400_000.0
+    C = 8
+    radio = Radio(fs, DEMOD_WFM, pll_mode="normalize")
+    spectrum = SpectrumPath(fs, fft_size=65536, fft_rate=20.0)
+    g = np.lcm(radio.in_multiple, spectrum.in_multiple)
+    T = int(((240_000 + g - 1) // g) * g)       # ~0.1 s of IQ per step
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)) \
+        .astype(np.complex64) * 0.1
+
+    offsets = np.linspace(-1.0e6, 1.0e6, C)
+    params = radio.make_params(offsets)
+    state = radio.init_state((C,))
+
+    def step(params, state, xw):
+        spectra, _ = spectrum.apply(None, None, xw)
+        xb = jnp.broadcast_to(xw[None, :], (C, T))
+        audio, new_state = radio.apply(params, state, xb)
+        return audio, spectra, new_state
+
+    fn = jax.jit(step, donate_argnums=(1,))
+    xd = jax.device_put(jnp.asarray(x))
+
+    # warmup / compile
+    audio, spectra, state = fn(params, state, xd)
+    jax.block_until_ready((audio, spectra))
+    audio, spectra, state = fn(params, state, xd)
+    jax.block_until_ready((audio, spectra))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, spectra, state = fn(params, state, xd)
+    jax.block_until_ready((audio, spectra))
+    dt = time.perf_counter() - t0
+
+    msps = (T * iters) / dt / 1e6
+    out = {
+        "metric": "wfm8_vfo_chain_iq_throughput",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 2.4, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,11 @@ class Radio(Block):
         return p
 
     def apply(self, params, state, x):
+        if x.shape[-1] % self.in_multiple:
+            raise ValueError(
+                f"Radio[{DEMOD_NAMES[self.demod_id]}]: block length "
+                f"{x.shape[-1]} must be a multiple of in_multiple="
+                f"{self.in_multiple}")
         if params is None:
             params = self.init_params()
         st = dict(state)

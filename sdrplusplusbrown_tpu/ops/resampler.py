@@ -88,6 +88,11 @@ class PolyphaseResampler(Block):
         return jnp.zeros(batch_shape + (self.tpp - 1,), dtype)
 
     def apply(self, params, state, x):
+        if x.shape[-1] % self.decim:
+            raise ValueError(
+                f"PolyphaseResampler: block length {x.shape[-1]} is not a "
+                f"multiple of decim={self.decim}; pad the block to the "
+                f"pipeline granularity (Block.in_multiple)")
         lead = x.shape[:-1]
         state = state.astype(x.dtype) if state.dtype != x.dtype else state
         ext = jnp.concatenate([state, x], axis=-1)
