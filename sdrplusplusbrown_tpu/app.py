@@ -1,0 +1,406 @@
+"""Application shell: config, sources, radio module instances, sinks, and
+the streaming loop — the headless analog of the reference's
+core.cpp/MainWindow wiring (reference: core/src/core.cpp:437-912,
+gui/main_window.cpp:104-248) driven entirely through the HTTP control
+plane (server/http_server.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .utils.config import ConfigManager
+from .utils.flog import flog
+from .utils.event import Event
+from .models.iq_frontend import IQFrontEnd
+from .models.radio import (Radio, DEMOD_NAMES, DEMOD_IDS, DEMOD_IF_RATES)
+from .ops.spectrum import calculate_vfo_signal_info
+from .io.file_source import FileSource
+from .io.recorder import WavRecorder
+from .runtime.pump import Rechunker
+
+# reference demodulators/*.h getMinBandwidth/getMaxBandwidth
+DEMOD_BW_LIMITS = {
+    0: (1000.0, 50_000.0),     # NFM: max = IF rate
+    1: (50_000.0, 500_000.0),  # WFM
+    2: (1000.0, 15_000.0),     # AM
+    3: (1000.0, 12_000.0),     # DSB: IF/2
+    4: (500.0, 12_000.0),      # USB
+    5: (50.0, 500.0),          # CW
+    6: (500.0, 12_000.0),      # LSB
+    7: (48_000.0, 48_000.0),   # RAW
+}
+
+DEFAULT_CONFIG = {
+    "version": 1,
+    "frequency": 100_000_000.0,
+    "source": {"type": "none", "path": "", "samplerate": 1_000_000.0},
+    "fftSize": 65536,
+    "fftRate": 20,
+    "fftWindow": "nuttall",
+    "decimation": 1,
+    "dcBlocking": False,
+    "invertIQ": False,
+    "modules": {},
+    "sinks": {},
+    "streamVolumes": {},
+}
+
+SPECTRUM_BUF_SIZE = 16384  # IF spectrum ring (reference radio_module.h:78)
+
+
+class ModuleInstance:
+    """reference: ModuleManager::Instance (core/src/module.h:35-52)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._enabled = True
+
+    def post_init(self):
+        pass
+
+    def enable(self):
+        self._enabled = True
+
+    def disable(self):
+        self._enabled = False
+
+    def is_enabled(self) -> bool:
+        return self._enabled
+
+    def module_type(self) -> str:
+        return "unknown"
+
+    def shutdown(self):
+        pass
+
+    def handle_debug_command(self, cmd: str, args: str) -> dict:
+        return {"error": f"unknown command: {cmd}"}
+
+
+class RadioModuleInstance(ModuleInstance):
+    """The demodulation app module (reference decoder_modules/radio)."""
+
+    def __init__(self, name: str, app: "SDRApp", demod: str = "WFM",
+                 offset_hz: float = 0.0, bandwidth: Optional[float] = None):
+        super().__init__(name)
+        self.app = app
+        self._mtx = threading.RLock()
+        self.offset_hz = float(offset_hz)
+        self.demod_id = DEMOD_IDS.get(demod, 1)
+        self.bandwidth = bandwidth
+        self.radio: Optional[Radio] = None
+        self.state = None
+        self.params = None
+        self.spectrum_ring = np.zeros(SPECTRUM_BUF_SIZE, np.complex64)
+        self.audio_event: Event = Event()
+        self.last_switch_us = 0.0
+        self._build()
+
+    def module_type(self) -> str:
+        return "radio"
+
+    def _build(self):
+        import jax
+        t0 = time.perf_counter()
+        with self._mtx:
+            radio = Radio(self.app.samplerate, self.demod_id,
+                          bandwidth=self.bandwidth,
+                          offset_hz=self.offset_hz,
+                          squelch_enabled=True)
+            self.radio = radio
+            self.state = radio.init_state(())
+            self.params = radio.make_params(self.offset_hz)
+            self.bandwidth = radio.bandwidth
+            self.jit_step = jax.jit(
+                lambda p, s, x: radio.apply(p, s, x))
+        self.last_switch_us = (time.perf_counter() - t0) * 1e6
+        # reference logs demod-switch latency in µs (radio_module.h:474)
+        flog.info("Radio[{}]: demod {} ready in {:.0f} us", self.name,
+                  DEMOD_NAMES[self.demod_id], self.last_switch_us)
+        self.app.invalidate_pipeline()
+
+    def set_offset(self, offset_hz: float):
+        self.offset_hz = float(offset_hz)
+        self.params = self.radio.make_params(self.offset_hz)
+
+    def select_demod(self, demod_id: int):
+        self.demod_id = int(demod_id)
+        self.bandwidth = None  # take the new demod's default
+        self._build()
+
+    def push_if_spectrum(self, iq_block: np.ndarray):
+        n = min(len(iq_block), SPECTRUM_BUF_SIZE)
+        self.spectrum_ring = np.roll(self.spectrum_ring, -n)
+        self.spectrum_ring[-n:] = iq_block[-n:]
+
+    # ------------------------------------------------------------------
+    def handle_debug_command(self, cmd: str, args: str) -> dict:
+        if cmd in ("set_demod", "set_demodulator"):
+            name = args.strip().upper()
+            if name in DEMOD_IDS:
+                self.select_demod(DEMOD_IDS[name])
+                return {"status": "ok", "demod": name,
+                        "id": DEMOD_IDS[name]}
+            try:
+                did = int(args)
+                self.select_demod(did)
+                return {"status": "ok", "demod": DEMOD_NAMES[did],
+                        "id": did}
+            except (ValueError, IndexError):
+                return {"error": f"unknown demod '{args}'"}
+        if cmd == "get_demod":
+            return {"demod": DEMOD_NAMES[self.demod_id],
+                    "id": self.demod_id}
+        if cmd == "list_demods":
+            return {"radio": self.name,
+                    "demods": [{"name": n, "id": i}
+                               for i, n in enumerate(DEMOD_NAMES)]}
+        if cmd == "get_vfo_bandwidth":
+            lo, hi = DEMOD_BW_LIMITS[self.demod_id]
+            return {"vfo_bandwidth": self.bandwidth,
+                    "lower_offset": self.offset_hz - self.bandwidth / 2,
+                    "upper_offset": self.offset_hz + self.bandwidth / 2,
+                    "module_bandwidth": self.bandwidth,
+                    "min_bandwidth": lo, "max_bandwidth": hi}
+        if cmd == "set_freq":
+            try:
+                freq = float(args)
+            except ValueError:
+                return {"error": f"invalid frequency: '{args}'"}
+            self.app.tune(freq)
+            return {"status": "ok", "frequency": freq}
+        if cmd == "get_snr":
+            snr = self.app.vfo_snr(self.name)
+            return {"snr": snr if snr is not None else -1.0}
+        if cmd == "get_spectrum":
+            num_buckets = 256
+            if "," in args:
+                try:
+                    num_buckets = int(args.split(",")[1])
+                except ValueError:
+                    pass
+            num_buckets = max(8, min(2048, num_buckets))
+            snap = self.spectrum_ring
+            n = len(snap)
+            win = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / (n - 1)))
+            power = np.abs(np.fft.fft(snap * win)) ** 2
+            maxp = max(float(power.max()), 1e-30)
+            bpb = n // num_buckets
+            avg = power[:bpb * num_buckets].reshape(num_buckets, bpb).mean(1)
+            db = 10 * np.log10(avg / maxp + 1e-10)
+            return {"spectrum": [round(float(v), 3) for v in db],
+                    "num_buckets": num_buckets, "fft_size": n,
+                    "max_bin": maxp}
+        return super().handle_debug_command(cmd, args)
+
+
+class SDRApp:
+    def __init__(self, root: str, run_pump: bool = True):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.config = ConfigManager()
+        self.config.set_path(os.path.join(root, "config.json"))
+        self.config.load(DEFAULT_CONFIG)
+        self.config.enable_autosave()
+
+        with self.config.acquire(False) as conf:
+            src = conf["source"]
+            self.samplerate = float(src.get("samplerate", 1_000_000.0))
+            self.frequency = float(conf.get("frequency", 100e6))
+            self._fft_size = int(conf.get("fftSize", 65536))
+            self._fft_rate = float(conf.get("fftRate", 20))
+            self._fft_window = conf.get("fftWindow", "nuttall")
+            self._decim = int(conf.get("decimation", 1))
+            self._dc = bool(conf.get("dcBlocking", False))
+            self._inv = bool(conf.get("invertIQ", False))
+            mod_conf = dict(conf.get("modules", {}))
+            self.sink_sel = dict(conf.get("sinks", {}))
+
+        self.source: Optional[FileSource] = None
+        with self.config.acquire(False) as conf:
+            src = conf["source"]
+            if src.get("type") == "file" and src.get("path"):
+                self.source = FileSource(src["path"],
+                                         loop=bool(src.get("loop", True)))
+                self.samplerate = self.source.samplerate
+                if self.source.center_freq:
+                    self.frequency = self.source.center_freq
+
+        self.frontend = IQFrontEnd(
+            self.samplerate, decim_ratio=self._decim, dc_blocking=self._dc,
+            invert_iq=self._inv, fft_size=self._fft_size,
+            fft_rate=self._fft_rate, fft_window=self._fft_window)
+
+        self.baseband_event: Event = Event()
+        self.spectrum_event: Event = Event()
+
+        self.modules: Dict[str, ModuleInstance] = {}
+        for name, mc in mod_conf.items():
+            mtype = mc.get("type", "radio")
+            if mtype == "radio":
+                self.modules[name] = RadioModuleInstance(
+                    name, self, demod=mc.get("demod", "WFM"),
+                    offset_hz=mc.get("offset", 0.0),
+                    bandwidth=mc.get("bandwidth"))
+            elif mtype == "scanner":
+                from .modules.scanner import ScannerModule
+                self.modules[name] = ScannerModule(
+                    name, self, vfo=mc.get("vfo", "Radio"),
+                    **{k: mc[k] for k in
+                       ("start_freq", "stop_freq", "interval", "level")
+                       if k in mc})
+            elif mtype == "frequency_manager":
+                from .modules.frequency_manager import FrequencyManagerModule
+                self.modules[name] = FrequencyManagerModule(
+                    name, self, bookmarks=mc.get("bookmarks"))
+            elif mtype == "recorder":
+                from .modules.recorder_module import RecorderModule
+                self.modules[name] = RecorderModule(
+                    name, self, directory=mc.get("directory"))
+            elif mtype == "signal_detector":
+                from .modules.signal_detector_module import \
+                    SignalDetectorModule
+                self.modules[name] = SignalDetectorModule(
+                    name, self, margin_db=mc.get("margin_db", 6.0))
+            else:
+                flog.warn("unknown module type '{}' for '{}'", mtype, name)
+
+        self.sinks: Dict[str, object] = {}   # stream name -> recorder etc.
+        self.last_spectrum: Optional[np.ndarray] = None
+        self.running = False
+        self.main_loop_started = False
+        self._pump_thread: Optional[threading.Thread] = None
+        self._stop_evt = threading.Event()
+        self._lock = threading.RLock()
+        self._granularity_dirty = True
+        self.run_pump = run_pump
+        self.blocks_processed = 0
+
+    # ------------------------------------------------------------------
+    def invalidate_pipeline(self):
+        self._granularity_dirty = True
+
+    def _granularity(self) -> int:
+        g = self.frontend.in_multiple
+        for m in self.modules.values():
+            if isinstance(m, RadioModuleInstance) and m.is_enabled():
+                need = int(m.radio.in_multiple / self.frontend.ratio)
+                g = math.lcm(g, need)
+        return g
+
+    def tune(self, freq: float):
+        self.frequency = float(freq)
+        with self.config.acquire() as conf:
+            conf["frequency"] = freq
+
+    def set_vfo_offset(self, name: str, offset_hz: float) -> bool:
+        m = self.modules.get(name)
+        if not isinstance(m, RadioModuleInstance):
+            return False
+        m.set_offset(offset_hz)
+        return True
+
+    def vfo_snr(self, name: str):
+        m = self.modules.get(name)
+        if self.last_spectrum is None or not isinstance(
+                m, RadioModuleInstance):
+            return None
+        out = calculate_vfo_signal_info(
+            self.last_spectrum, m.offset_hz, m.bandwidth,
+            self.frontend.effective_sr)
+        if out is None:
+            return None
+        return float(out[1])
+
+    # ------------------------------------------------------------------
+    def start(self):
+        with self._lock:
+            if self.running:
+                return
+            self.running = True
+            self._stop_evt.clear()
+            if self.run_pump and self.source is not None:
+                self._pump_thread = threading.Thread(
+                    target=self._pump_loop, daemon=True)
+                self._pump_thread.start()
+            flog.info("SDRApp started (SR={} Hz)", self.samplerate)
+
+    def stop(self):
+        with self._lock:
+            if not self.running:
+                return
+            self.running = False
+        self._stop_evt.set()
+        if self._pump_thread:
+            self._pump_thread.join(timeout=10)
+            self._pump_thread = None
+        flog.info("SDRApp stopped")
+
+    def _pump_loop(self):
+        import jax
+        import jax.numpy as jnp
+        fe_step = jax.jit(lambda s, x: self.frontend.apply(None, s, x))
+        fstate = self.frontend.init_state(())
+        rc: Optional[Rechunker] = None
+        gran = None
+        blocks = self.source.blocks()
+        self.main_loop_started = True
+        for blk in blocks:
+            if self._stop_evt.is_set():
+                break
+            g = self._granularity()
+            if rc is None or g != gran:
+                gran = g
+                block_len = ((max(g, int(self.samplerate // 20)) + g - 1)
+                             // g) * g
+                rc = Rechunker(block_len)
+            for chunk in rc.push(blk):
+                (bb, spectra), fstate = fe_step(fstate, jnp.asarray(chunk))
+                bb_np = np.asarray(bb)
+                self.last_spectrum = np.asarray(spectra)[-1]
+                self.baseband_event.emit(bb_np)
+                self.spectrum_event.emit(self.last_spectrum)
+                with self._lock:
+                    mods = [m for m in self.modules.values()
+                            if isinstance(m, RadioModuleInstance)
+                            and m.is_enabled()]
+                for m in mods:
+                    with m._mtx:
+                        if bb.shape[-1] % m.radio.in_multiple:
+                            # demod switched mid-block; samples drop until
+                            # the rechunker realigns (the analog of the
+                            # reference's tempStop re-splice gap)
+                            continue
+                        y, m.state = m.jit_step(m.params, m.state, bb)
+                    audio = np.asarray(y)
+                    m.push_if_spectrum(bb_np)
+                    m.audio_event.emit(audio)
+                    sink = self.sinks.get(m.name)
+                    if isinstance(sink, WavRecorder):
+                        sink.write(audio)
+                self.blocks_processed += 1
+        self.main_loop_started = True
+
+    # ------------------------------------------------------------------
+    def status(self) -> dict:
+        return {"ready": True, "httpListening": True,
+                "mainLoopStarted": bool(self.main_loop_started
+                                        or not self.run_pump
+                                        or self.source is None)}
+
+    def shutdown(self):
+        self.stop()
+        for m in self.modules.values():
+            m.shutdown()
+        for s in self.sinks.values():
+            if isinstance(s, WavRecorder):
+                s.close()
+        self.config.disable_autosave()

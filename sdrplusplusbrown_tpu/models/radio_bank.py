@@ -1,0 +1,84 @@
+"""RadioBank — many VFOs of mixed demod modes on one wideband baseband.
+
+The reference runs each radio instance as an independent thread chain off
+the IQFrontEnd splitter (reference: core/src/signal_path/
+iq_frontend.cpp:159-202, decoder_modules/radio/src/radio_module.h).  Here
+VFOs of the *same* mode batch into one compiled kernel (a [C, T] channel
+axis), and a bank is a dict mode → batched Radio.  Retunes are runtime
+params; adding/removing a VFO or switching its mode rebuilds only the
+affected mode-group (the analog of selectDemod's rebuild,
+radio_module.h:655-774).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.block import Block
+from .radio import Radio, DEMOD_NAMES, DEMOD_IDS
+
+
+class VFOSpec:
+    def __init__(self, name: str, demod_id: int, offset_hz: float,
+                 bandwidth: Optional[float] = None):
+        self.name = name
+        self.demod_id = demod_id
+        self.offset_hz = float(offset_hz)
+        self.bandwidth = bandwidth
+
+
+class RadioBank:
+    """Group VFO specs by demod mode; one batched Radio per group."""
+
+    def __init__(self, in_samplerate: float, vfos: List[VFOSpec],
+                 audio_samplerate: float = 48_000.0, **radio_kwargs):
+        self.in_samplerate = float(in_samplerate)
+        self.audio_samplerate = float(audio_samplerate)
+        self.groups: Dict[int, List[VFOSpec]] = {}
+        for v in vfos:
+            self.groups.setdefault(v.demod_id, []).append(v)
+        self.radios: Dict[int, Radio] = {}
+        for demod_id, group in self.groups.items():
+            bw = group[0].bandwidth
+            self.radios[demod_id] = Radio(
+                in_samplerate, demod_id, bandwidth=bw,
+                audio_samplerate=audio_samplerate, **radio_kwargs)
+        self.in_multiple = math.lcm(
+            *[r.in_multiple for r in self.radios.values()]) \
+            if self.radios else 1
+
+    def init_state(self):
+        return {d: r.init_state((len(self.groups[d]),))
+                for d, r in self.radios.items()}
+
+    def make_params(self):
+        return {d: r.make_params(
+            np.array([v.offset_hz for v in self.groups[d]]))
+            for d, r in self.radios.items()}
+
+    def apply(self, params, state, x):
+        """x: [T] wideband → dict demod_id → ([C_d, 2, T_out_d], ...)."""
+        outs = {}
+        new_state = {}
+        for d, radio in self.radios.items():
+            C = len(self.groups[d])
+            xb = jnp.broadcast_to(x[None, :], (C, x.shape[-1]))
+            y, new_state[d] = radio.apply(params[d], state[d], xb)
+            outs[d] = y
+        return outs, new_state
+
+    def jit_step(self):
+        return jax.jit(lambda p, s, x: self.apply(p, s, x))
+
+    def vfo_names(self) -> List[Tuple[str, int, int]]:
+        """(name, demod_id, index within group)."""
+        out = []
+        for d, group in self.groups.items():
+            for i, v in enumerate(group):
+                out.append((v.name, d, i))
+        return out

@@ -1,0 +1,8 @@
+"""App-level plugin modules (the analog of the reference's misc_modules)."""
+
+from .scanner import ScannerModule
+from .frequency_manager import FrequencyManagerModule
+from .recorder_module import RecorderModule
+from .signal_detector_module import SignalDetectorModule
+
+__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule"]

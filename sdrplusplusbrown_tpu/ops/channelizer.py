@@ -1,0 +1,96 @@
+"""Critically-sampled polyphase filter-bank channelizer.
+
+BASELINE config 4: "FT8 band channelizer: 10 MS/s wideband → 64 polyphase
+channels → FFT spectra".  The reference achieves multi-channel receive by
+running N independent RxVFO chains (xlate → resample each,
+reference: core/src/dsp/channel/rx_vfo.h); for a regular channel grid the
+PFB computes all M channels for the cost of ~one filter: polyphase-
+decompose the input, one batched branch FIR (an MXU matmul), and an FFT
+across the branch axis.
+
+    x_p[k] = x[kM + p]                      (polyphase decompose)
+    v_p    = h_p ⊛ x_p ,  h_p[j] = h[jM+p]  (branch FIR, batched over p)
+    y_m[k] = Σ_p v_p[k] · e^{-j2πmp/M}      (FFT over p)
+
+Channel m sits at center +m·fs/M (wrapping to negative beyond M/2) at
+rate fs/M.  The prototype is the framework's standard windowed-sinc
+lowpass with cutoff fs/(2M).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.block import Block
+from . import taps as taps_mod
+from .fir import FIR
+
+
+class PolyphaseChannelizer(Block):
+    def __init__(self, samplerate: float, n_channels: int,
+                 trans_frac: float = 0.2, atten_taps: int | None = None):
+        self.samplerate = float(samplerate)
+        self.M = int(n_channels)
+        ch_bw = self.samplerate / self.M
+        proto = taps_mod.low_pass(ch_bw / 2.0, ch_bw * trans_frac,
+                                  self.samplerate)
+        # pad prototype to a multiple of M
+        K = proto.shape[0]
+        tpp = -(-K // self.M)
+        proto = np.pad(proto, (0, tpp * self.M - K))
+        # h_p[j] = h[j*M + p] → [M, tpp]
+        self.branches = proto.reshape(tpp, self.M).T.copy()
+        self.tpp = tpp
+        self.fir = FIR(np.zeros(tpp))  # only for state sizing docs
+        self.ratio = Fraction(1, 1)    # emits [M, T/M]: samples conserved
+        self.in_multiple = self.M
+
+    def channel_freqs(self) -> np.ndarray:
+        """Center frequency (Hz) of each output channel."""
+        m = np.arange(self.M)
+        m = np.where(m <= self.M // 2, m, m - self.M)
+        return m * self.samplerate / self.M
+
+    def init_state(self, batch_shape=()):
+        return jnp.zeros(batch_shape + (self.M, self.tpp - 1), jnp.complex64)
+
+    def apply(self, params, state, x):
+        """x [..., T] → y [..., M, T/M] (channels × channel-rate time)."""
+        T = x.shape[-1]
+        assert T % self.M == 0, (T, self.M)
+        k = T // self.M
+        # [..., k, M] → [..., M, k]
+        xp = jnp.moveaxis(x.reshape(x.shape[:-1] + (k, self.M)), -1, -2)
+        state = state.astype(x.dtype) if state.dtype != x.dtype else state
+        ext = jnp.concatenate([state, xp], axis=-1)
+        # batched branch FIR: independent taps per branch → grouped conv
+        v = _branch_fir(ext, jnp.asarray(self.branches, jnp.float32))
+        new_state = ext[..., ext.shape[-1] - (self.tpp - 1):]
+        y = jnp.fft.fft(v, axis=-2)
+        return y, new_state
+
+
+def _branch_fir(ext: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
+    """Per-branch real-tap FIR on complex data.
+
+    ext: [..., M, k + tpp - 1] complex; branches: [M, tpp] float32.
+    Returns [..., M, k].
+    """
+    M, tpp = branches.shape
+    lead = ext.shape[:-2]
+    W = ext.shape[-1]
+    # features = branches (grouped conv, one group per branch), stack re/im
+    # into the batch dim.
+    xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
+    xf = xf.reshape((-1, M, W)).astype(jnp.float32)      # [N*2, M, W]
+    ker = branches[:, None, :]                           # [M, 1, tpp]
+    dn = jax.lax.ConvDimensionNumbers((0, 1, 2), (0, 1, 2), (0, 1, 2))
+    y = jax.lax.conv_general_dilated(
+        xf, ker, (1,), "VALID", dimension_numbers=dn,
+        feature_group_count=M, preferred_element_type=jnp.float32)
+    y = y.reshape((2,) + lead + (M, y.shape[-1]))
+    return jax.lax.complex(y[0], y[1])

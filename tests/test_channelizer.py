@@ -1,0 +1,99 @@
+"""Polyphase channelizer and RadioBank tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdrplusplusbrown_tpu.ops.channelizer import PolyphaseChannelizer
+from sdrplusplusbrown_tpu.models.radio_bank import RadioBank, VFOSpec
+from sdrplusplusbrown_tpu.models.radio import (
+    DEMOD_NFM, DEMOD_AM, DEMOD_USB)
+
+
+def test_channelizer_tone_routing(rng):
+    fs = 64_000.0
+    M = 16
+    ch = PolyphaseChannelizer(fs, M)
+    T = 8192 * M // 16
+    n = np.arange(T)
+    # tones at channel centers 3 and -2 (i.e. bins 3 and M-2)
+    f3 = 3 * fs / M
+    fm2 = -2 * fs / M
+    x = (np.exp(2j * np.pi * f3 * n / fs)
+         + 0.5 * np.exp(2j * np.pi * fm2 * n / fs)).astype(np.complex64)
+    st = ch.init_state(())
+    y, _ = ch.apply(None, st, jnp.asarray(x))
+    assert y.shape == (M, T // M)
+    p = np.mean(np.abs(np.asarray(y)) ** 2, axis=-1)
+    # skip warmup
+    y2 = np.asarray(y)[:, ch.tpp:]
+    p = np.mean(np.abs(y2) ** 2, axis=-1)
+    order = np.argsort(p)[::-1]
+    assert set(order[:2]) == {3, M - 2}
+    # tone in channel 3 sits at DC of that channel (constant envelope)
+    ch3 = y2[3]
+    assert np.std(np.abs(ch3)) / np.mean(np.abs(ch3)) < 0.02
+    # adjacent-channel rejection > 40 dB
+    leak = p[4] / p[3]
+    assert 10 * np.log10(leak) < -40.0
+
+
+def test_channelizer_streaming_continuity(rng):
+    fs = 32_000.0
+    M = 8
+    ch = PolyphaseChannelizer(fs, M)
+    T = 4096
+    x = (rng.standard_normal(2 * T) + 1j * rng.standard_normal(2 * T)
+         ).astype(np.complex64)
+    st = ch.init_state(())
+    y1, st = ch.apply(None, st, jnp.asarray(x[:T]))
+    y2, st = ch.apply(None, st, jnp.asarray(x[T:]))
+    stream = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+    st0 = ch.init_state(())
+    yall, _ = ch.apply(None, st0, jnp.asarray(x))
+    np.testing.assert_allclose(stream, np.asarray(yall),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_channel_freqs():
+    ch = PolyphaseChannelizer(64_000.0, 8)
+    f = ch.channel_freqs()
+    np.testing.assert_allclose(
+        f, [0, 8000, 16000, 24000, 32000, -24000, -16000, -8000])
+
+
+@pytest.mark.slow
+def test_radio_bank_mixed_modes(rng):
+    fs = 1_200_000.0
+    vfos = [
+        VFOSpec("nfm0", DEMOD_NFM, -300e3),
+        VFOSpec("nfm1", DEMOD_NFM, 150e3),
+        VFOSpec("am0", DEMOD_AM, -100e3),
+        VFOSpec("usb0", DEMOD_USB, 200e3),
+    ]
+    bank = RadioBank(fs, vfos)
+    g = bank.in_multiple
+    T = ((240_000 + g - 1) // g) * g
+    n = np.arange(T)
+    # NFM carrier with 1 kHz tone at -300 kHz
+    audio = 0.8 * np.sin(2 * np.pi * 1000 * n / fs)
+    phase = 2 * np.pi * np.cumsum(2500 * audio) / fs
+    x = (0.7 * np.exp(1j * (2 * np.pi * -300e3 * n / fs + phase))
+         + 0.03 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+    params = bank.make_params()
+    state = bank.init_state()
+    outs, state = bank.apply(params, state, jnp.asarray(x))
+    assert set(outs) == {DEMOD_NFM, DEMOD_AM, DEMOD_USB}
+    assert outs[DEMOD_NFM].shape[0] == 2
+    assert outs[DEMOD_AM].shape[0] == 1
+    # the tuned NFM channel hears the 1 kHz tone; the off-tune one doesn't
+    a = np.asarray(outs[DEMOD_NFM])[:, 0, :]  # L channel
+    sk = a.shape[-1] // 2
+    nn = np.arange(a.shape[-1] - sk)
+
+    def tone(sig):
+        return np.abs(np.mean(sig[sk:] * np.exp(-2j * np.pi * 1000 * nn
+                                                / 48000)))
+    assert tone(a[0]) > 10 * tone(a[1])

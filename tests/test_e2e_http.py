@@ -1,0 +1,129 @@
+"""End-to-end HTTP automation tests against the real headless app.
+
+Mirrors the reference e2e suite patterns: test_lsb_startup.py's VFO
+bandwidth regression check, test_radio_modes.py's list_demods, and the
+baseband_file_test SNR oracle (>20 dB on a carrier, <20 dB off-carrier).
+"""
+
+import numpy as np
+import pytest
+
+from sdrplusplusbrown_tpu.io.wav import write_wav
+from e2e_harness import AppContext
+
+
+def make_capture(tmp_path, fs=240_000.0, seconds=2.0):
+    """NFM carrier at +50 kHz with a 1 kHz tone in light noise."""
+    rng = np.random.default_rng(9)
+    T = int(fs * seconds)
+    n = np.arange(T)
+    audio = 0.8 * np.sin(2 * np.pi * 1000 * n / fs)
+    phase = 2 * np.pi * np.cumsum(2500 * audio) / fs
+    x = (0.6 * np.exp(1j * (2 * np.pi * 50e3 * n / fs + phase))
+         + 0.01 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+    p = str(tmp_path / "baseband_14000000Hz_10-00-00_01-01-2024.wav")
+    write_wav(p, x, fs, bits=32)
+    return p
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cap = make_capture(tmp)
+    config = {
+        "source": {"type": "file", "path": cap, "loop": True},
+        "fftSize": 4096,
+        "fftRate": 20,
+        "modules": {
+            "Radio": {"type": "radio", "demod": "NFM", "offset": 50e3},
+        },
+    }
+    ctx = AppContext(str(tmp / "root"), config)
+    ok = ctx.wait_ready(timeout=120)
+    if not ok:
+        print(ctx.log_tail())
+    assert ok, "app did not become ready"
+    yield ctx
+    ctx.close()
+
+
+def test_status_shape(app):
+    st = app.get("/status")
+    assert st["ready"] and st["mainLoopStarted"]
+
+
+def test_list_demods(app):
+    r = app.module_cmd("Radio", "list_demods")
+    names = {d["name"] for d in r["demods"]}
+    # reference radio_module_interface.h:6-16 enum order
+    assert names == {"NFM", "WFM", "AM", "DSB", "USB", "CW", "LSB", "RAW"}
+    ids = {d["name"]: d["id"] for d in r["demods"]}
+    assert ids["NFM"] == 0 and ids["WFM"] == 1 and ids["RAW"] == 7
+
+
+def test_get_set_demod_and_bandwidth(app):
+    r = app.module_cmd("Radio", "get_demod")
+    assert r["demod"] == "NFM"
+    # reference test_lsb_startup.py: LSB default bandwidth ≈ 2.7-2.8 kHz
+    r = app.module_cmd("Radio", "set_demod", "LSB")
+    assert r["status"] == "ok" and r["demod"] == "LSB"
+    bw = app.module_cmd("Radio", "get_vfo_bandwidth")
+    assert 2000.0 <= bw["vfo_bandwidth"] <= 3500.0
+    assert bw["min_bandwidth"] == 500.0
+    r = app.module_cmd("Radio", "set_demod", "0")
+    assert r["demod"] == "NFM"
+
+
+def test_vfo_offset_and_snr_oracle(app):
+    import time
+    # on-carrier: SNR must exceed 20 dB (reference baseband_file_test oracle)
+    app.get("/vfo/set_offset?name=Radio&offset=50000")
+    deadline = time.time() + 60
+    snr_on = -1
+    while time.time() < deadline:
+        snr_on = app.module_cmd("Radio", "get_snr")["snr"]
+        if snr_on > 20.0:
+            break
+        time.sleep(0.5)
+    assert snr_on > 20.0, f"on-carrier SNR {snr_on}"
+    # off-carrier quiet frequency: SNR must stay below 20 dB
+    app.get("/vfo/set_offset?name=Radio&offset=-80000")
+    time.sleep(1.0)
+    snr_off = app.module_cmd("Radio", "get_snr")["snr"]
+    app.get("/vfo/set_offset?name=Radio&offset=50000")
+    assert snr_off < 20.0, f"off-carrier SNR {snr_off}"
+
+
+def test_get_spectrum(app):
+    r = app.module_cmd("Radio", "get_spectrum", ",128")
+    assert r["num_buckets"] == 128
+    assert len(r["spectrum"]) == 128
+    assert max(r["spectrum"]) <= 0.0 + 1e-6
+
+
+def test_modules_streams_sinks(app):
+    mods = app.get("/modules")
+    assert mods["Radio"]["module"] == "radio"
+    streams = app.get("/streams")
+    assert streams["streams"][0]["name"] == "Radio"
+    r = app.post("/sink/select", {"stream": "Radio",
+                                  "sink": "null_audio_sink"})
+    assert r["status"] == "ok"
+    r = app.post("/sink/select", {"stream": "Nope", "sink": "x"})
+    assert "error" in r
+
+
+def test_proc_and_log(app):
+    ls = app.get("/ls")
+    assert "entries" in ls
+    log = app.get("/log")
+    assert "SDRApp started" in log["log"]
+
+
+def test_sdr_status_progress(app):
+    import time
+    b0 = app.get("/sdr/status")["blocks"]
+    time.sleep(1.5)
+    b1 = app.get("/sdr/status")["blocks"]
+    assert b1 > b0, "pump is not processing blocks"
