@@ -89,10 +89,15 @@ class RadioModuleInstance(ModuleInstance):
     """The demodulation app module (reference decoder_modules/radio)."""
 
     def __init__(self, name: str, app: "SDRApp", demod: str = "WFM",
-                 offset_hz: float = 0.0, bandwidth: Optional[float] = None):
+                 offset_hz: float = 0.0, bandwidth: Optional[float] = None,
+                 rds: bool = False):
         super().__init__(name)
         self.app = app
         self._mtx = threading.RLock()
+        self.rds_enabled = bool(rds)
+        self.rds_demod = None
+        self.rds_state = None
+        self.rds_decoder = None
         self.offset_hz = float(offset_hz)
         self.demod_id = DEMOD_IDS.get(demod, 1)
         self.bandwidth = bandwidth
@@ -111,16 +116,28 @@ class RadioModuleInstance(ModuleInstance):
         import jax
         t0 = time.perf_counter()
         with self._mtx:
+            use_rds = self.rds_enabled and self.demod_id == 1  # WFM only
             radio = Radio(self.app.samplerate, self.demod_id,
                           bandwidth=self.bandwidth,
                           offset_hz=self.offset_hz,
-                          squelch_enabled=True)
+                          squelch_enabled=True, rds=use_rds)
             self.radio = radio
             self.state = radio.init_state(())
             self.params = radio.make_params(self.offset_hz)
             self.bandwidth = radio.bandwidth
             self.jit_step = jax.jit(
                 lambda p, s, x: radio.apply(p, s, x))
+            if use_rds:
+                from .models.rds import RDSDemod, RDSDecoder
+                self.rds_demod = RDSDemod()
+                self.rds_state = self.rds_demod.init_state(())
+                self.rds_decoder = RDSDecoder()
+                self.rds_step = jax.jit(
+                    lambda s, x: self.rds_demod.apply(None, s, x))
+            else:
+                self.rds_demod = None
+                self.rds_state = None
+                self.rds_decoder = None
         self.last_switch_us = (time.perf_counter() - t0) * 1e6
         # reference logs demod-switch latency in µs (radio_module.h:474)
         flog.info("Radio[{}]: demod {} ready in {:.0f} us", self.name,
@@ -177,6 +194,14 @@ class RadioModuleInstance(ModuleInstance):
                 return {"error": f"invalid frequency: '{args}'"}
             self.app.tune(freq)
             return {"status": "ok", "frequency": freq}
+        if cmd == "set_rds":
+            self.rds_enabled = args.strip().lower() in ("1", "true", "on")
+            self._build()
+            return {"status": "ok", "rds": self.rds_enabled}
+        if cmd == "get_rds":
+            if self.rds_decoder is None:
+                return {"error": "rds not enabled"}
+            return self.rds_decoder.status()
         if cmd == "get_snr":
             snr = self.app.vfo_snr(self.name)
             return {"snr": snr if snr is not None else -1.0}
@@ -249,7 +274,8 @@ class SDRApp:
                 self.modules[name] = RadioModuleInstance(
                     name, self, demod=mc.get("demod", "WFM"),
                     offset_hz=mc.get("offset", 0.0),
-                    bandwidth=mc.get("bandwidth"))
+                    bandwidth=mc.get("bandwidth"),
+                    rds=mc.get("rds", False))
             elif mtype == "scanner":
                 from .modules.scanner import ScannerModule
                 self.modules[name] = ScannerModule(
@@ -380,6 +406,12 @@ class SDRApp:
                             # reference's tempStop re-splice gap)
                             continue
                         y, m.state = m.jit_step(m.params, m.state, bb)
+                        if isinstance(y, tuple):
+                            y, rds_bb = y
+                            (hard, valid), m.rds_state = m.rds_step(
+                                m.rds_state, rds_bb)
+                            hv, vv = np.asarray(hard), np.asarray(valid)
+                            m.rds_decoder.push_bits(hv[vv])
                     audio = np.asarray(y)
                     m.push_if_spectrum(bb_np)
                     m.audio_event.emit(audio)

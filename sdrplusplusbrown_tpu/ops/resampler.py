@@ -187,6 +187,14 @@ class RationalResampler(Block):
         predec_power = 0
         if fs_in > fs_out:
             predec_power = min(int(math.floor(math.log2(fs_in / fs_out))), 13)
+        # prefer the largest power-of-2 that divides fs_in *exactly*: a
+        # fractional intermediate rate would be rounded (reference
+        # rational_resampler.h:141 `(int)`), costing up to 0.01% rate error
+        # and a huge gcd-reduced interp/decim (= giant static block
+        # granularity here).  Backing off a step keeps the chain exact.
+        while predec_power > 0 and \
+                (fs_in / (1 << predec_power)) != round(fs_in / (1 << predec_power)):
+            predec_power -= 1
         predec_ratio = min(1 << predec_power, PowerDecimator.MAX_RATIO)
         use_decim = fs_in > fs_out and predec_power > 0
         int_sr = fs_in / predec_ratio if use_decim else fs_in
