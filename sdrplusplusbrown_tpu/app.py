@@ -267,6 +267,14 @@ class SDRApp:
         self.baseband_event: Event = Event()
         self.spectrum_event: Event = Event()
 
+        # TX hardware (reference trx.h; loopback for tests/headless)
+        self.transmitter = None
+        with self.config.acquire(False) as conf:
+            txc = conf.get("transmitter", {})
+            if txc.get("type") == "loopback":
+                from .models.trx import LoopbackTransmitter
+                self.transmitter = LoopbackTransmitter()
+
         self.modules: Dict[str, ModuleInstance] = {}
         for name, mc in mod_conf.items():
             mtype = mc.get("type", "radio")

@@ -20,9 +20,22 @@ from .wav import read_wav_iq, parse_capture_filename
 
 class FileSource:
     def __init__(self, path: str, block_len: Optional[int] = None,
-                 loop: bool = False, realtime: bool = False):
+                 loop: bool = False, realtime: bool = False,
+                 use_native: bool = True):
         self.path = path
-        self.data, self.samplerate = read_wav_iq(path)
+        self.native = None
+        if use_native:
+            try:
+                from ..native import NativeWavReader, available
+                if available():
+                    self.native = NativeWavReader(path)
+            except (OSError, RuntimeError):
+                self.native = None
+        if self.native is not None:
+            self.samplerate = self.native.samplerate
+            self.data = self.native.read(0, self.native.frames)
+        else:
+            self.data, self.samplerate = read_wav_iq(path)
         self.center_freq, self.capture_time = parse_capture_filename(path)
         # reference default block: SR/200 (main.cpp:399)
         self.block_len = int(block_len or round(self.samplerate / 200))

@@ -1,0 +1,92 @@
+"""Digital demodulators: PSK (BPSK/QPSK/8PSK) and GFSK.
+
+reference: core/src/dsp/demod/psk.h (AGC → Costas → RRC matched filter →
+M&M clock recovery → symbols) and demod/gfsk.h (quadrature discriminator
+→ RRC → M&M → soft symbols), used by the decoder modules (M17, pager,
+meteor, DMR/TETRA front ends).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.block import Block
+from . import taps as taps_mod
+from .agc import AGC
+from .costas import Costas
+from .fir import FIR, RealFIR
+from .demod import Quadrature
+from .clock_recovery import MMClockRecovery
+
+
+def _rrc_taps(tap_count: int, beta: float, symbolrate: float,
+              samplerate: float) -> np.ndarray:
+    return taps_mod.root_raised_cosine(tap_count, beta,
+                                       samplerate / symbolrate)
+
+
+class PSKDemod(Block):
+    """complex baseband → (symbols, valid): matched-filtered, carrier- and
+    clock-recovered constellation points."""
+
+    def __init__(self, order: int, symbolrate: float, samplerate: float,
+                 rrc_tap_count: int = 31, rrc_beta: float = 0.35,
+                 agc_rate: float = 0.1, costas_bandwidth: float = 0.005,
+                 omega_gain: float = 1e-6, mu_gain: float = 0.01,
+                 omega_rel_limit: float = 0.01):
+        self.order = order
+        self.agc = AGC(set_point=1.0, attack=agc_rate, decay=agc_rate,
+                       max_gain=10e6)
+        self.costas = Costas(order, costas_bandwidth)
+        self.rrc = FIR(_rrc_taps(rrc_tap_count, rrc_beta, symbolrate,
+                                 samplerate))
+        self.recov = MMClockRecovery(samplerate / symbolrate, omega_gain,
+                                     mu_gain, omega_rel_limit,
+                                     complex_data=True)
+
+    def init_state(self, batch_shape=()):
+        assert batch_shape == ()
+        return {"agc": self.agc.init_state(()),
+                "costas": self.costas.init_state(()),
+                "rrc": self.rrc.init_state(()),
+                "recov": self.recov.init_state(())}
+
+    def apply(self, params, state, x):
+        st = dict(state)
+        y, st["agc"] = self.agc.apply(None, state["agc"], x)
+        y, st["costas"] = self.costas.apply(None, state["costas"], y)
+        y, st["rrc"] = self.rrc.apply(None, state["rrc"], y)
+        (sym, valid), st["recov"] = self.recov.apply(None, state["recov"],
+                                                     y)
+        return (sym, valid), st
+
+
+class GFSKDemod(Block):
+    """complex baseband → (soft float symbols, valid)."""
+
+    def __init__(self, symbolrate: float, samplerate: float,
+                 deviation_hz: float, rrc_tap_count: int = 31,
+                 rrc_beta: float = 0.35, omega_gain: float = 1e-6,
+                 mu_gain: float = 0.01, omega_rel_limit: float = 0.01):
+        self.quad = Quadrature(deviation_hz, samplerate)
+        self.rrc = RealFIR(_rrc_taps(rrc_tap_count, rrc_beta, symbolrate,
+                                     samplerate))
+        self.recov = MMClockRecovery(samplerate / symbolrate, omega_gain,
+                                     mu_gain, omega_rel_limit,
+                                     complex_data=False)
+
+    def init_state(self, batch_shape=()):
+        assert batch_shape == ()
+        return {"quad": self.quad.init_state(()),
+                "rrc": self.rrc.init_state(()),
+                "recov": self.recov.init_state(())}
+
+    def apply(self, params, state, x):
+        st = dict(state)
+        y, st["quad"] = self.quad.apply(None, state["quad"], x)
+        y, st["rrc"] = self.rrc.apply(None, state["rrc"], y)
+        (sym, valid), st["recov"] = self.recov.apply(None, state["recov"],
+                                                     y)
+        return (sym, valid), st

@@ -54,6 +54,16 @@ class StreamClient:
         self.send_command(Command.SET_EFFT_MASKED_FREQUENCIES,
                           {"ranges": list(ranges)})
 
+    def transmit(self, iq6k: np.ndarray):
+        """Send TX audio baseband at the 6 kHz wire rate
+        (reference server_protocol.h:11, server.cpp:113-123)."""
+        from ..ops.compression import PCMType, compress_samples, \
+            entropy_encode
+        from .protocol import pack_packet
+        payload = entropy_encode(compress_samples(
+            np.asarray(iq6k, np.complex64), PCMType.I16))
+        self.sock.sendall(pack_packet(PacketType.TRANSMIT_DATA, payload))
+
     def _rx_loop(self):
         try:
             while not self._stop.is_set():

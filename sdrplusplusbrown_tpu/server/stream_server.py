@@ -53,7 +53,13 @@ class StreamServer:
         self._next_id = 0
         self._stop = threading.Event()
         self._accept_thread: Optional[threading.Thread] = None
-        self.tx_buffer: list = []
+        # TX backchannel: 6 kHz wire → 48 kHz → transmitter
+        # (reference server.cpp:113-123)
+        self.tx_path = None
+        tx = getattr(app, "transmitter", None)
+        if tx is not None:
+            from ..models.trx import ServerTxPath
+            self.tx_path = ServerTxPath(tx)
 
     # ------------------------------------------------------------------
     def start(self):
@@ -111,7 +117,8 @@ class StreamServer:
                 elif ptype == PacketType.TRANSMIT_DATA:
                     # 6 kHz complex wire rate; upsampled by the TX chain
                     iq = decompress_samples(entropy_decode(payload))
-                    self.tx_buffer.append(iq)
+                    if self.tx_path is not None:
+                        self.tx_path.push_wire_block(iq)
         except (ConnectionError, OSError):
             pass
         finally:
@@ -142,6 +149,9 @@ class StreamServer:
                 cs.send(pack_packet(PacketType.ERROR, b"\x03"))
                 return
             cs.running = True
+            cs.send(pack_command(
+                Command.SET_TRANSMITTER_SUPPORTED if self.tx_path
+                else Command.SET_TRANSMITTER_NOT_SUPPORTED, {}))
         elif cmd == Command.STOP:
             cs.running = False
         elif cmd == Command.SET_FREQUENCY:
