@@ -64,7 +64,12 @@ def main(argv=None):
             stream_server.stop()
         app.shutdown()
         http.stop()
-    return 0
+    # skip CPython/XLA teardown: a daemon thread still inside compiled
+    # code would otherwise abort the process ("exception not rethrown")
+    import os
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,8 @@ class RadioModuleInstance(ModuleInstance):
         self.rds_state = None
         self.rds_decoder = None
         self.offset_hz = float(offset_hz)
-        self.demod_id = DEMOD_IDS.get(demod, 1)
+        self.demod_id = DEMOD_IDS.get(demod.upper(), demod) \
+            if isinstance(demod, str) else int(demod)
         self.bandwidth = bandwidth
         self.radio: Optional[Radio] = None
         self.state = None
@@ -148,8 +149,11 @@ class RadioModuleInstance(ModuleInstance):
         self.offset_hz = float(offset_hz)
         self.params = self.radio.make_params(self.offset_hz)
 
-    def select_demod(self, demod_id: int):
-        self.demod_id = int(demod_id)
+    def select_demod(self, demod_id):
+        """int id or provider name (plugin demods register via
+        models.radio.register_demod_provider)."""
+        self.demod_id = int(demod_id) if not isinstance(demod_id, str) \
+            else demod_id
         self.bandwidth = None  # take the new demod's default
         self._build()
 
@@ -161,11 +165,15 @@ class RadioModuleInstance(ModuleInstance):
     # ------------------------------------------------------------------
     def handle_debug_command(self, cmd: str, args: str) -> dict:
         if cmd in ("set_demod", "set_demodulator"):
+            from .models.radio import DEMOD_PROVIDERS
             name = args.strip().upper()
             if name in DEMOD_IDS:
                 self.select_demod(DEMOD_IDS[name])
                 return {"status": "ok", "demod": name,
                         "id": DEMOD_IDS[name]}
+            if name in DEMOD_PROVIDERS:
+                self.select_demod(name)
+                return {"status": "ok", "demod": name, "id": -1}
             try:
                 did = int(args)
                 self.select_demod(did)
@@ -174,14 +182,18 @@ class RadioModuleInstance(ModuleInstance):
             except (ValueError, IndexError):
                 return {"error": f"unknown demod '{args}'"}
         if cmd == "get_demod":
-            return {"demod": DEMOD_NAMES[self.demod_id],
-                    "id": self.demod_id}
+            return {"demod": self.radio.demod_name,
+                    "id": -1 if self.demod_id is None else self.demod_id}
         if cmd == "list_demods":
-            return {"radio": self.name,
-                    "demods": [{"name": n, "id": i}
-                               for i, n in enumerate(DEMOD_NAMES)]}
+            from .models.radio import DEMOD_PROVIDERS
+            demods = [{"name": n, "id": i}
+                      for i, n in enumerate(DEMOD_NAMES)]
+            demods += [{"name": n, "id": -1}
+                       for n in sorted(DEMOD_PROVIDERS)]
+            return {"radio": self.name, "demods": demods}
         if cmd == "get_vfo_bandwidth":
-            lo, hi = DEMOD_BW_LIMITS[self.demod_id]
+            lo, hi = DEMOD_BW_LIMITS.get(
+                self.demod_id, (0.0, self.radio.if_rate))
             return {"vfo_bandwidth": self.bandwidth,
                     "lower_offset": self.offset_hz - self.bandwidth / 2,
                     "upper_offset": self.offset_hz + self.bandwidth / 2,
@@ -263,6 +275,25 @@ class SDRApp:
             self.samplerate, decim_ratio=self._decim, dc_blocking=self._dc,
             invert_iq=self._inv, fft_size=self._fft_size,
             fft_rate=self._fft_rate, fft_window=self._fft_window)
+
+        # optional baseband (IF) noise reduction preprocessor
+        # (reference: IFNRLogMMSE registered on the IQ front end,
+        # noise_reduction_logmmse/src/main.cpp:165,227-231)
+        with self.config.acquire(False) as conf:
+            self.ifnr_enabled = bool(conf.get("ifnr", False))
+        self.ifnr = None
+        self.frontend_nr = None
+        self.ifnr_primed = False
+        self.ifnr_stop_reason = ""
+        if self.ifnr_enabled:
+            from .ops.logmmse import IFNRLogMMSE
+            self.ifnr = IFNRLogMMSE(self.frontend.effective_sr)
+            self.frontend_nr = IQFrontEnd(
+                self.samplerate, decim_ratio=self._decim,
+                dc_blocking=self._dc, invert_iq=self._inv,
+                fft_size=self._fft_size, fft_rate=self._fft_rate,
+                fft_window=self._fft_window,
+                preprocessors=[("ifnr", self.ifnr)])
 
         self.baseband_event: Event = Event()
         self.spectrum_event: Event = Event()
@@ -374,15 +405,30 @@ class SDRApp:
             self.running = False
         self._stop_evt.set()
         if self._pump_thread:
-            self._pump_thread.join(timeout=10)
+            # long timeout: the pump may be inside a slow XLA compile
+            self._pump_thread.join(timeout=60)
+            if self._pump_thread.is_alive():
+                flog.warn("pump thread still busy at stop (XLA compile?)")
             self._pump_thread = None
         flog.info("SDRApp stopped")
+
+    def _granularity_all(self) -> int:
+        g = self._granularity()
+        if self.ifnr_enabled and self.frontend_nr is not None:
+            g = math.lcm(g, self.frontend_nr.in_multiple)
+        return g
 
     def _pump_loop(self):
         import jax
         import jax.numpy as jnp
         fe_step = jax.jit(lambda s, x: self.frontend.apply(None, s, x))
         fstate = self.frontend.init_state(())
+        fe_nr_step = None
+        fstate_nr = None
+        primer = np.zeros(0, np.complex64)
+        # real-time elastic guard state (reference if_nr.h:117-139:
+        # self-disable at >=95% of the real-time budget twice in a row)
+        over_budget_strikes = 0
         rc: Optional[Rechunker] = None
         gran = None
         blocks = self.source.blocks()
@@ -390,14 +436,51 @@ class SDRApp:
         for blk in blocks:
             if self._stop_evt.is_set():
                 break
-            g = self._granularity()
+            g = self._granularity_all()
             if rc is None or g != gran:
                 gran = g
                 block_len = ((max(g, int(self.samplerate // 20)) + g - 1)
                              // g) * g
                 rc = Rechunker(block_len)
             for chunk in rc.push(blk):
-                (bb, spectra), fstate = fe_step(fstate, jnp.asarray(chunk))
+                use_nr = False
+                if self.ifnr_enabled and self.ifnr is not None:
+                    if not self.ifnr_primed:
+                        primer = np.concatenate([primer, chunk])
+                        need = self.ifnr.core.NOISE_FRAMES \
+                            * self.ifnr.core.Slen
+                        if len(primer) >= need:
+                            st0 = self.frontend_nr.init_state(())
+                            st0["pre_ifnr"] = self.ifnr.prime(
+                                st0["pre_ifnr"], jnp.asarray(primer[:need]))
+                            fstate_nr = st0
+                            fe_nr_step = jax.jit(
+                                lambda s, x: self.frontend_nr.apply(
+                                    None, s, x))
+                            self.ifnr_primed = True
+                            flog.info("IF NR primed ({} samples)", need)
+                    use_nr = self.ifnr_primed
+                t_start = time.perf_counter()
+                if use_nr:
+                    (bb, spectra), fstate_nr = fe_nr_step(
+                        fstate_nr, jnp.asarray(chunk))
+                else:
+                    (bb, spectra), fstate = fe_step(fstate,
+                                                    jnp.asarray(chunk))
+                if use_nr:
+                    # elastic degradation: disable NR if we can't keep up
+                    budget = len(chunk) / self.samplerate
+                    elapsed = time.perf_counter() - t_start
+                    if elapsed >= 0.95 * budget:
+                        over_budget_strikes += 1
+                        if over_budget_strikes >= 2:
+                            self.ifnr_enabled = False
+                            self.ifnr_stop_reason = \
+                                "Slow processing. Reduce sample rate."
+                            flog.warn("IF NR self-disabled: {}",
+                                      self.ifnr_stop_reason)
+                    else:
+                        over_budget_strikes = 0
                 bb_np = np.asarray(bb)
                 self.last_spectrum = np.asarray(spectra)[-1]
                 self.baseband_event.emit(bb_np)

@@ -65,6 +65,22 @@ DEMOD_IF_RATES = {
 
 DEEMP_TAUS = {"none": None, "22us": 22e-6, "50us": 50e-6, "75us": 75e-6}
 
+#: Plugin-provided demodulators (the analog of the reference's
+#: RadioModuleInterface::demodulatorProviders, radio_module_interface.h:19-60
+#: — decoder modules like ch_extravhf_decoder register extra demods here).
+#: name → factory(bandwidth, audio_sr) -> (Block, if_rate: float,
+#: stereo: bool)
+DEMOD_PROVIDERS: dict = {}
+
+
+def register_demod_provider(name: str, factory):
+    DEMOD_PROVIDERS[name.upper()] = factory
+
+
+def list_demods():
+    """Built-in names + plugin-provided names, built-ins in enum order."""
+    return list(DEMOD_NAMES) + sorted(DEMOD_PROVIDERS)
+
 
 class _RawDemod(Block):
     """RAW mode: complex IQ re-interpreted as L=I, R=Q stereo."""
@@ -110,14 +126,36 @@ class Radio(Block):
                  squelch_level: float = -100.0, fmif_enabled: bool = False,
                  pll_mode: str = "normalize"):
         self.in_samplerate = float(in_samplerate)
-        self.demod_id = demod_id
         self.audio_samplerate = float(audio_samplerate)
-        if bandwidth is None:
-            bandwidth = DEMOD_IF_RATES[demod_id][1]
-        self.bandwidth = float(bandwidth)
 
-        self.demod, self.if_rate, self.demod_stereo = make_demod(
-            demod_id, self.bandwidth, audio_samplerate, stereo, rds, pll_mode)
+        provider = None
+        if isinstance(demod_id, str):
+            name = demod_id.upper()
+            if name in DEMOD_IDS:
+                demod_id = DEMOD_IDS[name]
+            elif name in DEMOD_PROVIDERS:
+                provider = DEMOD_PROVIDERS[name]
+                self.demod_name = name
+            else:
+                raise ValueError(f"unknown demodulator '{demod_id}'")
+        self.demod_id = demod_id if provider is None else None
+        if provider is None:
+            self.demod_name = DEMOD_NAMES[demod_id]
+            if bandwidth is None:
+                bandwidth = DEMOD_IF_RATES[demod_id][1]
+            self.bandwidth = float(bandwidth)
+            self.demod, self.if_rate, self.demod_stereo = make_demod(
+                demod_id, self.bandwidth, audio_samplerate, stereo, rds,
+                pll_mode)
+        else:
+            # plugin-provided demodulator (radio_module_interface.h:19-60)
+            spec = provider(bandwidth, audio_samplerate)
+            self.demod = spec["block"]
+            self.if_rate = float(spec["if_rate"])
+            self.demod_stereo = bool(spec.get("stereo", False))
+            self.bandwidth = float(spec.get("bandwidth")
+                                   or bandwidth or self.if_rate)
+            demod_id = DEMOD_NFM  # deemphasis/IF-chain defaults
 
         self.vfo = RxVFO(in_samplerate, self.if_rate, self.bandwidth,
                          offset_hz)
@@ -195,7 +233,7 @@ class Radio(Block):
     def apply(self, params, state, x):
         if x.shape[-1] % self.in_multiple:
             raise ValueError(
-                f"Radio[{DEMOD_NAMES[self.demod_id]}]: block length "
+                f"Radio[{self.demod_name}]: block length "
                 f"{x.shape[-1]} must be a multiple of in_multiple="
                 f"{self.in_multiple}")
         if params is None:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
@@ -112,6 +113,10 @@ class NativeWavReader:
             self._h = None
 
     def __del__(self):
+        # never call into the shared library during interpreter teardown
+        # (the CDLL may already be unloaded -> SIGSEGV at exit)
+        if sys.is_finalizing():
+            return
         try:
             self.close()
         except Exception:
@@ -148,6 +153,8 @@ class NativeRing:
             self._h = None
 
     def __del__(self):
+        if sys.is_finalizing():
+            return
         try:
             self.close()
         except Exception:

@@ -1,0 +1,98 @@
+"""Windowed decode fan-out — the subprocess-parallelism analog.
+
+reference: the FT8 decoder slices VFO audio into 15 s windows and spawns
+an isolated decoder process per window through a pre-fork server
+(decoder_modules/ft8_decoder/src/ft8_decoder.h:150-212,
+core/src/core.cpp:233-300 forkIt) so decoder crashes cannot take down the
+app.  Here each completed window is dispatched to a process pool (true
+isolation) or, for decoders that are just Python callables on jitted
+kernels, run as independent dispatches; results arrive via callback in
+completion order.
+
+An external-command mode mirrors the reference's separate executable:
+the window is piped to the command as float32 PCM on stdin and its
+stdout lines are the decodes.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import subprocess
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+def run_external_decoder(cmd: List[str], audio: np.ndarray,
+                         samplerate: float, timeout: float = 60.0):
+    """Pipe float32 mono audio to an external decoder executable; return
+    its stdout lines (reference: sdrpp_ft8_mshv subprocess contract)."""
+    proc = subprocess.run(
+        cmd + [str(int(samplerate))],
+        input=np.asarray(audio, np.float32).tobytes(),
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        timeout=timeout)
+    return proc.stdout.decode(errors="replace").splitlines()
+
+
+class WindowedDecodeRunner:
+    """Accumulate samples; dispatch each full window to the decoder pool.
+
+    decoder: callable(audio[np.float32], samplerate, t0_samples) -> result
+    on_result: callable(result, t0_samples)
+    """
+
+    def __init__(self, samplerate: float, window_seconds: float,
+                 decoder: Callable, on_result: Callable,
+                 max_workers: int = 4, use_processes: bool = False):
+        self.samplerate = float(samplerate)
+        self.window_len = int(round(window_seconds * samplerate))
+        self.decoder = decoder
+        self.on_result = on_result
+        if use_processes:
+            self.pool = cf.ProcessPoolExecutor(max_workers=max_workers)
+        else:
+            self.pool = cf.ThreadPoolExecutor(max_workers=max_workers)
+        self._buf = np.zeros(0, np.float32)
+        self._t0 = 0
+        self._pending: set = set()
+        self._lock = threading.Lock()
+        self.windows_dispatched = 0
+        self.decode_errors = 0
+
+    def push(self, audio: np.ndarray):
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(audio, np.float32)])
+        while len(self._buf) >= self.window_len:
+            window = self._buf[:self.window_len].copy()
+            self._buf = self._buf[self.window_len:]
+            t0 = self._t0
+            self._t0 += self.window_len
+            fut = self.pool.submit(self.decoder, window, self.samplerate,
+                                   t0)
+            self.windows_dispatched += 1
+            with self._lock:
+                self._pending.add(fut)
+            fut.add_done_callback(lambda f, t=t0: self._done(f, t))
+
+    def _done(self, fut, t0):
+        with self._lock:
+            self._pending.discard(fut)
+        try:
+            result = fut.result()
+        except Exception:
+            # decoder crash is isolated — the app keeps running
+            # (the reference gets this from fork-server process isolation)
+            self.decode_errors += 1
+            return
+        self.on_result(result, t0)
+
+    def drain(self, timeout: float = 60.0):
+        with self._lock:
+            pending = list(self._pending)
+        cf.wait(pending, timeout=timeout)
+
+    def shutdown(self):
+        self.drain(timeout=10.0)
+        self.pool.shutdown(wait=False, cancel_futures=True)

@@ -102,6 +102,24 @@ class HttpDebugServer:
         self.port = self._server.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
+        # procfs-style endpoints (reference usage:
+        # noise_reduction_logmmse/src/main.cpp:54-57, source.cpp:13-48)
+        if hasattr(app, "ifnr_enabled"):
+            self.proc.register(
+                "ifnr/enabled", lambda: str(app.ifnr_enabled).lower(),
+                lambda v: setattr(app, "ifnr_enabled",
+                                  v.lower() in ("1", "true", "on")),
+                "bool")
+            self.proc.register(
+                "ifnr/stop_reason",
+                lambda: getattr(app, "ifnr_stop_reason", ""))
+        if hasattr(app, "frequency"):
+            self.proc.register(
+                "source/frequency", lambda: str(app.frequency),
+                lambda v: app.tune(float(v)), "double")
+            self.proc.register(
+                "source/samplerate", lambda: str(app.samplerate))
+
     # ------------------------------------------------------------------
     def _dispatch(self, h, path: str, q: dict, body: bytes):
         app = self.app
