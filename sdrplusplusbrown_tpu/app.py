@@ -98,6 +98,22 @@ class RadioModuleInstance(ModuleInstance):
         self.rds_demod = None
         self.rds_state = None
         self.rds_decoder = None
+        # IF chain flags (reference radio_module.h:92-98)
+        self.nb_enabled = False
+        self.fmif_enabled = False
+        self.squelch_level = -100.0
+        self.volume = 1.0
+        self.muted = False
+        from .utils.metrics import PeakLevelMeter
+        self.level_meter = PeakLevelMeter()
+        # audio NR (reference AFNRLogMMSE / AFNR_OMLSA_MCRA toggles,
+        # noise_reduction_logmmse/src/{af_nr.h,omlsa_mcra.h})
+        self.afnr_mode = "off"            # off | logmmse | omlsa
+        self.afnr = None
+        self.afnr_state = None
+        self.afnr_step = None
+        self._afnr_buf = np.zeros((2, 0), np.float32)
+        self._afnr_primed = False
         self.offset_hz = float(offset_hz)
         self.demod_id = DEMOD_IDS.get(demod.upper(), demod) \
             if isinstance(demod, str) else int(demod)
@@ -121,7 +137,10 @@ class RadioModuleInstance(ModuleInstance):
             radio = Radio(self.app.samplerate, self.demod_id,
                           bandwidth=self.bandwidth,
                           offset_hz=self.offset_hz,
-                          squelch_enabled=True, rds=use_rds)
+                          squelch_enabled=True,
+                          squelch_level=self.squelch_level,
+                          nb_enabled=self.nb_enabled,
+                          fmif_enabled=self.fmif_enabled, rds=use_rds)
             self.radio = radio
             self.state = radio.init_state(())
             self.params = radio.make_params(self.offset_hz)
@@ -156,6 +175,40 @@ class RadioModuleInstance(ModuleInstance):
             else demod_id
         self.bandwidth = None  # take the new demod's default
         self._build()
+
+    def _afnr_process(self, audio: np.ndarray) -> np.ndarray:
+        """Run the selected audio NR with its own block alignment; output
+        lags by the buffered remainder (like the reference's worker
+        accumulation, af_nr.h:290-340)."""
+        import jax.numpy as jnp
+        nr = self.afnr
+        if nr is None:
+            return audio
+        self._afnr_buf = np.concatenate([self._afnr_buf, audio], axis=-1)
+        core = getattr(nr, "core", None)
+        if core is not None and not self._afnr_primed:
+            need = core.NOISE_FRAMES * core.Slen
+            if self._afnr_buf.shape[-1] < need:
+                return np.zeros((2, 0), np.float32)
+            self.afnr_state = {
+                **self.afnr_state,
+                **nr.prime({k: v for k, v in self.afnr_state.items()},
+                           jnp.asarray(self._afnr_buf[..., :need]
+                                       .astype(np.complex64)))}
+            self._afnr_primed = True
+        g = nr.in_multiple
+        n = (self._afnr_buf.shape[-1] // g) * g
+        if n == 0:
+            return np.zeros((2, 0), np.float32)
+        blk, self._afnr_buf = (self._afnr_buf[..., :n],
+                               self._afnr_buf[..., n:])
+        x = blk.astype(np.complex64) if core is not None \
+            else blk.astype(np.float32)
+        y, self.afnr_state = self.afnr_step(self.afnr_state,
+                                            jnp.asarray(x))
+        out = np.asarray(y)
+        return np.real(out).astype(np.float32) if np.iscomplexobj(out) \
+            else out
 
     def push_if_spectrum(self, iq_block: np.ndarray):
         n = min(len(iq_block), SPECTRUM_BUF_SIZE)
@@ -206,6 +259,56 @@ class RadioModuleInstance(ModuleInstance):
                 return {"error": f"invalid frequency: '{args}'"}
             self.app.tune(freq)
             return {"status": "ok", "frequency": freq}
+        if cmd == "set_squelch":
+            try:
+                self.squelch_level = float(args)
+            except ValueError:
+                return {"error": f"bad level '{args}'"}
+            self.params = self.radio.make_params(
+                self.offset_hz, squelch_level=self.squelch_level)
+            return {"status": "ok", "level": self.squelch_level}
+        if cmd in ("set_nb", "set_fmif"):
+            on = args.strip().lower() in ("1", "true", "on")
+            if cmd == "set_nb":
+                self.nb_enabled = on
+            else:
+                self.fmif_enabled = on
+            self._build()
+            return {"status": "ok", cmd[4:]: on}
+        if cmd == "set_volume":
+            try:
+                self.volume = float(args)
+                return {"status": "ok", "volume": self.volume}
+            except ValueError:
+                return {"error": f"bad volume '{args}'"}
+        if cmd == "get_level":
+            return {"level_db": round(self.level_meter.level_db(), 2)}
+        if cmd == "set_afnr":
+            import jax
+            mode = args.strip().lower() or "off"
+            if mode not in ("off", "logmmse", "omlsa"):
+                return {"error": f"unknown afnr mode '{args}'"}
+            # build outside the module mutex (the pump may be inside a
+            # long XLA compile while holding it), swap atomically after
+            nr, state, step = None, None, None
+            if mode == "omlsa":
+                from .ops.omlsa import OMLSA
+                nr = OMLSA(self.radio.audio_samplerate)
+            elif mode == "logmmse":
+                from .ops.logmmse import AFNRLogMMSE
+                nr = AFNRLogMMSE(self.radio.audio_samplerate)
+            if nr is not None:
+                state = nr.init_state((2,))
+                step = jax.jit(lambda s, x: nr.apply(None, s, x))
+            self.afnr_mode = mode
+            self.afnr_state = state
+            self.afnr_step = step
+            self._afnr_buf = np.zeros((2, 0), np.float32)
+            self._afnr_primed = False
+            self.afnr = nr
+            return {"status": "ok", "afnr": mode}
+        if cmd == "get_afnr":
+            return {"afnr": self.afnr_mode}
         if cmd == "set_rds":
             self.rds_enabled = args.strip().lower() in ("1", "true", "on")
             self._build()
@@ -339,6 +442,8 @@ class SDRApp:
                 flog.warn("unknown module type '{}' for '{}'", mtype, name)
 
         self.sinks: Dict[str, object] = {}   # stream name -> recorder etc.
+        from .utils.metrics import StreamTracker
+        self.input_tracker = StreamTracker()
         self.last_spectrum: Optional[np.ndarray] = None
         self.running = False
         self.main_loop_started = False
@@ -412,6 +517,21 @@ class SDRApp:
             self._pump_thread = None
         flog.info("SDRApp stopped")
 
+    def _source_iter(self):
+        """Source blocks with failure fallback: a dead source degrades to
+        a null source so the pipeline keeps running (reference
+        source.cpp:60-75 nullSource fallback)."""
+        import time as _time
+        try:
+            yield from self.source.blocks()
+        except Exception as e:  # noqa: BLE001 — any source fault
+            flog.error("source failed: {} — falling back to null source",
+                       repr(e))
+            B = max(int(self.samplerate // 200), 1024)
+            while not self._stop_evt.is_set():
+                _time.sleep(B / self.samplerate)
+                yield np.zeros(B, np.complex64)
+
     def _granularity_all(self) -> int:
         g = self._granularity()
         if self.ifnr_enabled and self.frontend_nr is not None:
@@ -431,7 +551,7 @@ class SDRApp:
         over_budget_strikes = 0
         rc: Optional[Rechunker] = None
         gran = None
-        blocks = self.source.blocks()
+        blocks = self._source_iter()
         self.main_loop_started = True
         for blk in blocks:
             if self._stop_evt.is_set():
@@ -503,12 +623,30 @@ class SDRApp:
                                 m.rds_state, rds_bb)
                             hv, vv = np.asarray(hard), np.asarray(valid)
                             m.rds_decoder.push_bits(hv[vv])
+                    # volume + level metering (reference: SinkManager's
+                    # per-stream volume block, sink.h:117-135)
                     audio = np.asarray(y)
+                    m.level_meter.push(audio)
+                    if m.muted:
+                        audio = np.zeros_like(audio)
+                    elif m.volume != 1.0:
+                        audio = audio * m.volume
+                    if m.afnr is not None:
+                        try:
+                            with m._mtx:
+                                audio = m._afnr_process(audio)
+                        except Exception as e:  # NR swap race/misconfig:
+                            flog.warn("afnr error, disabling: {}", repr(e))
+                            m.afnr = None
+                            continue
+                        if audio.shape[-1] == 0:
+                            continue
                     m.push_if_spectrum(bb_np)
                     m.audio_event.emit(audio)
                     sink = self.sinks.get(m.name)
                     if isinstance(sink, WavRecorder):
                         sink.write(audio)
+                self.input_tracker.add(len(chunk))
                 self.blocks_processed += 1
         self.main_loop_started = True
 

@@ -138,7 +138,9 @@ class HttpDebugServer:
             h._json({"running": app.running,
                      "frequency": app.frequency,
                      "samplerate": app.samplerate,
-                     "blocks": app.blocks_processed})
+                     "blocks": app.blocks_processed,
+                     "input_samples_per_s": round(
+                         app.input_tracker.rate(), 1)})
             return
         if path in ("/stop", "/exit"):
             h._json({"status": "exiting"})

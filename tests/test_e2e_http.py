@@ -127,3 +127,40 @@ def test_sdr_status_progress(app):
     time.sleep(1.5)
     b1 = app.get("/sdr/status")["blocks"]
     assert b1 > b0, "pump is not processing blocks"
+
+
+def _wait_progress(app, n=2, timeout=45.0):
+    import time
+    b0 = app.get("/sdr/status")["blocks"]
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if app.get("/sdr/status")["blocks"] >= b0 + n:
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_afnr_toggle(app):
+    r = app.module_cmd("Radio", "set_afnr", "omlsa")
+    assert r["status"] == "ok"
+    assert app.module_cmd("Radio", "get_afnr")["afnr"] == "omlsa"
+    assert _wait_progress(app), "pump stalled with OMLSA NR"
+    r = app.module_cmd("Radio", "set_afnr", "logmmse")
+    assert r["status"] == "ok"
+    assert _wait_progress(app), "pump stalled with LogMMSE NR"
+    r = app.module_cmd("Radio", "set_afnr", "off")
+    assert r["status"] == "ok"
+    assert "error" in app.module_cmd("Radio", "set_afnr", "bogus")
+
+
+def test_if_chain_toggles(app):
+    r = app.module_cmd("Radio", "set_squelch", "-80")
+    assert r["status"] == "ok" and r["level"] == -80.0
+    r = app.module_cmd("Radio", "set_nb", "on")
+    assert r["status"] == "ok"
+    r = app.module_cmd("Radio", "set_nb", "off")
+    assert r["status"] == "ok"
+    lvl = app.module_cmd("Radio", "get_level")
+    assert "level_db" in lvl
+    r = app.module_cmd("Radio", "set_volume", "0.5")
+    assert r["volume"] == 0.5
