@@ -25,6 +25,8 @@ def main(argv=None):
                    help="run the IQ streaming server (headless TCP)")
     p.add_argument("--port", type=int, default=5259,
                    help="streaming server port (with --server)")
+    p.add_argument("--rigctl", type=int, default=0,
+                   help="run a hamlib rigctl server on this port")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu/tpu)")
     args = p.parse_args(argv)
@@ -48,6 +50,12 @@ def main(argv=None):
         stream_server = StreamServer(app, port=args.port)
         stream_server.start()
 
+    rigctl_server = None
+    if args.rigctl:
+        from .server.rigctl import RigctlServer
+        rigctl_server = RigctlServer(app, port=args.rigctl)
+        rigctl_server.start()
+
     if args.autostart:
         app.start()
 
@@ -62,6 +70,8 @@ def main(argv=None):
     finally:
         if stream_server is not None:
             stream_server.stop()
+        if rigctl_server is not None:
+            rigctl_server.stop()
         app.shutdown()
         http.stop()
     # skip CPython/XLA teardown: a daemon thread still inside compiled

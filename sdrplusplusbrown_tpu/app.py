@@ -161,7 +161,7 @@ class RadioModuleInstance(ModuleInstance):
         self.last_switch_us = (time.perf_counter() - t0) * 1e6
         # reference logs demod-switch latency in µs (radio_module.h:474)
         flog.info("Radio[{}]: demod {} ready in {:.0f} us", self.name,
-                  DEMOD_NAMES[self.demod_id], self.last_switch_us)
+                  self.radio.demod_name, self.last_switch_us)
         self.app.invalidate_pipeline()
 
     def set_offset(self, offset_hz: float):
@@ -433,6 +433,9 @@ class SDRApp:
                 from .modules.recorder_module import RecorderModule
                 self.modules[name] = RecorderModule(
                     name, self, directory=mc.get("directory"))
+            elif mtype == "scheduler":
+                from .modules.scheduler import SchedulerModule
+                self.modules[name] = SchedulerModule(name, self)
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule

@@ -4,5 +4,6 @@ from .scanner import ScannerModule
 from .frequency_manager import FrequencyManagerModule
 from .recorder_module import RecorderModule
 from .signal_detector_module import SignalDetectorModule
+from .scheduler import SchedulerModule
 
-__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule"]
+__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule", "SchedulerModule"]

@@ -124,3 +124,84 @@ class MMClockRecovery(Block):
         new_state["offset"] = final["offset"] - T
         new_state["tail"] = ext[..., ext.shape[-1] - (self.K - 1):]
         return (outs, valids), new_state
+
+
+class FDClockRecovery(Block):
+    """Frequency-derivative timing recovery for real symbol streams.
+
+    reference: core/src/dsp/clock_recovery/fd.h — same loop as M&M but the
+    timing error is the slope of the interpolated signal at the sampling
+    point times the symbol sign: err = dfdt·step(y), with dfdt estimated
+    from the adjacent polyphase interpolation phases (fd.h:105-134).
+    """
+
+    def __init__(self, omega: float, omega_gain: float = 1e-6,
+                 mu_gain: float = 0.01, omega_rel_limit: float = 0.01,
+                 interp_phase_count: int = 128, interp_tap_count: int = 8,
+                 unroll: int = 4):
+        self.omega = float(omega)
+        self.omega_gain = float(omega_gain)
+        self.mu_gain = float(mu_gain)
+        self.rel = float(omega_rel_limit)
+        self.P = int(interp_phase_count)
+        self.K = int(interp_tap_count)
+        self.unroll = unroll
+        bw = 0.5 / self.P
+        proto = taps_mod.windowed_sinc(self.P * self.K,
+                                       2.0 * np.pi * bw, norm=self.P)
+        self.bank = build_polyphase_bank(self.P, proto).astype(np.float32)
+
+    def max_out(self, in_len: int) -> int:
+        return int(math.ceil(in_len / (self.omega * (1.0 - self.rel)))) + 2
+
+    def init_state(self, batch_shape=()):
+        return {
+            "tail": jnp.zeros(batch_shape + (self.K - 1,), jnp.float32),
+            "phase": jnp.zeros(batch_shape, jnp.float32),
+            "freq": jnp.full(batch_shape, self.omega, jnp.float32),
+            "offset": jnp.zeros(batch_shape, jnp.int32),
+        }
+
+    def apply(self, params, state, x):
+        assert x.ndim == 1
+        T = x.shape[-1]
+        ext = jnp.concatenate([state["tail"], x.astype(jnp.float32)])
+        n_out = self.max_out(T)
+        bank = jnp.asarray(self.bank)
+        alpha = jnp.float32(self.mu_gain)
+        beta = jnp.float32(self.omega_gain)
+        fmin = jnp.float32(self.omega * (1.0 - self.rel))
+        fmax = jnp.float32(self.omega * (1.0 + self.rel))
+
+        def step(carry, _):
+            st = dict(carry)
+            valid = st["offset"] < T
+            ph = jnp.clip((st["phase"] * self.P).astype(jnp.int32),
+                          0, self.P - 1)
+            win = jax.lax.dynamic_slice_in_dim(
+                ext, jnp.maximum(st["offset"], 0), self.K)
+            out = jnp.sum(win * bank[ph])
+            lo = jnp.sum(win * bank[jnp.maximum(ph - 1, 0)])
+            hi = jnp.sum(win * bank[jnp.minimum(ph + 1, self.P - 1)])
+            dfdt = jnp.where(ph == 0, hi - out,
+                             jnp.where(ph == self.P - 1, out - lo,
+                                       (hi - lo) * 0.5))
+            err = jnp.clip(dfdt * _step_r(out), -1.0, 1.0)
+            freq = jnp.clip(st["freq"] + beta * err, fmin, fmax)
+            phase = st["phase"] + freq + alpha * err
+            delta = jnp.floor(phase).astype(jnp.int32)
+            new = {"tail": st["tail"],
+                   "freq": jnp.where(valid, freq, st["freq"]),
+                   "phase": jnp.where(valid, phase
+                                      - delta.astype(jnp.float32),
+                                      st["phase"]),
+                   "offset": jnp.where(valid, st["offset"] + delta,
+                                       st["offset"])}
+            return new, (out, valid)
+
+        final, (outs, valids) = jax.lax.scan(
+            step, dict(state), None, length=n_out, unroll=self.unroll)
+        new_state = dict(final)
+        new_state["offset"] = final["offset"] - T
+        new_state["tail"] = ext[..., ext.shape[-1] - (self.K - 1):]
+        return (outs, valids), new_state

@@ -76,10 +76,13 @@ class AppContext:
             time.sleep(0.2)
         return False
 
-    def module_cmd(self, inst: str, cmd: str, args: str = "") -> Dict:
+    def module_cmd(self, inst: str, cmd: str, args: str = "",
+                   timeout: float = 60.0) -> Dict:
+        # rebuild-triggering commands can wait on the module mutex while
+        # the pump finishes an XLA compile — allow generous time
         return http_post(self.base,
                          f"/module/{inst.replace(' ', '%20')}/command",
-                         {"cmd": cmd, "args": args})
+                         {"cmd": cmd, "args": args}, timeout=timeout)
 
     def get(self, path: str) -> Dict:
         return http_get(self.base, path)

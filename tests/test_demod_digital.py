@@ -75,3 +75,32 @@ def test_gfsk_loopback(rng):
             continue
         best = max(best, float(np.mean(got[:m] == want[:m])))
     assert best > 0.97, best
+
+
+@pytest.mark.slow
+def test_fd_clock_recovery_loopback(rng):
+    from sdrplusplusbrown_tpu.ops.clock_recovery import FDClockRecovery
+    fs, baud = 48_000.0, 4800.0
+    bits = rng.integers(0, 2, 500)
+    sym, _ = PSKMod(2).apply(None, None, jnp.asarray(bits))
+    sh = RRCInterpolator(baud, fs)
+    tx, _ = sh.apply(None, sh.init_state(()), sym)
+    y = (np.real(np.asarray(tx))
+         + 0.02 * rng.standard_normal(tx.shape[-1])).astype(np.float32)
+    fd = FDClockRecovery(fs / baud)
+    st = fd.init_state(())
+    (s, valid), st = fd.apply(None, st, jnp.asarray(y))
+    s = np.asarray(s)[np.asarray(valid)]
+    assert abs(float(st["freq"]) - 10.0) < 0.1
+    hard = (s < 0).astype(int)
+    best = 0.0
+    for off in range(-40, 41):
+        lo = 100 + off
+        if lo < 0:
+            continue
+        want = bits[lo:lo + len(hard) - 100]
+        m = min(len(want), len(hard) - 100)
+        if m < 300:
+            continue
+        best = max(best, float(np.mean(hard[100:100 + m] == want[:m])))
+    assert best > 0.98, best

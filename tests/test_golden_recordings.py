@@ -1,0 +1,84 @@
+"""Golden tests against the reference's own e2e IQ recordings
+(reference: e2e/recordings/{dmr_sample,tetra_sample}.wav — the only
+captures the reference ships; its e2e suite asserts decoder sync on
+them).  We assert signal-level products: detector SNR, symbol-timing
+lock, and constellation shape — the same class of oracle as the
+reference's >20 dB SNR checks."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdrplusplusbrown_tpu.io.wav import read_wav_iq
+from sdrplusplusbrown_tpu.ops.spectrum import SpectrumPath
+from sdrplusplusbrown_tpu.ops.detector import detect_signals
+from sdrplusplusbrown_tpu.ops.demod_digital import GFSKDemod
+
+RECDIR = "/root/reference/e2e/recordings"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(RECDIR),
+                                reason="reference recordings not mounted")
+
+
+def test_dmr_capture_products():
+    """DMR: 4FSK, 4800 sym/s, ±1944 Hz outer deviation."""
+    x, fs = read_wav_iq(os.path.join(RECDIR, "dmr_sample.wav"))
+    assert fs == 16000.0 and len(x) > 70000
+
+    # spectrum + detector: one strong carrier near DC
+    sp = SpectrumPath(fs, fft_size=2048, fft_rate=10.0)
+    T = (len(x) // sp.in_multiple) * sp.in_multiple
+    db, _ = sp.apply(None, None, jnp.asarray(x[:T]))
+    line = np.asarray(db)[-1]
+    sigs = detect_signals(line, fs, margin_db=8.0)
+    main = max(sigs, key=lambda s: s["snr_db"])
+    center = (main["start_hz"] + main["stop_hz"]) / 2
+    assert abs(center) < 1000.0, main
+    assert main["snr_db"] > 20.0, main
+
+    # 4FSK demod: M&M locks at exactly fs/4800 samples per symbol and
+    # the soft symbols are 4-modal (±1/3, ±1 of the outer deviation)
+    dem = GFSKDemod(4800.0, fs, 1944.0)
+    st = dem.init_state(())
+    (sy, valid), st = dem.apply(None, st, jnp.asarray(x[:T]))
+    s = np.asarray(sy)[np.asarray(valid)]
+    assert len(s) > 20000
+    omega = float(st["recov"]["freq"])
+    assert abs(omega - fs / 4800.0) < 0.01 * fs / 4800.0
+    inner = np.mean(np.abs(s) < 0.6)
+    outer = np.mean(np.abs(s) > 0.6)
+    assert inner > 0.25 and outer > 0.25, (inner, outer)
+    # symbols concentrate near the 4 nominal levels; DMR is TDMA so a
+    # large fraction of the capture is idle-slot noise between bursts
+    near = np.mean((np.abs(np.abs(s) - 1.0) < 0.45)
+                   | (np.abs(np.abs(s) - 1.0 / 3.0) < 0.3))
+    assert near > 0.55, near
+
+
+def test_tetra_capture_products():
+    """TETRA: pi/4-DQPSK, 25 kHz channel — detector + spectrum sanity."""
+    x, fs = read_wav_iq(os.path.join(RECDIR, "tetra_sample.wav"))
+    assert fs == 32000.0 and len(x) > 500000
+    # the 25 kHz TETRA channel nearly fills the 32 kHz span, so the
+    # detector's side-lobe floor has no clean reference; assert channel
+    # occupancy instead: in-band power ≫ out-of-band shoulder
+    X = np.fft.fftshift(np.fft.fft(x[:262144]))
+    f = np.fft.fftshift(np.fft.fftfreq(262144, 1 / fs))
+    p = np.abs(X) ** 2
+
+    def band(a, b):
+        return float(p[(f >= a) & (f < b)].mean())
+
+    inband = band(-9_000, 9_000)
+    shoulder = band(12_000, 16_000)
+    assert 10 * np.log10(inband / shoulder) > 15.0
+    # spectrum path runs and produces finite dB lines on the capture
+    sp = SpectrumPath(fs, fft_size=4096, fft_rate=10.0)
+    T = (len(x) // sp.in_multiple) * sp.in_multiple
+    db, _ = sp.apply(None, None, jnp.asarray(x[:T]))
+    lines = np.asarray(db)
+    assert np.all(np.isfinite(lines))
+    assert lines.shape[-1] == 4096

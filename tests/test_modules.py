@@ -144,3 +144,34 @@ def test_recorder_records_audio(tmp_path):
         assert tone > 0.05 * np.std(a)
     finally:
         app.shutdown()
+
+
+def test_scheduler_runs_commands(tmp_path):
+    app = _mk_app(tmp_path, {
+        "Radio": {"type": "radio", "demod": "NFM", "offset": 0},
+        "Sched": {"type": "scheduler"},
+    })
+    try:
+        sc = app.modules["Sched"]
+        r = sc.handle_debug_command("add", json.dumps(
+            {"in": 0.3, "module": "Radio", "cmd": "set_demod",
+             "args": "AM"}))
+        assert r["status"] == "ok"
+        assert len(sc.handle_debug_command("list", "")["tasks"]) == 1
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if app.modules["Radio"].radio.demod_name == "AM":
+                break
+            time.sleep(0.1)
+        assert app.modules["Radio"].radio.demod_name == "AM"
+        assert sc.handle_debug_command("list", "")["tasks"] == []
+        # removal + error paths
+        r = sc.handle_debug_command("add", json.dumps(
+            {"in": 3600, "module": "Radio", "cmd": "set_demod",
+             "args": "NFM"}))
+        assert sc.handle_debug_command("remove", str(r["id"]))["status"] \
+            == "ok"
+        assert "error" in sc.handle_debug_command("remove", "999")
+        assert "error" in sc.handle_debug_command("add", "not json")
+    finally:
+        app.shutdown()
