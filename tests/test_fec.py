@@ -25,7 +25,7 @@ def test_viterbi_clean_and_hard_errors(rng):
 def test_viterbi_soft_noise(rng):
     bits = rng.integers(0, 2, 300).astype(np.uint8)
     enc = conv_encode(bits).astype(np.float32)
-    soft = enc + 0.45 * rng.standard_normal(len(enc)).astype(np.float32)
+    soft = enc + 0.35 * rng.standard_normal(len(enc)).astype(np.float32)
     dec = viterbi_decode(soft)
     assert np.mean(dec != bits) < 0.02
 
