@@ -23,12 +23,14 @@ from .halo import left_halo, shard_offset
 from .dist_scan import dist_affine_carry, sharded_linear_recurrence
 from .channel import channel_specs, channel_sharded_fn
 from .wfm_time import ShardedWFMPipeline
+from .radio_time import ShardedRadioPipeline
 from .multihost import (initialize_distributed, make_mesh,
                         feed_time_sharded, host_local_slice)
 
 __all__ = [
     "left_halo", "shard_offset", "dist_affine_carry",
     "sharded_linear_recurrence", "channel_specs", "channel_sharded_fn",
-    "ShardedWFMPipeline", "initialize_distributed", "make_mesh",
+    "ShardedWFMPipeline", "ShardedRadioPipeline",
+    "initialize_distributed", "make_mesh",
     "feed_time_sharded", "host_local_slice",
 ]

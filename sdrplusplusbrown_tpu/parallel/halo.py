@@ -30,6 +30,12 @@ def left_halo(x: jnp.ndarray, n: int, axis_name: str,
     """
     if n == 0:
         return x[..., :0]
+    if n > x.shape[-1]:
+        raise ValueError(
+            f"halo of {n} samples exceeds the local shard length "
+            f"{x.shape[-1]}: overlap-save history would span more than "
+            f"one neighbor. Increase t_local so every stage's local "
+            f"input is at least its taps-1.")
     size = _axis_size(axis_name)
     tail = x[..., -n:]
     if size == 1:

@@ -1,0 +1,221 @@
+"""Mode-generic time×channel sharded radio pipeline.
+
+Generalizes parallel/wfm_time.py to every demod mode (NFM/AM/USB/LSB/
+DSB/CW and WFM mono/stereo): one wideband IQ stream time-sharded over the
+mesh's ``"time"`` axis with ppermute halo exchange, VFO channels sharded
+over ``"ch"``.  Exactness notes: FIR/resampler/quadrature/delay/FMIF are
+exact (halo == state), de-emphasis/DC/noise-blanker are exact
+(distributed affine scan), the SSB/CW/AM audio AGC is approximate under
+time sharding (per-shard envelope from the previous global block — see
+stream_shard.sharded_apply).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.radio import Radio, DEMOD_WFM
+from ..ops.xlator import rotor, _TWO_PI
+from ..ops.demod import FMDemod, AMDemod, SSBDemod, CWDemod
+from ..ops.wfm import BroadcastFM
+from .stream_shard import sharded_apply, init_carry
+
+TIME_AXIS = "time"
+CH_AXIS = "ch"
+
+
+class ShardedRadioPipeline:
+    def __init__(self, in_samplerate: float, mesh: Mesh, n_channels: int,
+                 t_local: int, demod_id=DEMOD_WFM, **radio_kwargs):
+        radio_kwargs.setdefault("pll_mode", "normalize")
+        self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
+        self.mesh = mesh
+        self.C = int(n_channels)
+        self.nt = mesh.shape[TIME_AXIS]
+        self.nc = mesh.shape[CH_AXIS]
+        assert self.C % self.nc == 0, (self.C, self.nc)
+        g = self.radio.in_multiple
+        assert t_local % g == 0, (t_local, g)
+        self.t_local = int(t_local)
+        self.t_global = self.t_local * self.nt
+        self.samplerate = float(in_samplerate)
+        self.t_out_local = int(self.t_local * self.radio.ratio)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def make_params(self, offsets_hz) -> dict:
+        offs = np.asarray(offsets_hz, np.float64)
+        assert offs.shape == (self.C,), offs.shape
+        omega = -offs * (_TWO_PI / self.samplerate)
+        return {
+            "omega": jnp.asarray(omega, jnp.float32),
+            "omega_span": jnp.asarray(np.mod(omega * 1024, _TWO_PI),
+                                      jnp.float32),
+            "omega_shard": jnp.asarray(np.mod(omega * self.t_local,
+                                              _TWO_PI), jnp.float32),
+        }
+
+    def _demod_blocks(self):
+        """(name, block, carry_batch_suffix, dtype) in apply order —
+        mirrors each demod's own apply()."""
+        d = self.radio.demod
+        if isinstance(d, BroadcastFM):
+            return None  # handled by the WFM-specific path
+        out = []
+        if isinstance(d, FMDemod):
+            out.append(("quad", d.quad, (), jnp.complex64))
+            if d.filtering:
+                out.append(("fir", d.fir, (), jnp.float32))
+        elif isinstance(d, AMDemod):
+            if d.carrier_agc:
+                out.append(("cagc", d.c_agc, (), None))
+            out.append(("__env__", None, (), None))
+            out.append(("dc", d.dc, (), jnp.float32))
+            if not d.carrier_agc:
+                out.append(("aagc", d.a_agc, (), None))
+            out.append(("lpf", d.lpf, (), jnp.float32))
+        elif isinstance(d, (SSBDemod, CWDemod)):
+            out.append(("xl", d.xlator, (), None))
+            out.append(("__real__", None, (), None))
+            out.append(("agc", d.agc, (), None))
+        else:
+            raise TypeError(
+                f"no sharded rule for demod {type(d).__name__}")
+        return out
+
+    def init_carry(self) -> dict:
+        r, C = self.radio, self.C
+        carry = {
+            "phase": jnp.zeros((C,), jnp.float32),
+            "vfo_rs": init_carry(r.vfo.resamp, (C,), jnp.complex64),
+        }
+        if r.vfo.filter_needed:
+            carry["vfo_fir"] = init_carry(r.vfo.fir, (C,), jnp.complex64)
+        if r.nb_enabled:
+            carry["nb"] = init_carry(r.nb, (C,))
+        if r.fmif_enabled:
+            carry["fmif"] = init_carry(r.fmif, (C,))
+        d = r.demod
+        if isinstance(d, BroadcastFM):
+            carry.update({
+                "quad": init_carry(d.quad, (C,)),
+                "audio_fir": init_carry(d.audio_fir, (C, 2), jnp.float32),
+            })
+            if d.stereo:
+                carry.update({
+                    "pilot_fir": init_carry(d.pilot_fir, (C,)),
+                    "pilot_lag": init_carry(d.pilot_lag, (C,)),
+                    "lpr_delay": init_carry(d.lpr_delay, (C,),
+                                            jnp.float32),
+                    "lmr_delay": init_carry(d.lmr_delay, (C,)),
+                })
+        else:
+            for name, blk, suffix, dtype in self._demod_blocks():
+                if blk is None:
+                    continue
+                carry[f"d_{name}"] = init_carry(
+                    blk, (C,) + suffix, dtype or jnp.complex64)
+        shape_af = (C, 2) if r.demod_stereo else (C,)
+        if r.af_resamp is not None:
+            carry["af_rs"] = init_carry(r.af_resamp, shape_af, jnp.float32)
+        if r.deemp is not None:
+            carry["deemp"] = init_carry(r.deemp, shape_af)
+        return carry
+
+    # ------------------------------------------------------------------
+    def _local_step(self, params, carry, x_local):
+        r = self.radio
+        d = r.demod
+        ta = TIME_AXIS
+        tl_if = None
+        new = {}
+
+        t_idx = jax.lax.axis_index(ta).astype(jnp.float32)
+        phase0 = jnp.mod(carry["phase"]
+                         + params["omega_shard"] * t_idx, _TWO_PI)
+        rot = rotor(phase0, params["omega"], params["omega_span"],
+                    self.t_local)
+        y = x_local[None, :] * rot
+        new["phase"] = jnp.mod(carry["phase"]
+                               + params["omega_shard"] * self.nt, _TWO_PI)
+
+        y, new["vfo_rs"] = sharded_apply(r.vfo.resamp, y, ta,
+                                         carry["vfo_rs"])
+        if r.vfo.filter_needed:
+            y, new["vfo_fir"] = sharded_apply(r.vfo.fir, y, ta,
+                                              carry["vfo_fir"])
+        tl_if = y.shape[-1]
+        if r.nb_enabled:
+            y, new["nb"] = sharded_apply(r.nb, y, ta, carry["nb"])
+        if r.fmif_enabled:
+            y, new["fmif"] = sharded_apply(r.fmif, y, ta, carry["fmif"])
+
+        if isinstance(d, BroadcastFM):
+            mpx, new["quad"] = sharded_apply(d.quad, y, ta, carry["quad"])
+            if d.stereo:
+                from ..ops.pll import pilot_normalize
+                mpx_c = mpx.astype(jnp.complex64)
+                pilot, new["pilot_fir"] = sharded_apply(
+                    d.pilot_fir, mpx_c, ta, carry["pilot_fir"])
+                vco = pilot_normalize(pilot)
+                vco, new["pilot_lag"] = sharded_apply(
+                    d.pilot_lag, vco, ta, carry["pilot_lag"])
+                lpr, new["lpr_delay"] = sharded_apply(
+                    d.lpr_delay, mpx, ta, carry["lpr_delay"])
+                lmr_c, new["lmr_delay"] = sharded_apply(
+                    d.lmr_delay, mpx_c, ta, carry["lmr_delay"])
+                vco2 = jnp.conj(vco)
+                lmr = jnp.real(lmr_c * vco2 * vco2) * 2.0
+                lr = jnp.stack([lpr + lmr, lpr - lmr], axis=-2)
+            else:
+                lr = jnp.stack([mpx, mpx], axis=-2)
+            y, new["audio_fir"] = sharded_apply(d.audio_fir, lr, ta,
+                                                carry["audio_fir"])
+        else:
+            for name, blk, _suffix, _dtype in self._demod_blocks():
+                if name == "__env__":
+                    y = jnp.abs(y).astype(jnp.float32)
+                    continue
+                if name == "__real__":
+                    y = jnp.real(y).astype(jnp.float32)
+                    continue
+                y, new[f"d_{name}"] = sharded_apply(
+                    blk, y, ta, carry[f"d_{name}"], t_local=tl_if)
+
+        if r.af_resamp is not None:
+            y, new["af_rs"] = sharded_apply(r.af_resamp, y, ta,
+                                            carry["af_rs"])
+        if r.deemp is not None:
+            y, new["deemp"] = sharded_apply(r.deemp, y, ta, carry["deemp"])
+        if not r.demod_stereo:
+            y = jnp.stack([y, y], axis=-2)
+        return y.astype(jnp.float32), new
+
+    # ------------------------------------------------------------------
+    def _specs(self, tree):
+        def spec(leaf):
+            leaf = jnp.asarray(leaf)
+            if leaf.ndim >= 1 and leaf.shape[0] == self.C:
+                return P(CH_AXIS, *([None] * (leaf.ndim - 1)))
+            return P(*([None] * leaf.ndim))
+        return jax.tree.map(spec, tree)
+
+    def _build_step(self):
+        params0 = self.make_params(np.zeros((self.C,)))
+        carry0 = self.init_carry()
+        fn = jax.shard_map(
+            self._local_step, mesh=self.mesh,
+            in_specs=(self._specs(params0), self._specs(carry0),
+                      P(TIME_AXIS)),
+            out_specs=(P(CH_AXIS, None, TIME_AXIS), self._specs(carry0)),
+            check_vma=False)
+        return jax.jit(fn)
+
+    def step(self, params, carry, x):
+        """x [t_global] complex64 → ([C, 2, T_audio_global], carry)."""
+        return self._step(params, carry, x)

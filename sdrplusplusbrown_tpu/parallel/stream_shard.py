@@ -13,13 +13,18 @@ time axis and channel-sharded like the data.
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.fir import FIR
 from ..ops.resampler import PolyphaseResampler, PowerDecimator, RationalResampler
-from ..ops.demod import Quadrature
+from ..ops.demod import Quadrature, Squelch
 from ..ops.delay import Delay
-from ..ops.recurrence import Deemphasis, DCBlocker
+from ..ops.recurrence import Deemphasis, DCBlocker, NoiseBlanker
+from ..ops.fmif import FMIF
+from ..ops.agc import AGC, ENVELOPE_LEN
+from ..ops.xlator import FrequencyXlator, nco_params, _TWO_PI
 from .halo import left_halo, last_shard_tail
 from .dist_scan import sharded_linear_recurrence
 
@@ -32,8 +37,81 @@ def _halo_block(block, n_halo: int, x, axis_name: str, carry):
     return y, new_carry
 
 
-def sharded_apply(block, x, axis_name: str, carry):
-    """Dispatch on block type; mirrors Block.apply but time-sharded."""
+def _broadcast_last_shard(value, axis_name: str):
+    """Replicate the last time-shard's scalar/vector over the axis."""
+    size = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    masked = jnp.where(idx == size - 1, value, jnp.zeros_like(value))
+    return jax.lax.psum(masked, axis_name)
+
+
+def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0):
+    """Dispatch on block type; mirrors Block.apply but time-sharded.
+
+    ``t_local`` (this shard's input length) is needed by index-dependent
+    blocks (FrequencyXlator's NCO phase, AGC's startup ramp).
+    """
+    if isinstance(block, FrequencyXlator):
+        # exact global phase: per-shard start = carry + ω·t_local·idx,
+        # with ω·t_local reduced mod 2π in host float64 (static values)
+        assert t_local > 0, "xlator sharding needs t_local"
+        omega = float(block.offset_hz) * _TWO_PI / float(block.samplerate)
+        om_tl = float(np.mod(np.float64(omega) * t_local, _TWO_PI))
+        t_idx = jax.lax.axis_index(axis_name).astype(jnp.float32)
+        size = jax.lax.axis_size(axis_name)
+        phase0 = jnp.mod(carry + om_tl * t_idx, _TWO_PI)
+        from ..ops.xlator import rotor
+        p = nco_params(block.offset_hz, block.samplerate)
+        rot = rotor(phase0, p["omega"], p["omega_span"], t_local)
+        y = x * rot
+        new_carry = jnp.mod(carry + om_tl * size, _TWO_PI)
+        return y, new_carry
+    if isinstance(block, AGC):
+        # EXACT time-sharding by sequential relay: the AGC envelope is a
+        # nonlinear per-sample recurrence, so shard i's scan must start
+        # from shard i-1's final envelope.  Loop over shards: every shard
+        # re-runs its own (cheap, scalar-lane) scan each round, but only
+        # round i's result is kept on shard i and its final envelope is
+        # broadcast into round i+1 — nt× the scalar scan work buys bit-
+        # consistency with the unsharded pipeline.
+        assert t_local > 0, "AGC sharding needs t_local"
+        t_idx = jax.lax.axis_index(axis_name)
+        size = jax.lax.axis_size(axis_name)
+        T = x.shape[-1]
+
+        def body(i, acc):
+            amp_in, y_acc = acc
+            st = {"amp": amp_in, "env": carry["env"] + i * T}
+            y_i, new = block.apply(None, st, x)
+            sel = t_idx == i
+            amp_out = jax.lax.psum(
+                jnp.where(sel, new["amp"], jnp.zeros_like(new["amp"])),
+                axis_name)
+            y_acc = jnp.where(sel, y_i, y_acc)
+            return amp_out, y_acc
+
+        amp_fin, y = jax.lax.fori_loop(
+            0, size, body, (carry["amp"], jnp.zeros_like(x)))
+        return y, {"amp": amp_fin,
+                   "env": jnp.minimum(carry["env"] + size * T,
+                                      jnp.int32(1 << 30))}
+    if isinstance(block, FMIF):
+        return _halo_block(block, block.bins - 1, x, axis_name, carry)
+    if isinstance(block, Squelch):
+        # per-block gate, stateless (uses default level when unsharded
+        # params are not routed through)
+        y, _ = block.apply(None, None, x)
+        return y, carry
+    if isinstance(block, NoiseBlanker):
+        amp_in = jnp.abs(x).astype(jnp.float32)
+        nz = amp_in != 0.0
+        r = jnp.float32(block.rate)
+        a = jnp.where(nz, 1.0 - r, 1.0)
+        b = jnp.where(nz, amp_in * r, 0.0)
+        amp, final = sharded_linear_recurrence(a, b, carry, axis_name)
+        excess = jnp.where(nz, amp_in / amp, 1.0)
+        gain = jnp.where(excess > block.default_level, 1.0 / excess, 1.0)
+        return x * gain.astype(jnp.float32), final
     if isinstance(block, FIR):
         return _halo_block(block, block.K - 1, x, axis_name, carry)
     if isinstance(block, PolyphaseResampler):
@@ -72,6 +150,19 @@ def sharded_apply(block, x, axis_name: str, carry):
 
 def init_carry(block, batch_shape=(), dtype=jnp.complex64):
     """Stream-start carry for ``sharded_apply`` (matches a reset block)."""
+    if isinstance(block, FrequencyXlator):
+        return jnp.zeros(batch_shape, jnp.float32)
+    if isinstance(block, AGC):
+        return {"amp": jnp.full(batch_shape,
+                                block.set_point / block.init_gain,
+                                jnp.float32),
+                "env": jnp.zeros((), jnp.int32)}
+    if isinstance(block, FMIF):
+        return jnp.zeros(batch_shape + (block.bins - 1,), jnp.complex64)
+    if isinstance(block, Squelch):
+        return jnp.zeros((), jnp.float32)      # stateless placeholder
+    if isinstance(block, NoiseBlanker):
+        return jnp.ones(batch_shape, jnp.float32)
     if isinstance(block, FIR):
         return jnp.zeros(batch_shape + (block.K - 1,), dtype)
     if isinstance(block, PolyphaseResampler):

@@ -1,0 +1,108 @@
+"""Mode-generic time×channel sharded radio vs unsharded reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from sdrplusplusbrown_tpu.models.radio import (
+    Radio, DEMOD_NFM, DEMOD_AM, DEMOD_USB, DEMOD_CW)
+from sdrplusplusbrown_tpu.parallel.radio_time import ShardedRadioPipeline
+
+
+def snr_db(ref, test):
+    ref = np.asarray(ref, np.float64)
+    err = np.asarray(test, np.float64) - ref
+    pe = np.mean(err ** 2)
+    return np.inf if pe == 0 else 10 * np.log10(np.mean(ref ** 2) / pe)
+
+
+def make_mesh(nt, nc):
+    devs = np.array(jax.devices()[:nt * nc]).reshape(nt, nc)
+    return Mesh(devs, ("time", "ch"))
+
+
+def _wideband(rng, fs, T, offsets, make_mod):
+    n = np.arange(T)
+    x = np.zeros(T, np.complex128)
+    for i, off in enumerate(offsets):
+        x += make_mod(i, n) * np.exp(2j * np.pi * off * n / fs)
+    x += 0.01 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+    return (x / max(len(offsets), 1)).astype(np.complex64)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("demod_id,min_snr", [
+    (DEMOD_NFM, 40.0),
+    (DEMOD_AM, 25.0),      # audio AGC is approximate under time sharding
+    (DEMOD_USB, 25.0),
+])
+def test_sharded_radio_matches_unsharded(rng, demod_id, min_snr):
+    fs = 240_000.0
+    nt, nc, C = 4, 2, 4
+    mesh = make_mesh(nt, nc)
+    radio = Radio(fs, demod_id, pll_mode="normalize")
+    g = radio.in_multiple
+    # shards must be long enough that every stage's taps-1 history fits
+    # inside one neighbor shard (the SSB 24 kHz channel FIR has ~650 taps
+    # at a 10x decimated rate → needs ≥6500 wideband samples per shard)
+    t_local = ((12_000 + g - 1) // g) * g
+    pipe = ShardedRadioPipeline(fs, mesh, C, t_local, demod_id)
+    T = pipe.t_global
+
+    offsets = np.array([-80e3, -30e3, 30e3, 80e3])
+
+    def mod(i, n):
+        tone = 0.6 * np.sin(2 * np.pi * (500 + 300 * i) * n / fs)
+        if demod_id == DEMOD_NFM:
+            ph = 2 * np.pi * np.cumsum(2500 * tone) / fs
+            return np.exp(1j * ph)
+        if demod_id == DEMOD_AM:
+            return 1.0 + 0.6 * tone
+        return tone + 0.0j          # SSB-ish (real modulation)
+
+    x = _wideband(rng, fs, 3 * T, offsets, mod)
+
+    params = pipe.make_params(offsets)
+    carry = pipe.init_carry()
+    outs = []
+    for i in range(3):
+        y, carry = pipe.step(params, carry,
+                             jnp.asarray(x[i * T:(i + 1) * T]))
+        outs.append(np.asarray(y))
+    y_shard = np.concatenate(outs, axis=-1)
+
+    rparams = radio.make_params(offsets)
+    rstate = radio.init_state((C,))
+    step = jax.jit(lambda p, s, b: radio.apply(p, s, b))
+    router = []
+    for i in range(3):
+        blk = jnp.broadcast_to(x[i * T:(i + 1) * T][None, :], (C, T))
+        yr, rstate = step(rparams, rstate, blk)
+        router.append(np.asarray(yr))
+    y_ref = np.concatenate(router, axis=-1)
+
+    assert y_shard.shape == y_ref.shape
+    skip = y_ref.shape[-1] // 3
+    s = snr_db(y_ref[..., skip:], y_shard[..., skip:])
+    assert s > min_snr, f"demod {demod_id}: sharded mismatch SNR {s:.1f} dB"
+
+
+@pytest.mark.slow
+def test_sharded_radio_cw_runs(rng):
+    fs = 96_000.0
+    mesh = make_mesh(2, 4)
+    radio = Radio(fs, DEMOD_CW, pll_mode="normalize")
+    g = radio.in_multiple
+    # CW's 200 Hz channel FIR has 1140 taps at the 3 kHz IF (32x
+    # decimated) → needs ≥ ~37k wideband samples per shard
+    t_local = ((40_000 + g - 1) // g) * g
+    pipe = ShardedRadioPipeline(fs, mesh, 8, t_local, DEMOD_CW)
+    x = (0.1 * (rng.standard_normal(pipe.t_global)
+                + 1j * rng.standard_normal(pipe.t_global))
+         ).astype(np.complex64)
+    y, carry = pipe.step(pipe.make_params(np.linspace(-30e3, 30e3, 8)),
+                         pipe.init_carry(), jnp.asarray(x))
+    assert y.shape[0] == 8 and y.shape[1] == 2
+    assert np.all(np.isfinite(np.asarray(y)))
