@@ -433,6 +433,13 @@ class SDRApp:
                 from .modules.recorder_module import RecorderModule
                 self.modules[name] = RecorderModule(
                     name, self, directory=mc.get("directory"))
+            elif mtype == "iq_exporter":
+                from .modules.iq_exporter import IQExporterModule
+                self.modules[name] = IQExporterModule(
+                    name, self, port=mc.get("port", 0),
+                    mode=mc.get("mode", "baseband"),
+                    stream=mc.get("stream", "Radio"),
+                    pcm=mc.get("pcm", "i16"))
             elif mtype == "scheduler":
                 from .modules.scheduler import SchedulerModule
                 self.modules[name] = SchedulerModule(name, self)
@@ -446,7 +453,9 @@ class SDRApp:
 
         self.sinks: Dict[str, object] = {}   # stream name -> recorder etc.
         from .utils.metrics import StreamTracker
+        from .models.waterfall import Waterfall
         self.input_tracker = StreamTracker()
+        self.waterfall = Waterfall(self._fft_size)
         self.last_spectrum: Optional[np.ndarray] = None
         self.running = False
         self.main_loop_started = False
@@ -605,7 +614,10 @@ class SDRApp:
                     else:
                         over_budget_strikes = 0
                 bb_np = np.asarray(bb)
-                self.last_spectrum = np.asarray(spectra)[-1]
+                lines = np.asarray(spectra)
+                for ln in lines:
+                    self.waterfall.push_fft(ln)
+                self.last_spectrum = lines[-1]
                 self.baseband_event.emit(bb_np)
                 self.spectrum_event.emit(self.last_spectrum)
                 with self._lock:

@@ -5,5 +5,6 @@ from .frequency_manager import FrequencyManagerModule
 from .recorder_module import RecorderModule
 from .signal_detector_module import SignalDetectorModule
 from .scheduler import SchedulerModule
+from .iq_exporter import IQExporterModule
 
-__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule", "SchedulerModule"]
+__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule", "SchedulerModule", "IQExporterModule"]
