@@ -56,6 +56,30 @@ DEFAULT_CONFIG = {
 SPECTRUM_BUF_SIZE = 16384  # IF spectrum ring (reference radio_module.h:78)
 
 
+class ModuleComManager:
+    """String-keyed cross-module interface registry
+    (reference: core/src/module_com.h:13-25 — modules publish duck-typed
+    interfaces other modules look up by name)."""
+
+    def __init__(self):
+        self._interfaces: Dict[str, object] = {}
+
+    def register_interface(self, name: str, obj) -> bool:
+        if name in self._interfaces:
+            return False
+        self._interfaces[name] = obj
+        return True
+
+    def unregister_interface(self, name: str):
+        self._interfaces.pop(name, None)
+
+    def interface_exists(self, name: str) -> bool:
+        return name in self._interfaces
+
+    def get_interface(self, name: str):
+        return self._interfaces.get(name)
+
+
 class ModuleInstance:
     """reference: ModuleManager::Instance (core/src/module.h:35-52)."""
 
@@ -400,6 +424,7 @@ class SDRApp:
 
         self.baseband_event: Event = Event()
         self.spectrum_event: Event = Event()
+        self.module_com = ModuleComManager()
 
         # TX hardware (reference trx.h; loopback for tests/headless)
         self.transmitter = None
