@@ -458,6 +458,12 @@ class SDRApp:
                 from .modules.recorder_module import RecorderModule
                 self.modules[name] = RecorderModule(
                     name, self, directory=mc.get("directory"))
+            elif mtype == "ft8_decoder":
+                from .modules.ft8_module import FT8DecoderModule
+                self.modules[name] = FT8DecoderModule(
+                    name, self, stream=mc.get("stream", "Radio"),
+                    decoder_cmd=mc.get("decoder_cmd"),
+                    window_seconds=mc.get("window_seconds", 15.0))
             elif mtype == "iq_exporter":
                 from .modules.iq_exporter import IQExporterModule
                 self.modules[name] = IQExporterModule(

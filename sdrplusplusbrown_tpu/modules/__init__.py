@@ -6,5 +6,6 @@ from .recorder_module import RecorderModule
 from .signal_detector_module import SignalDetectorModule
 from .scheduler import SchedulerModule
 from .iq_exporter import IQExporterModule
+from .ft8_module import FT8DecoderModule
 
-__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule", "SchedulerModule", "IQExporterModule"]
+__all__ = ["ScannerModule", "FrequencyManagerModule", "RecorderModule", "SignalDetectorModule", "SchedulerModule", "IQExporterModule", "FT8DecoderModule"]

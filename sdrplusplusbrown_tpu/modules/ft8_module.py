@@ -1,0 +1,105 @@
+"""FT8/FT4-style decoder module: 15 s window slicing + isolated decoding.
+
+reference: decoder_modules/ft8_decoder — slices the VFO's 12 kHz audio
+into 15 s windows aligned to the UTC cycle and ships each window to an
+isolated decoder process (the vendored MSHV core runs as the separate
+``sdrpp_ft8_mshv`` executable via the fork server, ft8_decoder.h:150-212).
+The vendored MSHV core is out of scope; this module provides the full
+runtime around it — window alignment, pool/subprocess isolation, decode
+collection — with the decoder pluggable: an external command (the MSHV
+contract: float32 PCM on stdin, decode lines on stdout) or any Python
+callable.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..app import ModuleInstance, RadioModuleInstance
+from ..runtime.window_decoder import (WindowedDecodeRunner,
+                                      run_external_decoder)
+from ..ops.resampler import RationalResampler
+from ..utils.flog import flog
+
+FT8_WINDOW_S = 15.0
+FT8_RATE = 12_000.0     # MSHV decoder input rate
+
+
+class FT8DecoderModule(ModuleInstance):
+    def __init__(self, name: str, app, stream: str = "Radio",
+                 decoder_cmd: Optional[List[str]] = None,
+                 window_seconds: float = FT8_WINDOW_S,
+                 max_workers: int = 4):
+        super().__init__(name)
+        self.app = app
+        self.stream = stream
+        self.decoder_cmd = decoder_cmd
+        self.decodes: List[dict] = []
+        import jax
+        self._resamp = RationalResampler(48_000.0, FT8_RATE)
+        self._rs_state = self._resamp.init_state(())
+        self._rs_step = jax.jit(
+            lambda s, x: self._resamp.apply(None, s, x))
+        self._buf = np.zeros(0, np.float32)
+        self.runner = WindowedDecodeRunner(
+            FT8_RATE, window_seconds, self._decode, self._on_result,
+            max_workers=max_workers)
+        m = app.modules.get(stream)
+        if isinstance(m, RadioModuleInstance):
+            m.audio_event.bind(self._on_audio)
+
+    def module_type(self) -> str:
+        return "ft8_decoder"
+
+    # ------------------------------------------------------------------
+    def _on_audio(self, audio: np.ndarray):
+        import jax.numpy as jnp
+        mono = audio[0] if audio.ndim == 2 else audio
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(mono, np.float32)])
+        g = self._resamp.in_multiple
+        n = (len(self._buf) // g) * g
+        if n == 0:
+            return
+        blk, self._buf = self._buf[:n], self._buf[n:]
+        y, self._rs_state = self._rs_step(
+            self._rs_state, jnp.asarray(blk.astype(np.complex64)))
+        self.runner.push(np.real(np.asarray(y)).astype(np.float32))
+
+    def _decode(self, window: np.ndarray, samplerate: float, t0: int):
+        if self.decoder_cmd:
+            return run_external_decoder(list(self.decoder_cmd), window,
+                                        samplerate)
+        # built-in fallback: report active tone candidates (lets the
+        # pipeline be exercised without the external MSHV binary)
+        X = np.abs(np.fft.rfft(window * np.hanning(len(window))))
+        floor = np.median(X)
+        peaks = np.flatnonzero(X > 20 * floor)
+        return [f"TONE {p * samplerate / len(window):.1f}Hz"
+                for p in peaks[:16]]
+
+    def _on_result(self, lines, t0: int):
+        for line in lines:
+            self.decodes.append({"t0": t0 / FT8_RATE, "text": str(line)})
+        self.decodes = self.decodes[-200:]
+        if lines:
+            flog.info("ft8[{}]: {} decodes @ {}s", self.name, len(lines),
+                      round(t0 / FT8_RATE, 1))
+
+    def shutdown(self):
+        self.runner.shutdown()
+
+    def handle_debug_command(self, cmd: str, args: str) -> dict:
+        if cmd == "decodes":
+            return {"decodes": self.decodes[-50:]}
+        if cmd == "status":
+            return {"windows": self.runner.windows_dispatched,
+                    "errors": self.runner.decode_errors,
+                    "decodes": len(self.decodes)}
+        if cmd == "clear":
+            self.decodes = []
+            return {"status": "ok"}
+        return super().handle_debug_command(cmd, args)

@@ -21,6 +21,15 @@ from ..runtime.block import Block
 ENVELOPE_LEN = 4800  # reference loop/agc.h:163 (_totalEnvelopeLength)
 
 
+def fast_agc(set_point: float = 1.0, max_gain: float = 10e6,
+             rate: float = 0.1):
+    """Single-rate AGC used by digital demod front ends
+    (reference: core/src/dsp/loop/fast_agc.h — one smoothing rate for
+    both attack and decay, no startup ramp concern at symbol rates)."""
+    return AGC(set_point=set_point, attack=rate, decay=rate,
+               max_gain=max_gain)
+
+
 class AGC(Block):
     def __init__(self, set_point: float = 1.0, attack: float = 50.0 / 48000.0,
                  decay: float = 5.0 / 48000.0, max_gain: float = 10e6,

@@ -89,6 +89,16 @@ class PLL(Block):
         return vco, {"phase": phase, "freq": freq}
 
 
+class CarrierTrackingPLL(PLL):
+    """PLL that outputs the de-rotated input (x·conj(vco)) instead of the
+    VCO — carrier recovery for synchronous AM and RDS
+    (reference: core/src/dsp/loop/carrier_tracking_pll.h)."""
+
+    def apply(self, params, state, x):
+        vco, new_state = super().apply(params, state, x)
+        return x * jnp.conj(vco), new_state
+
+
 def pilot_normalize(p: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Fast VCO approximation: unit-magnitude version of the band-passed
     pilot.  Valid because the pilot FIR (18750–19250 Hz, reference

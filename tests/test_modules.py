@@ -175,3 +175,40 @@ def test_scheduler_runs_commands(tmp_path):
         assert "error" in sc.handle_debug_command("add", "not json")
     finally:
         app.shutdown()
+
+
+@pytest.mark.slow
+def test_ft8_module_windows_and_decodes(tmp_path):
+    """FT8-style module: audio → 12 kHz windows → isolated decode."""
+    fs = 240_000.0
+    T = int(fs)
+    n = np.arange(T)
+    # strong 1 kHz tone NFM carrier at +60 kHz (same as other tests)
+    audio = 0.8 * np.sin(2 * np.pi * 1000 * n / fs)
+    ph = 2 * np.pi * np.cumsum(2500 * audio) / fs
+    cap = (0.6 * np.exp(1j * (2 * np.pi * 60e3 * n / fs + ph))
+           ).astype(np.complex64)
+    app = _mk_app(tmp_path, {
+        "Radio": {"type": "radio", "demod": "NFM", "offset": 60e3},
+        "FT8": {"type": "ft8_decoder", "stream": "Radio",
+                "window_seconds": 0.5},
+    }, capture=cap)
+    try:
+        app.start()
+        ft8 = app.modules["FT8"]
+        deadline = time.time() + 60
+        status = {}
+        while time.time() < deadline:
+            status = ft8.handle_debug_command("status", "")
+            if status.get("decodes", 0) > 0:
+                break
+            time.sleep(0.3)
+        assert status.get("windows", 0) >= 1, status
+        assert status.get("decodes", 0) >= 1, status
+        decs = ft8.handle_debug_command("decodes", "")["decodes"]
+        # the 1 kHz audio tone shows up as a detected tone line
+        assert any("TONE 10" in d["text"] or "TONE 9" in d["text"]
+                   for d in decs), decs
+        assert ft8.handle_debug_command("clear", "")["status"] == "ok"
+    finally:
+        app.shutdown()
