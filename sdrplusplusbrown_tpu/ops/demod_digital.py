@@ -63,6 +63,57 @@ class PSKDemod(Block):
         return (sym, valid), st
 
 
+class Pi4DQPSKDemod(Block):
+    """π/4-DQPSK demodulator (TETRA's modulation — the front half of the
+    reference's ch_tetra_demodulator, which vendors osmo-tetra for the
+    protocol stack).  Carrier-free: AGC → RRC matched filter → M&M symbol
+    recovery → differential phase → dibits on the {±45°, ±135°} grid.
+    """
+
+    def __init__(self, symbolrate: float, samplerate: float,
+                 rrc_tap_count: int = 31, rrc_beta: float = 0.35,
+                 omega_gain: float = 1e-6, mu_gain: float = 0.01):
+        self.agc = AGC(set_point=1.0, attack=0.1, decay=0.1, max_gain=1e6)
+        self.rrc = FIR(_rrc_taps(rrc_tap_count, rrc_beta, symbolrate,
+                                 samplerate))
+        self.recov = MMClockRecovery(samplerate / symbolrate, omega_gain,
+                                     mu_gain, 0.01, complex_data=True)
+
+    def init_state(self, batch_shape=()):
+        assert batch_shape == ()
+        return {"agc": self.agc.init_state(()),
+                "rrc": self.rrc.init_state(()),
+                "recov": self.recov.init_state(()),
+                "prev": jnp.ones((), jnp.complex64),
+                "bias": jnp.zeros((), jnp.float32)}
+
+    def apply(self, params, state, x):
+        st = dict(state)
+        y, st["agc"] = self.agc.apply(None, state["agc"], x)
+        y, st["rrc"] = self.rrc.apply(None, state["rrc"], y)
+        (sym, valid), st["recov"] = self.recov.apply(None, state["recov"],
+                                                     y)
+        prev = jnp.concatenate([state["prev"][None], sym[:-1]])
+        d = sym * jnp.conj(prev)
+        # fourth-power AFC: a carrier offset adds a constant bias to every
+        # differential phase; d⁴ maps all four ±45°/±135° clusters onto
+        # 180°+4·bias (estimated per block, EMA'd across blocks)
+        z = d / jnp.maximum(jnp.abs(d), 1e-9)
+        vm = valid.astype(jnp.complex64)
+        z4 = jnp.sum((z ** 4) * vm) / jnp.maximum(jnp.sum(vm.real), 1.0)
+        bias = (jnp.angle(z4) - jnp.pi) / 4.0
+        st["bias"] = bias
+        d = d * jnp.exp(-1j * bias)
+        ph = jnp.angle(d)
+        # dibit: which of the four ±45°/±135° decision regions
+        dibit = jnp.mod(jnp.floor(ph / (jnp.pi / 2)), 4).astype(jnp.int32)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        st["prev"] = jnp.where(n_valid > 0,
+                               sym[jnp.maximum(n_valid - 1, 0)],
+                               state["prev"])
+        return (d, dibit, valid), st
+
+
 class GFSKDemod(Block):
     """complex baseband → (soft float symbols, valid)."""
 
