@@ -63,6 +63,27 @@ class PSKDemod(Block):
         return (sym, valid), st
 
 
+class FourFSKDemod(Block):
+    """4-level FSK demodulator (DMR/dPMR/NXDN family): GFSK soft symbols
+    sliced at {−1, −1/3, +1/3, +1} of the outer deviation → dibits
+    (reference: the DSD-based ch_extravhf_decoder's 4FSK front end)."""
+
+    def __init__(self, symbolrate: float, samplerate: float,
+                 deviation_hz: float, **kw):
+        self.gfsk = GFSKDemod(symbolrate, samplerate, deviation_hz, **kw)
+
+    def init_state(self, batch_shape=()):
+        return self.gfsk.init_state(batch_shape)
+
+    def apply(self, params, state, x):
+        (soft, valid), st = self.gfsk.apply(None, state, x)
+        # decision thresholds at 0, ±2/3
+        dibit = (jnp.where(soft > 2.0 / 3.0, 3,
+                 jnp.where(soft > 0.0, 2,
+                 jnp.where(soft > -2.0 / 3.0, 1, 0)))).astype(jnp.int32)
+        return (soft, dibit, valid), st
+
+
 class Pi4DQPSKDemod(Block):
     """π/4-DQPSK demodulator (TETRA's modulation — the front half of the
     reference's ch_tetra_demodulator, which vendors osmo-tetra for the

@@ -107,3 +107,23 @@ def test_tetra_pi4dqpsk_symbols():
     db = np.asarray(dibit)[np.asarray(valid)][act]
     fracs = np.bincount(db, minlength=4) / len(db)
     assert fracs.min() > 0.1, fracs
+
+
+def test_dmr_4fsk_dibits():
+    """DMR capture through the 4FSK demod: all four dibit levels present
+    in burst regions with plausible proportions."""
+    from sdrplusplusbrown_tpu.ops.demod_digital import FourFSKDemod
+    x, fs = read_wav_iq(os.path.join(RECDIR, "dmr_sample.wav"))
+    dem = FourFSKDemod(4800.0, fs, 1944.0)
+    st = dem.init_state(())
+    (soft, dibit, valid), st = dem.apply(None, st, jnp.asarray(x))
+    s = np.asarray(soft)[np.asarray(valid)]
+    db = np.asarray(dibit)[np.asarray(valid)]
+    # active (burst) symbols: outer levels imply |soft| distribution
+    act = np.abs(s) > 0.15
+    fr = np.bincount(db[act], minlength=4) / max(act.sum(), 1)
+    assert fr.min() > 0.05, fr
+    # symbol values concentrate near the 4 nominal levels during bursts
+    near = np.mean((np.abs(np.abs(s[act]) - 1.0) < 0.45)
+                   | (np.abs(np.abs(s[act]) - 1 / 3) < 0.3))
+    assert near > 0.6, near
