@@ -27,7 +27,6 @@ import numpy as np
 
 from ..runtime.block import Block
 from . import taps as taps_mod
-from .fir import FIR
 
 
 class PolyphaseChannelizer(Block):
@@ -45,7 +44,6 @@ class PolyphaseChannelizer(Block):
         # h_p[j] = h[j*M + p] → [M, tpp]
         self.branches = proto.reshape(tpp, self.M).T.copy()
         self.tpp = tpp
-        self.fir = FIR(np.zeros(tpp))  # only for state sizing docs
         self.ratio = Fraction(1, 1)    # emits [M, T/M]: samples conserved
         self.in_multiple = self.M
 

@@ -122,8 +122,12 @@ class Pi4DQPSKDemod(Block):
         z = d / jnp.maximum(jnp.abs(d), 1e-9)
         vm = valid.astype(jnp.complex64)
         z4 = jnp.sum((z ** 4) * vm) / jnp.maximum(jnp.sum(vm.real), 1.0)
-        bias = (jnp.angle(z4) - jnp.pi) / 4.0
-        st["bias"] = bias
+        # wrap (∠z⁴ − π) into (−π, π] before /4, else positive offsets
+        # alias a quadrant away (bias must land in (−45°, 45°])
+        raw = jnp.angle(z4) - jnp.pi
+        raw = jnp.mod(raw + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        bias = raw / 4.0
+        st["bias"] = bias       # exposed for telemetry (per-block estimate)
         d = d * jnp.exp(-1j * bias)
         ph = jnp.angle(d)
         # dibit: which of the four ±45°/±135° decision regions

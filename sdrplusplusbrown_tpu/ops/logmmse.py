@@ -160,7 +160,9 @@ class LogMMSE(Block):
         self.len1 = slen // 2
         self.len2 = slen - self.len1
         self.nFFT = 2 * slen
-        self.audio = (samplerate <= 24000) if wideband is None \
+        # reference: audioFrequency = nFFT < 1200 (logmmse.h:265 in
+        # update_noise_mu2) — i.e. samplerate < 30 kHz, not <= 24 kHz
+        self.audio = (self.nFFT < 1200) if wideband is None \
             else (not wideband)
         self.H = 2000 if self.nFFT < 1000 else 200
         win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(slen) / (slen - 1))

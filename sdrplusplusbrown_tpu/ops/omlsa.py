@@ -44,10 +44,11 @@ class OMLSA(Block):
         n = frame_len or (1 << int(round(math.log2(0.02 * samplerate))))
         self.N = int(n)
         self.hop = self.N // 2
+        # sqrt-Hann at analysis AND synthesis: periodic Hann satisfies
+        # w[n] + w[n+N/2] = 1 at 50% overlap, so the analysis·synthesis
+        # product (= Hann) overlap-adds to exactly 1 (COLA)
         win = np.hanning(self.N + 1)[:-1]
-        # synthesis window normalized for COLA with 50% overlap (hann² sums
-        # to a constant)
-        self.win = win.astype(np.float32)
+        self.win = np.sqrt(win).astype(np.float32)
         self.g_min = float(g_min)
         self.alpha = float(alpha)
         self.alpha_d = float(alpha_d)
@@ -70,6 +71,7 @@ class OMLSA(Block):
             "Smin": big,
             "Stmp": big,
             "lambda_d": jnp.full(b + (F,), 1e-6, f32),
+            "p_prev": jnp.zeros(b + (F,), f32),
             "xi_prev": jnp.full(b + (F,), 1.0, f32),
             "G_prev": jnp.ones(b + (F,), f32),
             "frame_count": jnp.zeros((), jnp.int32),
@@ -108,7 +110,7 @@ class OMLSA(Block):
         L = self.L
 
         def step(carry, inputs):
-            S, Smin, Stmp, lam, xi_prev, G_prev, fc = carry
+            S, Smin, Stmp, lam, p_prev, xi_prev, G_prev, fc = carry
             p = inputs
             Sf = self._freq_smooth(p)
             S2 = as_ * S + (1 - as_) * Sf
@@ -120,9 +122,8 @@ class OMLSA(Block):
             # speech presence from minima ratio
             Sr = S2 / jnp.maximum(Smin3, 1e-20)
             I = (Sr > delta).astype(jnp.float32)
-            # smoothed presence probability
-            # (p' carried implicitly in lam via alpha_d'; use I directly)
-            p_prob = I
+            # MCRA smoothed presence probability p' = α_p p' + (1-α_p) I
+            p_prob = ap * p_prev + (1 - ap) * I
             ad_eff = ad + (1 - ad) * p_prob
             lam2 = ad_eff * lam + (1 - ad_eff) * p
             # OM-LSA gain
@@ -139,14 +140,15 @@ class OMLSA(Block):
             p_post = 1.0 / (1.0 + ratio)
             G = (G_h1 ** p_post) * (gmin ** (1.0 - p_post))
             xi_new = (G_h1 ** 2) * gamma   # for decision-directed next frame
-            return (S2, Smin3, Stmp3, lam2, xi_new, G, fc + 1), G
+            return (S2, Smin3, Stmp3, lam2, p_prob, xi_new, G, fc + 1), G
 
         ps_t = jnp.moveaxis(ps, -2, 0)
         init = (st["S"], st["Smin"], st["Stmp"], st["lambda_d"],
-                st["xi_prev"], st["G_prev"], st["frame_count"])
-        (S, Smin, Stmp, lam, xi_prev, G_prev, fc), gains = jax.lax.scan(
-            step, init, ps_t)
-        st.update(S=S, Smin=Smin, Stmp=Stmp, lambda_d=lam,
+                st["p_prev"], st["xi_prev"], st["G_prev"],
+                st["frame_count"])
+        (S, Smin, Stmp, lam, p_prev, xi_prev, G_prev, fc), gains = \
+            jax.lax.scan(step, init, ps_t)
+        st.update(S=S, Smin=Smin, Stmp=Stmp, lambda_d=lam, p_prev=p_prev,
                   xi_prev=xi_prev, G_prev=G_prev, frame_count=fc)
 
         G = jnp.moveaxis(gains, 0, -2)

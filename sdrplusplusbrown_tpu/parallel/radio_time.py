@@ -33,6 +33,10 @@ class ShardedRadioPipeline:
     def __init__(self, in_samplerate: float, mesh: Mesh, n_channels: int,
                  t_local: int, demod_id=DEMOD_WFM, **radio_kwargs):
         radio_kwargs.setdefault("pll_mode", "normalize")
+        if radio_kwargs.get("rds"):
+            raise NotImplementedError(
+                "RDS tap is not supported under time sharding yet — run "
+                "the unsharded Radio for the RDS stream")
         self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
         self.mesh = mesh
         self.C = int(n_channels)
@@ -152,6 +156,16 @@ class ShardedRadioPipeline:
         tl_if = y.shape[-1]
         if r.nb_enabled:
             y, new["nb"] = sharded_apply(r.nb, y, ta, carry["nb"])
+        if r.squelch_enabled:
+            # whole-block gate like the unsharded Squelch: the mean |x| is
+            # computed over the *global* block via psum across time shards
+            local_sum = jnp.sum(jnp.abs(y), axis=-1)
+            total = jax.lax.psum(local_sum, ta)
+            mean_amp = total / (tl_if * self.nt)
+            power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
+            gate = (power_db >= r.squelch.default_level
+                    ).astype(jnp.float32)
+            y = y * gate[..., None]
         if r.fmif_enabled:
             y, new["fmif"] = sharded_apply(r.fmif, y, ta, carry["fmif"])
 
@@ -174,8 +188,12 @@ class ShardedRadioPipeline:
                 lr = jnp.stack([lpr + lmr, lpr - lmr], axis=-2)
             else:
                 lr = jnp.stack([mpx, mpx], axis=-2)
-            y, new["audio_fir"] = sharded_apply(d.audio_fir, lr, ta,
-                                                carry["audio_fir"])
+            if d.low_pass:
+                lr, new["audio_fir"] = sharded_apply(
+                    d.audio_fir, lr, ta, carry["audio_fir"])
+            else:
+                new["audio_fir"] = carry["audio_fir"]
+            y = lr
         else:
             for name, blk, _suffix, _dtype in self._demod_blocks():
                 if name == "__env__":

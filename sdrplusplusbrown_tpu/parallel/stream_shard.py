@@ -98,10 +98,15 @@ def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0):
     if isinstance(block, FMIF):
         return _halo_block(block, block.bins - 1, x, axis_name, carry)
     if isinstance(block, Squelch):
-        # per-block gate, stateless (uses default level when unsharded
-        # params are not routed through)
-        y, _ = block.apply(None, None, x)
-        return y, carry
+        # whole-GLOBAL-block gate like the unsharded Squelch: mean |x|
+        # over all time shards via psum (default level; route params at
+        # the pipeline level for runtime control)
+        size = jax.lax.axis_size(axis_name)
+        total = jax.lax.psum(jnp.sum(jnp.abs(x), axis=-1), axis_name)
+        mean_amp = total / (x.shape[-1] * size)
+        power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
+        gate = (power_db >= block.default_level).astype(jnp.float32)
+        return x * gate[..., None], carry
     if isinstance(block, NoiseBlanker):
         amp_in = jnp.abs(x).astype(jnp.float32)
         nz = amp_in != 0.0

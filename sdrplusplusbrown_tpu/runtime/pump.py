@@ -45,10 +45,15 @@ class StreamPump:
 
     def __init__(self, frontend, bank, block_len: Optional[int] = None):
         import math
+        from fractions import Fraction
         self.frontend = frontend
         self.bank = bank
-        g = math.lcm(frontend.in_multiple,
-                     int(bank.in_multiple / frontend.ratio))
+        # the bank sees frontend output: its granularity maps back to the
+        # input as the rational bank.in_multiple / frontend.ratio; valid
+        # input lengths are multiples of that fraction's numerator (same
+        # rule as runtime.block.Chain._recompute_static)
+        need = Fraction(bank.in_multiple) / frontend.ratio
+        g = math.lcm(frontend.in_multiple, need.numerator)
         self.granularity = g
         self.block_len = ((block_len or g) + g - 1) // g * g
 

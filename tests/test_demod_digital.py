@@ -104,3 +104,33 @@ def test_fd_clock_recovery_loopback(rng):
             continue
         best = max(best, float(np.mean(hard[100:100 + m] == want[:m])))
     assert best > 0.98, best
+
+
+def test_pi4dqpsk_afc_positive_and_negative_offsets(rng):
+    """Synthetic pi/4-DQPSK with both carrier-offset signs: the
+    fourth-power AFC must land the clusters on the +/-45 deg grid (a
+    positive offset used to alias one quadrant away)."""
+    from sdrplusplusbrown_tpu.ops.demod_digital import Pi4DQPSKDemod
+    fs, baud = 36_000.0, 9_000.0
+    sps = int(fs / baud)
+    n_sym = 4000
+    dphases = (rng.integers(0, 4, n_sym) * (np.pi / 2)) + np.pi / 4
+    phases = np.cumsum(dphases)
+    sym = np.exp(1j * phases)
+    tx = np.repeat(sym, sps)
+    for off_hz in (+300.0, -300.0):
+        n = np.arange(len(tx))
+        ch = (tx * np.exp(2j * np.pi * off_hz * n / fs)
+              + 0.02 * (rng.standard_normal(len(tx))
+                        + 1j * rng.standard_normal(len(tx)))
+              ).astype(np.complex64)
+        dem = Pi4DQPSKDemod(baud, fs)
+        st = dem.init_state(())
+        (d, dibit, valid), st = dem.apply(None, st, jnp.asarray(ch))
+        dd = np.asarray(d)[np.asarray(valid)][200:]
+        ph = np.angle(dd / np.maximum(np.abs(dd), 1e-9))
+        resid = ph - (np.pi / 4
+                      + np.round((ph - np.pi / 4) / (np.pi / 2))
+                      * (np.pi / 2))
+        on_grid = np.mean(np.abs(resid) < np.pi / 8)
+        assert on_grid > 0.9, (off_hz, on_grid)

@@ -57,3 +57,14 @@ def test_omlsa_streaming_matches_batch(rng):
     st0 = nr.init_state(())
     yb, _ = nr.apply(None, st0, jnp.asarray(x))
     np.testing.assert_allclose(stream, np.asarray(yb), atol=1e-5)
+
+
+def test_omlsa_cola_unity(rng):
+    """sqrt-Hann analysis x synthesis must overlap-add to exactly 1:
+    with all gains forced to ~1 (quiet scaling region), a constant input
+    reconstructs without periodic amplitude ripple."""
+    nr = OMLSA(8000)
+    w2 = nr.win.astype(np.float64) ** 2
+    hop = nr.hop
+    cola = w2[:hop] + w2[hop:]
+    np.testing.assert_allclose(cola, 1.0, atol=1e-6)
