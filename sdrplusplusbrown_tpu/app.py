@@ -190,15 +190,28 @@ class RadioModuleInstance(ModuleInstance):
 
     def set_offset(self, offset_hz: float):
         self.offset_hz = float(offset_hz)
-        self.params = self.radio.make_params(self.offset_hz)
+        # keep the runtime squelch level across retunes
+        self.params = self.radio.make_params(
+            self.offset_hz, squelch_level=self.squelch_level)
+
+    def set_bandwidth(self, bandwidth_hz: float):
+        self.bandwidth = float(bandwidth_hz)
+        self._build()
 
     def select_demod(self, demod_id):
         """int id or provider name (plugin demods register via
         models.radio.register_demod_provider)."""
+        old = (self.demod_id, self.bandwidth)
         self.demod_id = int(demod_id) if not isinstance(demod_id, str) \
             else demod_id
         self.bandwidth = None  # take the new demod's default
-        self._build()
+        try:
+            self._build()
+        except Exception:
+            # keep the module consistent on a bad demod id
+            self.demod_id, self.bandwidth = old
+            self._build()
+            raise
 
     def _afnr_process(self, audio: np.ndarray) -> np.ndarray:
         """Run the selected audio NR with its own block alignment; output
@@ -256,8 +269,14 @@ class RadioModuleInstance(ModuleInstance):
                 self.select_demod(did)
                 return {"status": "ok", "demod": DEMOD_NAMES[did],
                         "id": did}
-            except (ValueError, IndexError):
+            except (ValueError, IndexError, KeyError):
                 return {"error": f"unknown demod '{args}'"}
+        if cmd == "set_vfo_bandwidth":
+            try:
+                self.set_bandwidth(float(args))
+                return {"status": "ok", "bandwidth": self.bandwidth}
+            except ValueError:
+                return {"error": f"bad bandwidth '{args}'"}
         if cmd == "get_demod":
             return {"demod": self.radio.demod_name,
                     "id": -1 if self.demod_id is None else self.demod_id}
@@ -355,14 +374,27 @@ class RadioModuleInstance(ModuleInstance):
             snap = self.spectrum_ring
             n = len(snap)
             win = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n) / (n - 1)))
-            power = np.abs(np.fft.fft(snap * win)) ** 2
-            maxp = max(float(power.max()), 1e-30)
-            bpb = n // num_buckets
-            avg = power[:bpb * num_buckets].reshape(num_buckets, bpb).mean(1)
+            power = np.abs(np.fft.fftshift(np.fft.fft(snap * win))) ** 2
+            # the ring holds wideband baseband; slice this VFO's passband
+            # (the reference rings post-VFO IF samples — same product:
+            # "what's inside my passband", radio_module.h:78-89)
+            sr = self.app.frontend.effective_sr
+            half_span = max(self.bandwidth, sr / num_buckets * 8)
+            lo = int((max(self.offset_hz - half_span, -sr / 2) / sr + 0.5)
+                     * n)
+            hi = int((min(self.offset_hz + half_span, sr / 2) / sr + 0.5)
+                     * n)
+            seg = power[max(lo, 0):max(hi, 1)]
+            if len(seg) < num_buckets:
+                seg = np.pad(seg, (0, num_buckets - len(seg)),
+                             constant_values=seg.min() if len(seg) else 1e-30)
+            maxp = max(float(seg.max()), 1e-30)
+            bpb = len(seg) // num_buckets
+            avg = seg[:bpb * num_buckets].reshape(num_buckets, bpb).mean(1)
             db = 10 * np.log10(avg / maxp + 1e-10)
             return {"spectrum": [round(float(v), 3) for v in db],
                     "num_buckets": num_buckets, "fft_size": n,
-                    "max_bin": maxp}
+                    "span_hz": 2 * half_span, "max_bin": maxp}
         return super().handle_debug_command(cmd, args)
 
 
@@ -521,6 +553,45 @@ class SDRApp:
         m.set_offset(offset_hz)
         return True
 
+    def select_sink(self, stream: str, sink: str) -> bool:
+        """Attach a sink to a module's audio stream: 'recorder' records
+        to WAV, 'null_audio_sink'/'None' discards (reference
+        SinkManager::setStreamSink, sink.h)."""
+        m = self.modules.get(stream)
+        if not isinstance(m, RadioModuleInstance):
+            return False
+        old = self.sinks.pop(stream, None)
+        if isinstance(old, WavRecorder):
+            old.close()
+        if sink == "recorder":
+            rec_dir = os.path.join(self.root, "recordings")
+            os.makedirs(rec_dir, exist_ok=True)
+            path = os.path.join(rec_dir, WavRecorder.capture_name(
+                f"sink_{stream}", self.frequency))
+            self.sinks[stream] = WavRecorder(
+                path, m.radio.audio_samplerate, channels=2)
+        self.sink_sel[stream] = sink
+        with self.config.acquire() as conf:
+            conf.setdefault("sinks", {})[stream] = sink
+        return True
+
+    def set_ifnr_enabled(self, enabled: bool):
+        """Enable/disable the IF NR preprocessor at runtime, building it
+        lazily if the app started without one."""
+        if enabled and self.ifnr is None:
+            from .ops.logmmse import IFNRLogMMSE
+            self.ifnr = IFNRLogMMSE(self.frontend.effective_sr)
+            self.frontend_nr = IQFrontEnd(
+                self.samplerate, decim_ratio=self._decim,
+                dc_blocking=self._dc, invert_iq=self._inv,
+                fft_size=self._fft_size, fft_rate=self._fft_rate,
+                fft_window=self._fft_window,
+                preprocessors=[("ifnr", self.ifnr)])
+            self.ifnr_primed = False
+        self.ifnr_enabled = bool(enabled)
+        if enabled:
+            self.ifnr_stop_reason = ""
+
     def vfo_snr(self, name: str):
         m = self.modules.get(name)
         if self.last_spectrum is None or not isinstance(
@@ -588,6 +659,7 @@ class SDRApp:
         fstate = self.frontend.init_state(())
         fe_nr_step = None
         fstate_nr = None
+        self.ifnr_primed = False    # (re)prime per pump session
         primer = np.zeros(0, np.complex64)
         # real-time elastic guard state (reference if_nr.h:117-139:
         # self-disable at >=95% of the real-time budget twice in a row)

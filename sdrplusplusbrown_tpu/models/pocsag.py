@@ -96,6 +96,10 @@ def encode_transmission(address: int, text: str,
             bits.extend((w >> b) & 1 for b in range(31, -1, -1))
         if not words:
             break
+    # trailing idle batch terminates the last message even when it filled
+    # its batch exactly
+    for w in [SYNC_WORD] + [IDLE_WORD] * 16:
+        bits.extend((w >> b) & 1 for b in range(31, -1, -1))
     return np.array(bits, np.uint8)
 
 
@@ -107,6 +111,10 @@ class POCSAGDecoder:
     def __init__(self):
         self.messages: List[dict] = []
         self._bits: List[int] = []
+        # message continuation across batches: an address opens a message
+        # that keeps accumulating until the next address/idle codeword
+        self._cur_addr: Optional[int] = None
+        self._cur_bits: List[int] = []
 
     def push_bits(self, bits):
         self._bits.extend(int(b) & 1 for b in np.asarray(bits).reshape(-1))
@@ -142,28 +150,37 @@ class POCSAGDecoder:
         elif len(self._bits) > 32 * 40:
             self._bits = self._bits[-32 * 20:]
 
+    def _flush_message(self):
+        if self._cur_addr is not None:
+            self.messages.append({
+                "address": self._cur_addr,
+                "text": self._bits_to_text(self._cur_bits)})
+        self._cur_addr = None
+        self._cur_bits = []
+
     def _decode_batch(self, pos: int, flip: int):
-        address = None
-        chars_bits: List[int] = []
         for i in range(16):
             cw = self._word_at(pos + i * 32) ^ flip
             fixed = check_codeword(cw)
-            if fixed is None or fixed == IDLE_WORD:
+            if fixed is None:
+                continue
+            if fixed == IDLE_WORD:
+                # idle terminates the current message (spec: messages run
+                # until the next address or idle codeword)
+                self._flush_message()
                 continue
             data21 = fixed >> 11
             if data21 & (1 << 20):          # message codeword
+                if self._cur_addr is None:
+                    continue                 # orphan, no open message
                 d20 = data21 & 0xFFFFF
-                chars_bits.extend((d20 >> b) & 1
-                                  for b in range(19, -1, -1))
+                self._cur_bits.extend((d20 >> b) & 1
+                                      for b in range(19, -1, -1))
             else:                            # address codeword
+                self._flush_message()
                 addr_hi = (data21 >> 2) & 0x3FFFF
-                func = data21 & 3
                 frame = i // 2
-                address = (addr_hi << 3) | frame
-                chars_bits = []
-        if address is not None:
-            text = self._bits_to_text(chars_bits)
-            self.messages.append({"address": address, "text": text})
+                self._cur_addr = (addr_hi << 3) | frame
 
     @staticmethod
     def _bits_to_text(bits: List[int]) -> str:

@@ -61,6 +61,8 @@ class FrequencyManagerModule(ModuleInstance):
         if bm.get("mode") in DEMOD_IDS and \
                 DEMOD_IDS[bm["mode"]] != m.demod_id:
             m.select_demod(DEMOD_IDS[bm["mode"]])
+        if bm.get("bandwidth"):
+            m.set_bandwidth(float(bm["bandwidth"]))
         return True
 
     # ------------------------------------------------------------------

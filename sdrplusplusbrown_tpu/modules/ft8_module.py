@@ -44,6 +44,11 @@ class FT8DecoderModule(ModuleInstance):
         self._rs_step = jax.jit(
             lambda s, x: self._resamp.apply(None, s, x))
         self._buf = np.zeros(0, np.float32)
+        self.window_seconds = float(window_seconds)
+        # UTC cycle alignment: drop samples until the next window
+        # boundary so windows line up with FT8 transmit periods
+        # (approximate to pipeline latency; reference aligns the same way)
+        self._skip_samples: Optional[int] = None
         self.runner = WindowedDecodeRunner(
             FT8_RATE, window_seconds, self._decode, self._on_result,
             max_workers=max_workers)
@@ -67,7 +72,18 @@ class FT8DecoderModule(ModuleInstance):
         blk, self._buf = self._buf[:n], self._buf[n:]
         y, self._rs_state = self._rs_step(
             self._rs_state, jnp.asarray(blk.astype(np.complex64)))
-        self.runner.push(np.real(np.asarray(y)).astype(np.float32))
+        samples = np.real(np.asarray(y)).astype(np.float32)
+        if self._skip_samples is None:
+            to_next = (self.window_seconds
+                       - (time.time() % self.window_seconds)) \
+                % self.window_seconds
+            self._skip_samples = int(to_next * FT8_RATE)
+        if self._skip_samples > 0:
+            drop = min(self._skip_samples, len(samples))
+            samples = samples[drop:]
+            self._skip_samples -= drop
+        if len(samples):
+            self.runner.push(samples)
 
     def _decode(self, window: np.ndarray, samplerate: float, t0: int):
         if self.decoder_cmd:

@@ -107,8 +107,8 @@ class HttpDebugServer:
         if hasattr(app, "ifnr_enabled"):
             self.proc.register(
                 "ifnr/enabled", lambda: str(app.ifnr_enabled).lower(),
-                lambda v: setattr(app, "ifnr_enabled",
-                                  v.lower() in ("1", "true", "on")),
+                lambda v: app.set_ifnr_enabled(
+                    v.lower() in ("1", "true", "on")),
                 "bool")
             self.proc.register(
                 "ifnr/stop_reason",
@@ -172,7 +172,9 @@ class HttpDebugServer:
             if stream not in app.modules:
                 h._json({"error": f"stream '{stream}' not found"})
                 return
-            app.sink_sel[stream] = sink
+            if not app.select_sink(stream, sink):
+                h._json({"error": f"cannot attach sink to '{stream}'"})
+                return
             h._json({"status": "ok", "stream": stream, "sink": sink})
             return
         if path.startswith("/vfo/set_offset"):

@@ -179,10 +179,27 @@ class StreamServer:
 
     # ------------------------------------------------------------------
     def _stream_loop(self):
+        import time
+        sr = float(getattr(self.app.source, "samplerate", 1e6))
+        t0 = time.monotonic()
+        sent = 0
         for blk in self.app.source.blocks():
             if self._stop.is_set():
                 return
+            # idle (cheaply) until someone is listening
+            while not any(c.running for c in self._clients.values()):
+                if self._stop.is_set():
+                    return
+                time.sleep(0.1)
+                t0 = time.monotonic()
+                sent = 0
             self.broadcast_baseband(blk)
+            # pace to real time: live consumers expect the sample rate
+            sent += len(blk)
+            due = t0 + sent / sr
+            now = time.monotonic()
+            if due > now:
+                time.sleep(due - now)
 
     def broadcast_baseband(self, blk: np.ndarray):
         for cs in list(self._clients.values()):

@@ -18,7 +18,7 @@ def kmeans(points: np.ndarray, k: int, iters: int = 50,
     if len(centers) < k:
         centers = np.concatenate(
             [centers, np.zeros((k - len(centers), points.shape[1]))])
-    assign = np.zeros(n, np.int64)
+    assign = np.full(n, -1, np.int64)   # sentinel: never equals a label
     for _ in range(iters):
         d = np.linalg.norm(points[:, None, :] - centers[None], axis=-1)
         new_assign = np.argmin(d, axis=1)

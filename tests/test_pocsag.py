@@ -109,3 +109,16 @@ def test_source_manager_registry_and_fallback():
     sm.unregister("fake")
     assert isinstance(sm.source, NullSource)
     assert not sm.select("fake")
+
+
+def test_long_message_spans_batches():
+    """A message overflowing the first 16-codeword batch must decode in
+    full (continuation batches carry message codewords only)."""
+    # start at a high frame slot so the message spills into batch 2
+    long_text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789"
+    bits = encode_transmission(0x1ABCD7, long_text)   # frame 7 → slot 14
+    dec = POCSAGDecoder()
+    dec.push_bits(bits)
+    assert dec.messages, "no message"
+    assert dec.messages[0]["text"] == long_text
+    assert dec.messages[0]["address"] == 0x1ABCD7
