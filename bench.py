@@ -97,6 +97,11 @@ def main():
     import jax.numpy as jnp
     from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_WFM
     from sdrplusplusbrown_tpu.ops.spectrum import SpectrumPath
+    from sdrplusplusbrown_tpu.ops import fir as fir_mod
+
+    for a in sys.argv[1:]:
+        if a.startswith("--fir="):
+            fir_mod.set_fir_backend(a.split("=", 1)[1])
 
     fs = 2_400_000.0
     C = 8

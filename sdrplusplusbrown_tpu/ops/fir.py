@@ -34,6 +34,63 @@ _DN = jax.lax.ConvDimensionNumbers(
     rhs_spec=(0, 1, 2),   # O I W
     out_spec=(0, 1, 2))   # N C W
 
+#: FIR lowering for stride-1 real-tap filtering: "conv" uses
+#: conv_general_dilated (1-2 feature channels — XLA pads them onto the
+#: 128-wide MXU), "toeplitz" lowers to a dense [rows, tile+K-1] ×
+#: [tile+K-1, tile] banded-matmul that fills the MXU, "pallas" uses the
+#: hand kernel in ops/pallas_fir.py.  Selectable globally because the
+#: best choice is hardware/size dependent.
+_FIR_BACKEND = "conv"
+_TOEPLITZ_TILE = 512
+
+
+def set_fir_backend(name: str):
+    global _FIR_BACKEND
+    assert name in ("conv", "toeplitz", "pallas"), name
+    _FIR_BACKEND = name
+
+
+def get_fir_backend() -> str:
+    return _FIR_BACKEND
+
+
+def _toeplitz_matrix(taps: np.ndarray, tile: int) -> np.ndarray:
+    K = len(taps)
+    H = np.zeros((tile + K - 1, tile), np.float32)
+    for j in range(tile):
+        H[j:j + K, j] = taps
+    return H
+
+
+def _correlate_toeplitz(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Stride-1 real-tap correlation as a banded-Toeplitz matmul."""
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    K = int(np.asarray(taps).shape[-1])
+    T = L - (K - 1)
+    tile = _TOEPLITZ_TILE
+    cplx = jnp.iscomplexobj(x)
+    xf = (jnp.concatenate([jnp.real(x).reshape(-1, L),
+                           jnp.imag(x).reshape(-1, L)], axis=0)
+          if cplx else x.reshape(-1, L)).astype(jnp.float32)
+    T_pad = ((T + tile - 1) // tile) * tile
+    if T_pad != T:
+        xf = jnp.pad(xf, ((0, 0), (0, T_pad - T)))
+    rows = T_pad // tile
+    idx = (np.arange(rows)[:, None] * tile
+           + np.arange(tile + K - 1)[None, :])
+    w = xf[:, idx]                                        # [B, rows, tile+K-1]
+    H = jnp.asarray(_toeplitz_matrix(np.asarray(taps, np.float32), tile))
+    y = jnp.einsum("brw,wt->brt", w, H,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(xf.shape[0], T_pad)[:, :T]
+    if cplx:
+        h = y.shape[0] // 2
+        out = jax.lax.complex(y[:h], y[h:])
+    else:
+        out = y
+    return out.reshape(lead + (T,))
+
 
 def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
             groups: int = 1) -> jnp.ndarray:
@@ -56,6 +113,14 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
     taps_c = np.iscomplexobj(taps) if isinstance(taps, np.ndarray) \
         else jnp.iscomplexobj(taps)
     x_c = jnp.iscomplexobj(x)
+
+    if stride == 1 and not taps_c and _FIR_BACKEND != "conv" \
+            and W - (K - 1) >= 128 and K - 1 <= _TOEPLITZ_TILE:
+        if _FIR_BACKEND == "toeplitz":
+            return _correlate_toeplitz(x, np.asarray(taps))
+        if _FIR_BACKEND == "pallas":
+            from .pallas_fir import fir_apply_any
+            return fir_apply_any(x, np.asarray(taps))
 
     if not x_c and not taps_c:
         xf = x.reshape((-1, 1, W)).astype(jnp.float32)

@@ -1,0 +1,63 @@
+"""E2E against the reference's own TETRA capture through the real app —
+the analog of the reference's auto_test.py (spawn, configure file
+source on tetra_sample.wav, tune the VFO onto the carrier, assert
+signal-level products over HTTP)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from e2e_harness import AppContext
+
+REC = "/root/reference/e2e/recordings/tetra_sample.wav"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REC),
+                                reason="reference recordings not mounted")
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e_ref")
+    config = {
+        "source": {"type": "file", "path": REC, "loop": True},
+        "fftSize": 2048,
+        "fftRate": 10,
+        "modules": {
+            "Radio": {"type": "radio", "demod": "NFM", "offset": 0.0,
+                      "bandwidth": 25000.0},
+        },
+    }
+    ctx = AppContext(str(tmp / "root"), config)
+    ok = ctx.wait_ready(timeout=120)
+    if not ok:
+        print(ctx.log_tail())
+    assert ok
+    yield ctx
+    ctx.close()
+
+
+def test_tetra_signal_products_over_http(app):
+    """The 25 kHz TETRA channel nearly fills the ±16 kHz capture, so the
+    waterfall SNR estimator has no clean side floor (its side windows
+    would fall outside the span).  The signal-level oracle here is
+    spectral contrast: the channel's center must sit ≥10 dB above the
+    capture edges, measured entirely over HTTP."""
+    import time
+    deadline = time.time() + 60
+    contrast = -1.0
+    while time.time() < deadline:
+        spec = app.module_cmd("Radio", "get_spectrum", ",64")["spectrum"]
+        spec = np.asarray(spec)
+        center = spec[24:40].mean()
+        edges = np.concatenate([spec[:6], spec[-6:]]).mean()
+        contrast = center - edges
+        if contrast > 10.0:
+            break
+        time.sleep(0.5)
+    assert contrast > 10.0, contrast
+    r = app.module_cmd("Radio", "get_vfo_bandwidth")
+    assert r["vfo_bandwidth"] == 25000.0
+    st = app.get("/sdr/status")
+    assert st["samplerate"] == 32000.0
+    assert st["blocks"] > 0

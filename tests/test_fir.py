@@ -87,3 +87,28 @@ def test_real_fir_audio(rng):
     y, _ = blk.apply(None, blk.init_state(), jnp.asarray(x))
     want, _ = ref_fir(x, h.astype(np.float32))
     np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=1e-4)
+
+
+def test_fir_backends_agree(rng):
+    """The toeplitz (MXU matmul) and pallas lowerings must match the
+    conv path for stride-1 real-tap filtering."""
+    import jax.numpy as jnp
+    from sdrplusplusbrown_tpu.ops import fir as fir_mod
+    K = 129
+    taps = rng.standard_normal(K).astype(np.float32)
+    x = (rng.standard_normal((2, 2000 + K - 1))
+         + 1j * rng.standard_normal((2, 2000 + K - 1))
+         ).astype(np.complex64)
+    try:
+        fir_mod.set_fir_backend("conv")
+        ref = np.asarray(fir_mod.correlate(jnp.asarray(x), taps))
+        fir_mod.set_fir_backend("toeplitz")
+        toep = np.asarray(fir_mod.correlate(jnp.asarray(x), taps))
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.max(np.abs(toep - ref)) < 2e-3 * scale
+        # decimating path still takes the conv route and stays correct
+        y2 = np.asarray(fir_mod.correlate(jnp.asarray(x), taps, stride=2))
+        np.testing.assert_allclose(y2, ref[..., ::2], rtol=1e-4,
+                                   atol=2e-3 * scale)
+    finally:
+        fir_mod.set_fir_backend("conv")

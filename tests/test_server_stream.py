@@ -124,3 +124,49 @@ def test_stream_server_end_to_end(tmp_path, rng):
     finally:
         srv.stop()
         app.shutdown()
+
+
+@pytest.mark.slow
+def test_stream_server_efft_mode(tmp_path, rng):
+    """EFFT-compressed streaming: client receives reconstructed IQ that
+    preserves a strong carrier while blanking the noise floor."""
+    import jax
+    from sdrplusplusbrown_tpu.io.wav import write_wav
+    from sdrplusplusbrown_tpu.app import SDRApp
+    from sdrplusplusbrown_tpu.server.stream_server import StreamServer
+    from sdrplusplusbrown_tpu.server.stream_client import StreamClient
+    import json, os
+
+    fs = 96_000.0
+    T = int(fs * 4)
+    n = np.arange(T)
+    x = (0.5 * np.exp(2j * np.pi * 10e3 * n / fs)
+         + 0.01 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+    cap = str(tmp_path / "baseband_7000000Hz_01-01-01_01-01-2024.wav")
+    write_wav(cap, x, fs, bits=32)
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"source": {"type": "file", "path": cap, "loop": True}},
+                  f)
+    app = SDRApp(root, run_pump=False)
+    srv = StreamServer(app, port=0)
+    srv.start()
+    try:
+        cli = StreamClient("127.0.0.1", srv.port, compression="efft")
+        got = []
+        # EFFT needs MIN_RECENTS frames of history before emitting
+        for blk in cli.blocks(timeout=30):
+            got.append(blk)
+            if sum(len(g) for g in got) >= 3 * 4096:
+                break
+        cli.close()
+        y = np.concatenate(got)
+        assert len(y) >= 3 * 4096
+        nn = np.arange(len(y))
+        tone = np.abs(np.mean(y * np.exp(-2j * np.pi * 10e3 * nn / fs)))
+        assert tone > 0.2, tone          # carrier survives compression
+    finally:
+        srv.stop()
+        app.shutdown()
