@@ -31,13 +31,25 @@ CH_AXIS = "ch"
 
 class ShardedRadioPipeline:
     def __init__(self, in_samplerate: float, mesh: Mesh, n_channels: int,
-                 t_local: int, demod_id=DEMOD_WFM, **radio_kwargs):
+                 t_local: int, demod_id=DEMOD_WFM,
+                 spectrum_fft: int = 0, spectrum_rate: float = 20.0,
+                 **radio_kwargs):
         radio_kwargs.setdefault("pll_mode", "normalize")
         if radio_kwargs.get("rds"):
             raise NotImplementedError(
                 "RDS tap is not supported under time sharding yet — run "
                 "the unsharded Radio for the RDS stream")
         self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
+        # optional wideband spectrum branch computed per time shard (FFT
+        # frames are shard-local, so this parallelizes for free)
+        self.spectrum = None
+        if spectrum_fft:
+            from ..ops.spectrum import SpectrumPath
+            self.spectrum = SpectrumPath(in_samplerate, spectrum_fft,
+                                         spectrum_rate)
+            assert t_local % self.spectrum.in_multiple == 0, (
+                f"t_local {t_local} must also be a multiple of the "
+                f"spectrum frame interval {self.spectrum.in_multiple}")
         self.mesh = mesh
         self.C = int(n_channels)
         self.nt = mesh.shape[TIME_AXIS]
@@ -212,6 +224,9 @@ class ShardedRadioPipeline:
             y, new["deemp"] = sharded_apply(r.deemp, y, ta, carry["deemp"])
         if not r.demod_stereo:
             y = jnp.stack([y, y], axis=-2)
+        if self.spectrum is not None:
+            spectra, _ = self.spectrum.apply(None, None, x_local)
+            return (y.astype(jnp.float32), spectra), new
         return y.astype(jnp.float32), new
 
     # ------------------------------------------------------------------
@@ -226,11 +241,15 @@ class ShardedRadioPipeline:
     def _build_step(self):
         params0 = self.make_params(np.zeros((self.C,)))
         carry0 = self.init_carry()
+        audio_spec = P(CH_AXIS, None, TIME_AXIS)
+        out_specs = ((audio_spec, P(TIME_AXIS, None))
+                     if self.spectrum is not None else audio_spec,
+                     self._specs(carry0))
         fn = jax.shard_map(
             self._local_step, mesh=self.mesh,
             in_specs=(self._specs(params0), self._specs(carry0),
                       P(TIME_AXIS)),
-            out_specs=(P(CH_AXIS, None, TIME_AXIS), self._specs(carry0)),
+            out_specs=out_specs,
             check_vma=False)
         return jax.jit(fn)
 

@@ -205,3 +205,29 @@ def test_squelch_gates_noise(rng):
     yl, _ = sq.apply(sq.init_params(), None, jnp.asarray(loud))
     assert np.all(np.asarray(yq) == 0)
     np.testing.assert_array_equal(np.asarray(yl), loud)
+
+
+def test_carrier_tracking_pll_derotates(rng):
+    """CarrierTrackingPLL outputs the de-rotated input: a pure offset
+    carrier collapses to ~DC."""
+    from sdrplusplusbrown_tpu.ops.pll import CarrierTrackingPLL
+    fs = 48_000.0
+    f0 = 200.0
+    n = np.arange(int(fs * 0.5))
+    x = jnp.asarray(np.exp(2j * np.pi * f0 * n / fs).astype(np.complex64))
+    pll = CarrierTrackingPLL(0.02)
+    y, st = pll.apply(None, pll.init_state(()), x)
+    tail = np.asarray(y)[-4000:]
+    # locked: output phase nearly constant (spread well below the input
+    # rotation of 2π f0/fs per sample × 4000 samples)
+    ph = np.unwrap(np.angle(tail))
+    assert np.abs(ph[-1] - ph[0]) < 1.0
+    assert abs(float(st["freq"]) - 2 * np.pi * f0 / fs) < 1e-3
+
+
+def test_fast_agc_normalizes(rng):
+    from sdrplusplusbrown_tpu.ops.agc import fast_agc
+    agc = fast_agc(rate=0.1)
+    x = jnp.asarray((0.01 * np.ones(8000)).astype(np.complex64))
+    y, _ = agc.apply(agc.init_params(), agc.init_state(()), x)
+    assert 0.7 < float(np.abs(np.asarray(y)[-1])) < 1.3

@@ -106,3 +106,28 @@ def test_sharded_radio_cw_runs(rng):
                          pipe.init_carry(), jnp.asarray(x))
     assert y.shape[0] == 8 and y.shape[1] == 2
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.slow
+def test_sharded_radio_with_spectrum(rng):
+    """The sharded pipeline's optional spectrum branch produces the same
+    dB frames as the unsharded SpectrumPath (frames are shard-local)."""
+    import math
+    from sdrplusplusbrown_tpu.ops.spectrum import SpectrumPath
+    fs = 240_000.0
+    mesh = make_mesh(4, 2)
+    radio = Radio(fs, DEMOD_NFM, pll_mode="normalize")
+    sp = SpectrumPath(fs, 2048, 20.0)
+    g = math.lcm(radio.in_multiple, sp.in_multiple)
+    t_local = ((12_000 + g - 1) // g) * g
+    pipe = ShardedRadioPipeline(fs, mesh, 4, t_local, DEMOD_NFM,
+                                spectrum_fft=2048, spectrum_rate=20.0)
+    x = (0.1 * (rng.standard_normal(pipe.t_global)
+                + 1j * rng.standard_normal(pipe.t_global))
+         ).astype(np.complex64)
+    (audio, spectra), carry = pipe.step(
+        pipe.make_params(np.zeros(4)), pipe.init_carry(), jnp.asarray(x))
+    ref, _ = sp.apply(None, None, jnp.asarray(x))
+    assert spectra.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(spectra), np.asarray(ref),
+                               rtol=1e-4, atol=1e-2)
