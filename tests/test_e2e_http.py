@@ -37,6 +37,7 @@ def app(tmp_path_factory):
         "fftRate": 20,
         "modules": {
             "Radio": {"type": "radio", "demod": "NFM", "offset": 50e3},
+            "Radio2": {"type": "radio", "demod": "NFM", "offset": -80e3},
         },
     }
     ctx = AppContext(str(tmp / "root"), config)
@@ -164,3 +165,36 @@ def test_if_chain_toggles(app):
     assert "level_db" in lvl
     r = app.module_cmd("Radio", "set_volume", "0.5")
     assert r["volume"] == 0.5
+
+
+def test_two_radios_simultaneously(app):
+    """VFOManager parity: two radio instances demodulate concurrently
+    off one baseband — the on-carrier one hears the signal, the quiet
+    one doesn't."""
+    import time
+    mods = app.get("/modules")
+    assert set(mods) >= {"Radio", "Radio2"}
+    deadline = time.time() + 60
+    snr1 = -1.0
+    while time.time() < deadline:
+        snr1 = app.module_cmd("Radio", "get_snr")["snr"]
+        if snr1 > 20.0:
+            break
+        time.sleep(0.5)
+    snr2 = app.module_cmd("Radio2", "get_snr")["snr"]
+    assert snr1 > 20.0 and snr2 < 20.0, (snr1, snr2)
+
+
+def test_sink_select_records(app):
+    r = app.post("/sink/select", {"stream": "Radio", "sink": "recorder"})
+    assert r["status"] == "ok"
+    import time
+    time.sleep(1.5)
+    r = app.post("/sink/select", {"stream": "Radio",
+                                  "sink": "null_audio_sink"})
+    assert r["status"] == "ok"
+    # a recording landed on disk
+    import glob, os
+    recs = glob.glob(os.path.join(app.root, "recordings", "sink_*.wav"))
+    assert recs, "sink recorder produced no file"
+    assert os.path.getsize(recs[0]) > 1000
