@@ -16,9 +16,8 @@ PTY / PS (group 0) / RadioText (group 2) extraction.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,7 +27,6 @@ from ..ops.agc import AGC
 from ..ops.costas import Costas
 from ..ops.fir import FIR
 from ..ops.clock_recovery import MMClockRecovery
-from ..ops.digital import binary_slice
 
 
 class RDSDemod(Block):
@@ -46,7 +44,6 @@ class RDSDemod(Block):
                               max_freq=baudfreq * 1.1)
         self.recov = MMClockRecovery(samplerate / baud, 1e-6, 0.01, 0.01,
                                      complex_data=False)
-        self._prev_bit = 0
 
     def init_state(self, batch_shape=()):
         assert batch_shape == (), "RDSDemod is per-stream"
@@ -168,13 +165,11 @@ class RDSDecoder:
         self.group[self.block_idx] = data
         self.block_idx += 1
         if self.block_idx == 4:
-            self._decode_group([g for g in self.group])
+            self._decode_group(list(self.group))
             self.block_idx = 0
             self.group = [None] * 4
 
     def _decode_group(self, g: List[int]):
-        if any(b is None for b in g):
-            return
         self.groups_decoded += 1
         self.pi = g[0]
         gtype = (g[1] >> 12) & 0xF

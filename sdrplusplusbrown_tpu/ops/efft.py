@@ -18,7 +18,7 @@ delayed emission.
 from __future__ import annotations
 
 from collections import deque
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
@@ -33,9 +33,12 @@ def centered_sma(x: np.ndarray, w: int) -> np.ndarray:
 
 
 def moving_variance(x: np.ndarray, w: int) -> np.ndarray:
+    """SMA((x − SMA(x))²) — the reference's definition
+    (arrays.cpp movingVariance), which reports ~zero on smooth slopes
+    where the E[x²]−E[x]² form would report slope-induced spread."""
     m = centered_sma(x, w)
-    m2 = centered_sma(x * x, w)
-    return np.maximum(m2 - m * m, 0.0)
+    d = x - m
+    return centered_sma(d * d, w)
 
 
 def interpolate_holes(a: np.ndarray) -> np.ndarray:

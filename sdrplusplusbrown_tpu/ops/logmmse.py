@@ -132,8 +132,17 @@ def _bg_noise_update(dev_square, last_noise, frame_count):
     width = jnp.maximum(maxx - minn, 1e-12)
     bucket = (NBUCKETS * (logf - minn[..., None]) / width[..., None])
     bucket = jnp.clip(bucket.astype(jnp.int32), 0, NBUCKETS - 1)
-    onehot = jax.nn.one_hot(bucket, NBUCKETS, dtype=jnp.float32)
-    counts = jnp.sum(onehot * mask[..., None].astype(jnp.float32), axis=-2)
+    # scatter-add histogram: O(nFFT + NBUCKETS) (a one-hot would
+    # materialize an nFFT×1000 tensor — 384 MB at the 2.4 MS/s IF rate)
+    w = mask.astype(jnp.float32)
+
+    def hist_1d(b, wv):
+        return jnp.zeros((NBUCKETS,), jnp.float32).at[b].add(wv)
+
+    lead = bucket.shape[:-1]
+    counts = jax.vmap(hist_1d)(bucket.reshape((-1, bucket.shape[-1])),
+                               w.reshape((-1, w.shape[-1])))
+    counts = counts.reshape(lead + (NBUCKETS,))
     ix = jnp.argmax(counts, axis=-1).astype(jnp.float32)
     maxf = 10.0 ** ((ix / NBUCKETS) * width + minn)
     first = last_noise == ERASED_SAMPLE

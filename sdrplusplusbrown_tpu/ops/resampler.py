@@ -30,13 +30,13 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import taps as taps_mod
-from .fir import FIR, _conv1d, correlate
+from .fir import FIR, _conv1d
 from ..runtime.block import Block, Chain
 
 import jax
@@ -204,9 +204,12 @@ class RationalResampler(Block):
         g = math.gcd(int_i, out_i)
         interp = out_i // g
         decim = int_i // g
-        actual_out = int_i * interp / decim
+        # true achieved rate: the chain resamples the *actual* int_sr by
+        # interp/decim (the reference computes int_i·interp/decim, which
+        # is algebraically always == round(fs_out) — a tautology,
+        # rational_resampler.h:148)
+        actual_out = int_sr * interp / decim
         self.rate_error_pct = abs((actual_out - fs_out) / fs_out) * 100.0
-        # reference warns above 0.01% (rational_resampler.h:149-153)
 
         blocks = []
         if use_decim:
@@ -216,7 +219,7 @@ class RationalResampler(Block):
             bw = min(fs_in, fs_out) / 2.0
             proto = taps_mod.low_pass(bw, bw * 0.1, tap_sr) * interp
             blocks.append(("resamp", PolyphaseResampler(interp, decim, proto)))
-        self.chain = Chain(blocks) if blocks else Chain([])
+        self.chain = Chain(blocks)
         self.ratio = self.chain.ratio
         self.in_multiple = self.chain.in_multiple
 

@@ -19,10 +19,8 @@ reference:
 
 from __future__ import annotations
 
-from fractions import Fraction
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,8 +121,10 @@ class SpectrumPath(Block):
 
 def raw_fft_index(freq: float, samplerate: float, fft_size: int) -> int:
     """Bin index of ``freq`` (Hz, relative to center) in a DC-centered
-    spectrum."""
-    return int(round((freq / samplerate + 0.5) * fft_size))
+    spectrum — truncating and clamped like the reference's rawFFTIndex
+    (waterfall.cpp)."""
+    idx = int((freq / samplerate + 0.5) * fft_size)
+    return max(0, min(idx, fft_size))
 
 
 def calculate_vfo_signal_info(fft_line_db: np.ndarray, center_offset: float,

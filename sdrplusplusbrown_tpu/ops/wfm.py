@@ -21,9 +21,7 @@ Pilot recovery has two modes:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..runtime.block import Block
 from . import taps as taps_mod
