@@ -121,3 +121,20 @@ def test_afnr_shapes(rng):
     y, st2 = nr.apply(nr.init_params(), st, jnp.asarray(x))
     assert y.shape == (B,)
     assert st2["sma"].shape == (nr.SMA - 1,)
+
+
+@pytest.mark.slow
+def test_logmmse_batched_matches_per_channel(rng):
+    """Batched [C, T] NR must equal running each channel separately."""
+    fs = 8000
+    lm = LogMMSE(fs)
+    T = lm.len2 * 30
+    x = (0.1 * (rng.standard_normal((2, T))
+                + 1j * rng.standard_normal((2, T)))).astype(np.complex64)
+    st = lm.init_state((2,))
+    yb, _ = lm.apply(lm.init_params(), st, jnp.asarray(x))
+    for c in range(2):
+        stc = lm.init_state(())
+        yc, _ = lm.apply(lm.init_params(), stc, jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(yb[c]), np.asarray(yc),
+                                   rtol=1e-4, atol=1e-5)

@@ -68,3 +68,14 @@ def test_omlsa_cola_unity(rng):
     hop = nr.hop
     cola = w2[:hop] + w2[hop:]
     np.testing.assert_allclose(cola, 1.0, atol=1e-6)
+
+
+def test_omlsa_batched_matches_per_channel(rng):
+    nr = OMLSA(8000)
+    T = nr.hop * 24
+    x = (0.1 * rng.standard_normal((2, T))).astype(np.float32)
+    yb, _ = nr.apply(None, nr.init_state((2,)), jnp.asarray(x))
+    for c in range(2):
+        yc, _ = nr.apply(None, nr.init_state(()), jnp.asarray(x[c]))
+        np.testing.assert_allclose(np.asarray(yb[c]), np.asarray(yc),
+                                   rtol=1e-4, atol=1e-5)
