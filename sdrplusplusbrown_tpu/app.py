@@ -506,6 +506,19 @@ class SDRApp:
             elif mtype == "scheduler":
                 from .modules.scheduler import SchedulerModule
                 self.modules[name] = SchedulerModule(name, self)
+            elif mtype == "vor_receiver":
+                from .modules.vor_module import VORReceiverModule
+                self.modules[name] = VORReceiverModule(
+                    name, self, offset_hz=mc.get("offset", 0.0),
+                    integration_time=mc.get("integration_time", 1.0))
+            elif mtype == "meteor_demodulator":
+                from .modules.meteor_module import MeteorDemodulatorModule
+                self.modules[name] = MeteorDemodulatorModule(
+                    name, self, offset_hz=mc.get("offset", 0.0),
+                    symbolrate=mc.get("symbolrate", 72_000.0),
+                    broken_modulation=mc.get("broken", False),
+                    oqpsk=mc.get("oqpsk", False),
+                    directory=mc.get("directory"))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule

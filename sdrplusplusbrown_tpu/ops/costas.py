@@ -40,9 +40,13 @@ class Costas(Block):
     def __init__(self, order: int, bandwidth: float,
                  init_phase: float = 0.0, init_freq: float = 0.0,
                  min_freq: float = -np.pi, max_freq: float = np.pi,
-                 unroll: int = 16):
+                 unroll: int = 16, error_fn=None):
+        """``error_fn(v) -> err`` overrides the order-based phase detector
+        (used by the Meteor 'broken modulation' Costas variant,
+        reference: decoder_modules/meteor_demodulator/src/meteor_costas.h)."""
         assert order in (2, 4, 8)
         self.order = order
+        self.error_fn = error_fn
         self.alpha, self.beta = critically_damped(bandwidth)
         self.init_phase = float(init_phase)
         self.init_freq = float(init_freq)
@@ -60,13 +64,14 @@ class Costas(Block):
         fmin = jnp.float32(self.min_freq)
         fmax = jnp.float32(self.max_freq)
         order = self.order
+        err_fn = self.error_fn or (lambda v: _error(order, v))
         xt = jnp.moveaxis(x, -1, 0)
 
         def step(carry, xin):
             phase, freq = carry
             rot = jax.lax.complex(jnp.cos(-phase), jnp.sin(-phase))
             out = xin * rot
-            err = _error(order, out)
+            err = jnp.clip(err_fn(out), -1.0, 1.0)
             freq = jnp.clip(freq + beta * err, fmin, fmax)
             phase = _normalize_phase(phase + freq + alpha * err)
             return (phase, freq), out
