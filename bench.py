@@ -47,92 +47,109 @@ PEAKS = {
 }
 
 
-def _scan_steps(step, K):
-    """One jitted call running K serially-dependent pipeline steps."""
+_SYNC_PROBE = None
+
+
+def sync_observable() -> bool:
+    """Can wall-clock timing observe device completion on this runtime?
+
+    A cheap serially-dependent FFT scan is timed at two scan lengths
+    (one dispatch per call).  If wall time scales with the scan length,
+    sync works (CPU, healthy TPU runtimes); if it is flat, dispatch is
+    async and unobservable (the axon tunnel: block_until_ready is a
+    no-op, device→host fetches hang, profiler UNIMPLEMENTED).
+    """
+    global _SYNC_PROBE
+    if _SYNC_PROBE is not None:
+        return _SYNC_PROBE
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def many(params, state, x):
-        def body(st, _):
-            outs, st = step(params, st, x)
-            # Reduce every output to one scalar so scan ys stay tiny
-            # (nothing is fetched; this also keeps HBM traffic honest).
-            acc = sum(jnp.sum(jnp.abs(o)) for o in jax.tree_util.tree_leaves(outs))
-            return st, acc
-        st, accs = lax.scan(body, state, None, length=K)
-        return st, accs.sum()
+    def make(K):
+        def f(x):
+            def body(c, _):
+                return jnp.fft.ifft(jnp.fft.fft(c) * (0.999 + 0j)), ()
+            c, _ = lax.scan(body, x, None, length=K)
+            return jnp.sum(jnp.abs(c))
+        return jax.jit(f)
 
-    return jax.jit(many)
+    x = jnp.ones((1 << 19,), jnp.complex64)
+    f1, f2 = make(8), make(16)
+    jax.block_until_ready((f1(x), f2(x)))   # compile+warm
+    t1 = min(_time_once(f1, x) for _ in range(3))
+    t2 = min(_time_once(f2, x) for _ in range(3))
+    _SYNC_PROBE = bool(t1 > 0 and 1.6 <= t2 / t1 <= 2.6)
+    print(f"# sync probe: t(8)={t1*1e3:.2f}ms t(16)={t2*1e3:.2f}ms "
+          f"observable={_SYNC_PROBE}", file=sys.stderr)
+    return _SYNC_PROBE
 
 
-def _time_call(fn, *args, repeats=3):
+def _time_once(fn, *args):
     import jax
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
 
 
-def measure_chain(step, params, state, x, samples_per_step, K=8):
+def measure_chain(step, params, state, x, samples_per_step, K=8,
+                  iters=20):
     """Measure per-step device time for `step(params,state,x)->(outs,state)`.
 
-    Returns a dict with measured slope, trust verdict, cost_analysis
-    roofline bound, and the derived throughput/MFU numbers.
+    Returns a dict with the measured time, trust verdict, cost_analysis
+    roofline bound, and the derived throughput/MFU numbers.  ``K`` is
+    unused when sync is unobservable (kept for call compatibility).
     """
     import jax
 
-    # AOT-compile both scan lengths once each; call the executables
-    # directly (no second jit-cache compile).
-    t0 = time.perf_counter()
-    cK = _scan_steps(step, K).lower(params, state, x).compile()
-    c2K = _scan_steps(step, 2 * K).lower(params, state, x).compile()
-    print(f"# compiled K={K},2K in {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    trusted = sync_observable()
 
-    # XLA's own cost model for one K-step call.
-    ca = cK.cost_analysis()
+    # One AOT compile of the plain step; its cost_analysis is XLA's own
+    # flop/byte count for exactly the kernels that run.
+    t0 = time.perf_counter()
+    comp = jax.jit(step).lower(params, state, x).compile()
+    print(f"# compiled chain in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    ca = comp.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    flops_per_step = float(ca.get("flops", 0.0)) / K
-    bytes_per_step = float(ca.get("bytes accessed", 0.0)) / K
-
-    # Warm both.
-    sK, _ = cK(params, state, x)
-    s2K, _ = c2K(params, state, x)
-    jax.block_until_ready((sK, s2K))
-
-    t1 = _time_call(cK, params, state, x)
-    t2 = _time_call(c2K, params, state, x)
-    slope = (t2 - t1) / K if t2 > t1 else 0.0
+    flops_per_step = float(ca.get("flops", 0.0))
+    bytes_per_step = float(ca.get("bytes accessed", 0.0))
 
     platform = jax.devices()[0].platform
     peak = PEAKS.get("tpu") if platform not in ("cpu",) else None
-
     t_bound = None
     if peak is not None:
-        t_bound = max(flops_per_step / peak["flops"], bytes_per_step / peak["bw"])
+        t_bound = max(flops_per_step / peak["flops"],
+                      bytes_per_step / peak["bw"])
 
-    # Trust the slope only if doubling K roughly doubles wall time AND
-    # the implied per-step time is physically possible (≥ the roofline
-    # bound; a "faster than light" slope means we timed dispatch).
-    ratio = t2 / t1 if t1 > 0 else 0.0
-    trusted = 1.6 <= ratio <= 2.6 and (t_bound is None or slope >= 0.8 * t_bound)
+    # Warm, then time `iters` back-to-back calls.
+    outs, st2 = comp(params, state, x)
+    jax.block_until_ready((outs, st2))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs, st2 = comp(params, st2, x)
+    jax.block_until_ready((outs, st2))
+    measured = (time.perf_counter() - t0) / iters
+
+    # A measured time below the physical bound means we timed dispatch.
+    if trusted and t_bound is not None and measured < 0.8 * t_bound:
+        trusted = False
 
     if trusted:
-        per_step = slope
-        method = "scan-slope device time (dispatch cancelled)"
+        per_step = measured
+        method = "wall-clock device time (sync verified by scan probe)"
     elif t_bound is not None:
         per_step = t_bound
         method = ("analytic roofline bound from TPU cost_analysis "
                   "(device completion unobservable through axon tunnel: "
                   "sync no-op, fetch hangs, profiler UNIMPLEMENTED)")
     else:
-        per_step = slope if slope > 0 else t1 / K
-        method = "scan-slope wall time (no peak model for this platform)"
+        per_step = measured
+        method = "wall-clock (no peak model for this platform)"
+    slope = measured
+    ratio = 0.0
 
     out = {
         "platform": platform,
@@ -143,9 +160,8 @@ def measure_chain(step, params, state, x, samples_per_step, K=8):
         "bytes_per_sample": round(bytes_per_step / samples_per_step, 1),
         "t_per_step_s": per_step,
         "msps": samples_per_step / per_step / 1e6,
-        "slope_s": slope,
-        "slope_ratio_t2K_tK": round(ratio, 3),
-        "slope_trusted": trusted,
+        "measured_wall_s": measured,
+        "measured_trusted": trusted,
         "method": method,
     }
     if peak is not None:

@@ -519,6 +519,10 @@ class SDRApp:
                     broken_modulation=mc.get("broken", False),
                     oqpsk=mc.get("oqpsk", False),
                     directory=mc.get("directory"))
+            elif mtype == "m17_decoder":
+                from .modules.m17_module import M17DecoderModule
+                self.modules[name] = M17DecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
