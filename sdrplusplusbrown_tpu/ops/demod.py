@@ -42,7 +42,12 @@ class Quadrature(Block):
     def apply(self, params, state, x):
         ext = jnp.concatenate([state, x], axis=-1)
         d = ext[..., 1:] * jnp.conj(ext[..., :-1])
-        y = jnp.arctan2(jnp.imag(d), jnp.real(d)) * jnp.float32(self.inv_deviation)
+        re, im = jnp.real(d), jnp.imag(d)
+        # A zeroed input (e.g. closed squelch gate) yields ±0 products;
+        # atan2(−0, −0) = −π would turn silence into full-scale noise —
+        # emit exact silence instead.
+        y = jnp.where((re == 0.0) & (im == 0.0), 0.0,
+                      jnp.arctan2(im, re)) * jnp.float32(self.inv_deviation)
         return y, x[..., -1:]
 
 

@@ -64,17 +64,25 @@ class ShardedRadioPipeline:
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
-    def make_params(self, offsets_hz) -> dict:
+    def make_params(self, offsets_hz, squelch_level=None) -> dict:
+        """Same runtime-params contract as Radio.make_params (models/
+        radio.py:225): retunes and squelch-level changes NEVER recompile
+        the sharded step either."""
         offs = np.asarray(offsets_hz, np.float64)
         assert offs.shape == (self.C,), offs.shape
         omega = -offs * (_TWO_PI / self.samplerate)
-        return {
+        p = {
             "omega": jnp.asarray(omega, jnp.float32),
             "omega_span": jnp.asarray(np.mod(omega * 1024, _TWO_PI),
                                       jnp.float32),
             "omega_shard": jnp.asarray(np.mod(omega * self.t_local,
                                               _TWO_PI), jnp.float32),
         }
+        if self.radio.squelch_enabled:
+            lvl = squelch_level if squelch_level is not None \
+                else self.radio.squelch.default_level
+            p["squelch_level"] = jnp.float32(lvl)
+        return p
 
     def _demod_blocks(self):
         """(name, block, carry_batch_suffix, dtype) in apply order —
@@ -175,7 +183,7 @@ class ShardedRadioPipeline:
             total = jax.lax.psum(local_sum, ta)
             mean_amp = total / (tl_if * self.nt)
             power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
-            gate = (power_db >= r.squelch.default_level
+            gate = (power_db >= params["squelch_level"]
                     ).astype(jnp.float32)
             y = y * gate[..., None]
         if r.fmif_enabled:

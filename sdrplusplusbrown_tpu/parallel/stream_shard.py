@@ -45,11 +45,15 @@ def _broadcast_last_shard(value, axis_name: str):
     return jax.lax.psum(masked, axis_name)
 
 
-def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0):
+def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0,
+                  params=None):
     """Dispatch on block type; mirrors Block.apply but time-sharded.
 
     ``t_local`` (this shard's input length) is needed by index-dependent
-    blocks (FrequencyXlator's NCO phase, AGC's startup ramp).
+    blocks (FrequencyXlator's NCO phase, AGC's startup ramp).  ``params``
+    carries the block's runtime knobs with the same schema as its
+    unsharded ``apply`` (e.g. Squelch {"level": …}) so retunes never
+    recompile sharded configs either.
     """
     if isinstance(block, FrequencyXlator):
         # exact global phase: per-shard start = carry + ω·t_local·idx,
@@ -99,13 +103,15 @@ def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0):
         return _halo_block(block, block.bins - 1, x, axis_name, carry)
     if isinstance(block, Squelch):
         # whole-GLOBAL-block gate like the unsharded Squelch: mean |x|
-        # over all time shards via psum (default level; route params at
-        # the pipeline level for runtime control)
+        # over all time shards via psum; the level is a runtime param
+        # (same schema as Squelch.apply, ops/demod.py:77-82)
         size = jax.lax.axis_size(axis_name)
         total = jax.lax.psum(jnp.sum(jnp.abs(x), axis=-1), axis_name)
         mean_amp = total / (x.shape[-1] * size)
         power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
-        gate = (power_db >= block.default_level).astype(jnp.float32)
+        level = params["level"] if params \
+            else jnp.float32(block.default_level)
+        gate = (power_db >= level).astype(jnp.float32)
         return x * gate[..., None], carry
     if isinstance(block, NoiseBlanker):
         amp_in = jnp.abs(x).astype(jnp.float32)

@@ -131,3 +131,47 @@ def test_sharded_radio_with_spectrum(rng):
     assert spectra.shape == ref.shape
     np.testing.assert_allclose(np.asarray(spectra), np.asarray(ref),
                                rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_sharded_runtime_squelch_matches_unsharded(rng):
+    """Runtime squelch level flows through make_params on BOTH pipelines
+    (no recompile): with the gate above the signal level both outputs are
+    silenced; with it below, both pass — and they stay equal."""
+    fs = 240_000.0
+    mesh = make_mesh(4, 2)
+    radio = Radio(fs, DEMOD_NFM, pll_mode="normalize",
+                  squelch_enabled=True)
+    g = radio.in_multiple
+    t_local = ((12_000 + g - 1) // g) * g
+    pipe = ShardedRadioPipeline(fs, mesh, 4, t_local, DEMOD_NFM,
+                                squelch_enabled=True)
+    T = pipe.t_global
+    offsets = np.array([-80e3, -30e3, 30e3, 80e3])
+
+    def mod(i, n):
+        tone = 0.6 * np.sin(2 * np.pi * (500 + 300 * i) * n / fs)
+        ph = 2 * np.pi * np.cumsum(2500 * tone) / fs
+        return np.exp(1j * ph)
+
+    x = _wideband(rng, fs, T, offsets, mod)
+    xj = jnp.asarray(x)
+
+    step = jax.jit(lambda p, s, b: radio.apply(p, s, b))
+    blk = jnp.broadcast_to(xj[None, :], (4, T))
+    # the per-channel IF sits at ≈ −6 dB mean amplitude
+    for level, expect_audio in ((-3.0, False), (-60.0, True)):
+        y_s, _ = pipe.step(pipe.make_params(offsets, squelch_level=level),
+                           pipe.init_carry(), xj)
+        y_u, _ = step(radio.make_params(offsets, squelch_level=level),
+                      radio.init_state((4,)), blk)
+        y_s, y_u = np.asarray(y_s), np.asarray(y_u)
+        ta = y_u.shape[-1]
+        has_audio = float(np.mean(y_u[..., ta // 3:] ** 2)) > 1e-8
+        assert has_audio == expect_audio, (level, has_audio)
+        if expect_audio:
+            s = snr_db(y_u[..., y_u.shape[-1] // 3:],
+                       y_s[..., y_s.shape[-1] // 3:])
+            assert s > 40.0, s
+        else:
+            assert np.allclose(y_s, 0.0) and np.allclose(y_u, 0.0)
