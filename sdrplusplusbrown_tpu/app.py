@@ -457,6 +457,10 @@ class SDRApp:
         self.baseband_event: Event = Event()
         self.spectrum_event: Event = Event()
         self.module_com = ModuleComManager()
+        # sink layer: per-module streams with priority merger + secondary
+        # substreams + the StreamHook bus (reference SinkManager, sink.h)
+        from .runtime.sink import StreamRegistry
+        self.stream_registry = StreamRegistry()
 
         # TX hardware (reference trx.h; loopback for tests/headless)
         self.transmitter = None
@@ -571,11 +575,16 @@ class SDRApp:
         return True
 
     def select_sink(self, stream: str, sink: str) -> bool:
-        """Attach a sink to a module's audio stream: 'recorder' records
-        to WAV, 'null_audio_sink'/'None' discards (reference
+        """Attach a sink to a module's audio stream (or a secondary
+        substream 'Name__##N'): 'recorder' records to WAV,
+        'null_audio_sink'/'None' discards (reference
         SinkManager::setStreamSink, sink.h)."""
-        m = self.modules.get(stream)
+        from .runtime.sink import get_secondary_stream_index
+        base, idx = get_secondary_stream_index(stream)
+        m = self.modules.get(base)
         if not isinstance(m, RadioModuleInstance):
+            return False
+        if idx > 0 and self.stream_registry.get(stream) is None:
             return False
         old = self.sinks.pop(stream, None)
         if isinstance(old, WavRecorder):
@@ -587,10 +596,25 @@ class SDRApp:
                 f"sink_{stream}", self.frequency))
             self.sinks[stream] = WavRecorder(
                 path, m.radio.audio_samplerate, channels=2)
+            if idx > 0:
+                # substream sinks consume via the registry fan-out (the
+                # pump only writes base-stream sinks directly)
+                rec = self.sinks[stream]
+                s = self.stream_registry.get(stream)
+                s.bind(lambda blk, _r=rec: _r.write(blk))
         self.sink_sel[stream] = sink
         with self.config.acquire() as conf:
             conf.setdefault("sinks", {})[stream] = sink
         return True
+
+    def add_substream(self, base: str):
+        """Create 'base__##N' (reference sink.h:117-135)."""
+        if self.stream_registry.get(base) is None:
+            m = self.modules.get(base)
+            if not isinstance(m, RadioModuleInstance):
+                return None
+            self.stream_registry.register(base, m.radio.audio_samplerate)
+        return self.stream_registry.add_substream(base)
 
     def set_ifnr_enabled(self, enabled: bool):
         """Enable/disable the IF NR preprocessor at runtime, building it
@@ -758,14 +782,8 @@ class SDRApp:
                                 m.rds_state, rds_bb)
                             hv, vv = np.asarray(hard), np.asarray(valid)
                             m.rds_decoder.push_bits(hv[vv])
-                    # volume + level metering (reference: SinkManager's
-                    # per-stream volume block, sink.h:117-135)
                     audio = np.asarray(y)
                     m.level_meter.push(audio)
-                    if m.muted:
-                        audio = np.zeros_like(audio)
-                    elif m.volume != 1.0:
-                        audio = audio * m.volume
                     if m.afnr is not None:
                         try:
                             with m._mtx:
@@ -777,10 +795,27 @@ class SDRApp:
                         if audio.shape[-1] == 0:
                             continue
                     m.push_if_spectrum(bb_np)
-                    m.audio_event.emit(audio)
+                    # route through the sink layer: priority merger (TX
+                    # inject preempts) → volume/mute → fan-out (reference
+                    # SinkManager::Stream, sink.h:30-92)
+                    from .runtime.sink import StreamHook, PRIO_DEMOD
+                    stream = self.stream_registry.get(m.name)
+                    if stream is None:
+                        stream = self.stream_registry.register(
+                            m.name, m.radio.audio_samplerate)
+                    stream.volume = m.volume
+                    stream.muted = m.muted
                     sink = self.sinks.get(m.name)
-                    if isinstance(sink, WavRecorder):
-                        sink.write(audio)
+                    for blk in stream.push_demod(audio):
+                        m.audio_event.emit(blk)
+                        if isinstance(sink, WavRecorder):
+                            sink.write(blk)
+                    self.stream_registry.publish(StreamHook(
+                        source=m.name,
+                        source_type=StreamHook.SOURCE_DEMOD_OUTPUT,
+                        priority=PRIO_DEMOD,
+                        samplerate=m.radio.audio_samplerate,
+                        stereo_data=audio))
                 self.input_tracker.add(len(chunk))
                 self.blocks_processed += 1
         self.main_loop_started = True

@@ -156,10 +156,26 @@ class HttpDebugServer:
                 ["null_audio_sink", "recorder"]))})
             return
         if path == "/streams":
+            names = list(app.modules)
+            for n in app.stream_registry.names():
+                if n not in names:
+                    names.append(n)
             h._json({"streams": [
                 {"name": name, "sink": app.sink_sel.get(
                     name, "null_audio_sink")}
-                for name in app.modules]})
+                for name in names]})
+            return
+        if path == "/stream/add_substream":
+            try:
+                j = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                h._json({"error": "invalid JSON body"})
+                return
+            s = app.add_substream(j.get("stream", "Radio"))
+            if s is None:
+                h._json({"error": "cannot add substream"})
+                return
+            h._json({"status": "ok", "name": s.name})
             return
         if path == "/sink/select":
             try:
@@ -169,7 +185,8 @@ class HttpDebugServer:
                 return
             stream = j.get("stream", "Radio")
             sink = j.get("sink", "None")
-            if stream not in app.modules:
+            if stream not in app.modules \
+                    and app.stream_registry.get(stream) is None:
                 h._json({"error": f"stream '{stream}' not found"})
                 return
             if not app.select_sink(stream, sink):

@@ -131,7 +131,7 @@ def test_recorder_records_audio(tmp_path):
         assert r["status"] == "ok"
         path = r["path"]
         b0 = app.blocks_processed
-        while app.blocks_processed < b0 + 3 and time.time() < deadline:
+        while app.blocks_processed < b0 + 5 and time.time() < deadline:
             time.sleep(0.2)
         rec.handle_debug_command("stop", "")
         y, rate = read_wav_iq(path)
