@@ -527,6 +527,11 @@ class SDRApp:
                 from .modules.m17_module import M17DecoderModule
                 self.modules[name] = M17DecoderModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "tci_server":
+                from .modules.tci_module import TCIServerModule
+                self.modules[name] = TCIServerModule(
+                    name, self, port=mc.get("port", 0),
+                    vfo=mc.get("vfo", "Radio"))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule

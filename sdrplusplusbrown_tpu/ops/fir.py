@@ -38,15 +38,19 @@ _DN = jax.lax.ConvDimensionNumbers(
 #: conv_general_dilated (1-2 feature channels — XLA pads them onto the
 #: 128-wide MXU), "toeplitz" lowers to a dense [rows, tile+K-1] ×
 #: [tile+K-1, tile] banded-matmul that fills the MXU, "pallas" uses the
-#: hand kernel in ops/pallas_fir.py.  Selectable globally because the
-#: best choice is hardware/size dependent.
-_FIR_BACKEND = "conv"
+#: hand kernel in ops/pallas_fir.py.  "auto" (default) picks by shape
+#: from the recorded TPU cost_analysis study (docs/fir_backend.md):
+#: all three are HBM-bound, and the pallas kernel moves ~9× fewer bytes
+#: than conv at small/medium channel counts, while conv's traffic wins
+#: at very wide batches — so auto = pallas for batch ≤ 64, conv above.
+_FIR_BACKEND = "auto"
 _TOEPLITZ_TILE = 512
+_AUTO_PALLAS_MAX_BATCH = 64
 
 
 def set_fir_backend(name: str):
     global _FIR_BACKEND
-    assert name in ("conv", "toeplitz", "pallas"), name
+    assert name in ("auto", "conv", "toeplitz", "pallas"), name
     _FIR_BACKEND = name
 
 
@@ -116,9 +120,16 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
 
     if stride == 1 and not taps_c and _FIR_BACKEND != "conv" \
             and W - (K - 1) >= 128 and K - 1 <= _TOEPLITZ_TILE:
-        if _FIR_BACKEND == "toeplitz":
+        backend = _FIR_BACKEND
+        if backend == "auto":
+            batch = int(np.prod(lead)) if lead else 1
+            on_tpu = jax.default_backend() not in ("cpu",)
+            backend = "pallas" if (on_tpu and
+                                   batch <= _AUTO_PALLAS_MAX_BATCH) \
+                else "conv"
+        if backend == "toeplitz":
             return _correlate_toeplitz(x, np.asarray(taps))
-        if _FIR_BACKEND == "pallas":
+        if backend == "pallas":
             from .pallas_fir import fir_apply_any
             return fir_apply_any(x, np.asarray(taps))
 
