@@ -12,8 +12,11 @@ compressed IQ over the network).  The TPU-native equivalent
   * each host feeds only its local time-shard of the wideband IQ
     (``feed_time_sharded`` builds the global array from per-host data
     without gathering — the DCN never carries baseband);
-  * host↔device transfer thinning reuses the network compression ideas
-    (int8 quantize / EFFT masking, ops/compression.py) verbatim.
+  * host↔device transfer thinning reuses the network compression ladder
+    (int8 quantize / EFFT masking): ``io/feed.py DeviceFeed`` compresses
+    on the host and decompresses in-graph on device
+    (ops/efft_jax.efft_decompress_j); the device→host direction masks on
+    device with ops/efft_jax.EFFTCompressorJax.
 
 Single-host multi-chip works through the same API (process_count == 1),
 which is how the test suite and the driver's dryrun exercise it.
