@@ -499,6 +499,8 @@ class SDRApp:
                 self.modules[name] = FT8DecoderModule(
                     name, self, stream=mc.get("stream", "Radio"),
                     decoder_cmd=mc.get("decoder_cmd"),
+                    decoder_style=mc.get("decoder_style", "pipe"),
+                    mode=mc.get("mode", "FT8"),
                     window_seconds=mc.get("window_seconds", 15.0))
             elif mtype == "iq_exporter":
                 from .modules.iq_exporter import IQExporterModule

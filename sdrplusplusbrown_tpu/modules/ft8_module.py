@@ -20,7 +20,8 @@ import numpy as np
 
 from ..app import ModuleInstance, RadioModuleInstance
 from ..runtime.window_decoder import (WindowedDecodeRunner,
-                                      run_external_decoder)
+                                      run_external_decoder,
+                                      run_mshv_decoder)
 from ..ops.resampler import RationalResampler
 from ..utils.flog import flog
 
@@ -31,12 +32,17 @@ FT8_RATE = 12_000.0     # MSHV decoder input rate
 class FT8DecoderModule(ModuleInstance):
     def __init__(self, name: str, app, stream: str = "Radio",
                  decoder_cmd: Optional[List[str]] = None,
+                 decoder_style: str = "pipe", mode: str = "FT8",
                  window_seconds: float = FT8_WINDOW_S,
                  max_workers: int = 4):
         super().__init__(name)
         self.app = app
         self.stream = stream
         self.decoder_cmd = decoder_cmd
+        #: "mshv" = the reference sdrpp_ft8_mshv file contract
+        #: (ft8_decoder.h:196-312); "pipe" = float32-on-stdin
+        self.decoder_style = decoder_style
+        self.mode = mode
         self.decodes: List[dict] = []
         import jax
         self._resamp = RationalResampler(48_000.0, FT8_RATE)
@@ -86,6 +92,9 @@ class FT8DecoderModule(ModuleInstance):
             self.runner.push(samples)
 
     def _decode(self, window: np.ndarray, samplerate: float, t0: int):
+        if self.decoder_cmd and self.decoder_style == "mshv":
+            return run_mshv_decoder(list(self.decoder_cmd), window,
+                                    samplerate, mode=self.mode)
         if self.decoder_cmd:
             return run_external_decoder(list(self.decoder_cmd), window,
                                         samplerate)
@@ -99,6 +108,10 @@ class FT8DecoderModule(ModuleInstance):
 
     def _on_result(self, lines, t0: int):
         for line in lines:
+            if isinstance(line, dict):      # mshv record
+                self.decodes.append({"t0": t0 / FT8_RATE, **line,
+                                     "text": line.get("message", "")})
+                continue
             self.decodes.append({"t0": t0 / FT8_RATE, "text": str(line)})
         self.decodes = self.decodes[-200:]
         if lines:

@@ -27,13 +27,95 @@ import numpy as np
 def run_external_decoder(cmd: List[str], audio: np.ndarray,
                          samplerate: float, timeout: float = 60.0):
     """Pipe float32 mono audio to an external decoder executable; return
-    its stdout lines (reference: sdrpp_ft8_mshv subprocess contract)."""
+    its stdout lines (simple pipe contract for Python-side decoders)."""
     proc = subprocess.run(
         cmd + [str(int(samplerate))],
         input=np.asarray(audio, np.float32).tobytes(),
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         timeout=timeout)
     return proc.stdout.decode(errors="replace").splitlines()
+
+
+def parse_mshv_line(line: str) -> Optional[dict]:
+    """Parse one decoder output line (reference ft8_decoder.h:262-296:
+    tab-split; FT8_OUT/FT4_OUT records take fields 4,6,8,10,12,14,16,18).
+    """
+    t = line.split("\t")
+    if t[0] in ("FT8_OUT", "FT4_OUT") and len(t) > 18:
+        keys = ("when_ms", "snr", "dt", "freq", "message",
+                "info", "dt2", "freq2")
+        return {"type": t[0], **{k: t[i] for k, i in
+                                 zip(keys, range(4, 19, 2))}}
+    if t[0] == "ERROR" and len(t) > 1:
+        return {"type": "ERROR", "message": t[1]}
+    if t[0] == "DECODE_EOF":
+        return {"type": "DECODE_EOF"}
+    return None
+
+
+def run_mshv_decoder(cmd: List[str], audio: np.ndarray,
+                     samplerate: float, mode: str = "FT8",
+                     threads: int = 1, timeout: float = 30.0,
+                     workdir: Optional[str] = None) -> List[dict]:
+    """Reference-faithful ``sdrpp_ft8_mshv`` exec contract
+    (ft8_decoder.h:196-312): write the window to a WAV file, spawn
+
+        <decoder> <outPath> --decode <wavPath> --mode <FT8|FT4>
+                  --threads <n>
+
+    and POLL <outPath> while the decoder runs, collecting
+    FT8_OUT/FT4_OUT/ERROR tab-separated records until DECODE_EOF (or
+    timeout; the reference caps at 20 s, ft8_decoder.h:217)."""
+    import os
+    import tempfile
+    import time as _time
+    from ..io.wav import write_wav
+
+    d = workdir or tempfile.mkdtemp(prefix="mshv_")
+    os.makedirs(d, exist_ok=True)
+    wav_path = os.path.join(d, "window.wav")
+    out_path = os.path.join(d, "decode.out")
+    write_wav(wav_path, np.asarray(audio, np.float32),
+              samplerate, bits=16)
+    if os.path.exists(out_path):
+        os.unlink(out_path)
+    argv = list(cmd) + [out_path, "--decode", wav_path,
+                        "--mode", mode, "--threads", str(int(threads))]
+    proc = subprocess.Popen(argv, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    results: List[dict] = []
+    nsent = 0
+    deadline = _time.monotonic() + timeout
+    finished = False
+    try:
+        while not finished and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+            if proc.poll() is not None and proc.returncode != 0:
+                results.append({"type": "ERROR",
+                                "message": "decoder exec failed"})
+                break
+            try:
+                with open(out_path, "r", errors="replace") as f:
+                    lines = [ln for ln in f.read().split("\n")
+                             if ln.split("\t")[0] in
+                             ("FT8_OUT", "FT4_OUT", "ERROR",
+                              "DECODE_EOF")]
+            except FileNotFoundError:
+                continue
+            for ln in lines[nsent:]:
+                rec = parse_mshv_line(ln)
+                if rec is None:
+                    continue
+                if rec["type"] == "DECODE_EOF":
+                    finished = True
+                    break
+                results.append(rec)
+            nsent = len(lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    return results
 
 
 class WindowedDecodeRunner:
