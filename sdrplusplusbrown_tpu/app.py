@@ -534,6 +534,11 @@ class SDRApp:
                 self.modules[name] = TCIServerModule(
                     name, self, port=mc.get("port", 0),
                     vfo=mc.get("vfo", "Radio"))
+            elif mtype == "weather_sat_decoder":
+                from .modules.weather_sat_module import \
+                    WeatherSatDecoderModule
+                self.modules[name] = WeatherSatDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
