@@ -539,6 +539,12 @@ class SDRApp:
                     WeatherSatDecoderModule
                 self.modules[name] = WeatherSatDecoderModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "ryfi_decoder":
+                from .modules.ryfi_module import RyfiDecoderModule
+                self.modules[name] = RyfiDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0),
+                    baudrate=mc.get("baudrate", 720_000.0),
+                    channel_sr=mc.get("channel_sr", 1_500_000.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
