@@ -545,6 +545,10 @@ class SDRApp:
                     name, self, offset_hz=mc.get("offset", 0.0),
                     baudrate=mc.get("baudrate", 720_000.0),
                     channel_sr=mc.get("channel_sr", 1_500_000.0))
+            elif mtype == "atv_decoder":
+                from .modules.atv_module import ATVDecoderModule
+                self.modules[name] = ATVDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
