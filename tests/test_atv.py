@@ -64,7 +64,9 @@ def test_atv_rf_loopback(rng):
     """AM (negative modulation) → front end → line sync → image."""
     pattern = (0.5 + 0.4 * np.sin(
         2 * np.pi * np.arange(A.VISIBLE_W) / 128.0)).astype(np.float32)
-    sig, _ = _signal(pattern, n_normal=60, reps=2, rng=rng)
+    # the level servo's time constant is ~1000 lines (64 ms of PAL);
+    # send ~1.6 s-of-lines so it converges like in real reception
+    sig, _ = _signal(pattern, n_normal=90, reps=12, rng=rng)
     # negative AM: carrier amplitude falls with signal level
     amp = 0.8 - 0.45 * sig
     iq = (amp * np.exp(1j * 0.3)).astype(np.complex64)
@@ -77,10 +79,10 @@ def test_atv_rf_loopback(rng):
     fa = A.FrameAssembler()
     for line in ls.push(np.asarray(v)):
         fa.push_line(line)
-    # the lock counter saturates at +1/line; ~272 lines are sent
-    assert ls.locked > 220, ls.locked
+    assert ls.locked > 750, ls.locked
     # level servo normalized the sync/blank levels
     assert 0.1 < fa.gain < 10.0
+    assert fa.frames >= 1, fa.frames
     img = fa.image
     rows = img[img.max(axis=1) > 40]
     assert len(rows) > 50, len(rows)
