@@ -549,6 +549,10 @@ class SDRApp:
                 from .modules.atv_module import ATVDecoderModule
                 self.modules[name] = ATVDecoderModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "falcon9_decoder":
+                from .modules.falcon9_module import Falcon9DecoderModule
+                self.modules[name] = Falcon9DecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule

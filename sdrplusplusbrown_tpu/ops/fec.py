@@ -11,6 +11,7 @@ rates, like the reference's CPU path).
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 import jax
@@ -269,3 +270,200 @@ def _pow(a, nexp):
     if a == 0:
         return 0
     return int(_EXP[(_LOG[a] * nexp) % 255])
+
+
+# ----------------------------------------------------------------------
+# Generalized Reed-Solomon (parameterized field poly / first root / root
+# gap) — the CCSDS configurations libcorrect exposes, e.g. the Falcon-9
+# downlink's RS(255,239) with prim poly 0x187, fcr=120, gap=11
+# (reference: decoder_modules/falcon9_decoder/src/falcon_fec.h:96).
+
+class ReedSolomon:
+    """RS(255, 255−nroots) over GF(256) with roots α^(fcr+i·gap).
+
+    The gap≠1 case is solved by substitution: with β = α^gap (primitive
+    when gcd(gap,255)=1) the syndromes S_i = Σ Y_k·Z_k^i are a standard
+    BM problem over Z_k = X_k^gap with Y_k = e_k·X_k^fcr; positions
+    come back through X_k = Z_k^(gap⁻¹ mod 255).
+    """
+
+    def __init__(self, nroots: int = 16, fcr: int = 120, gap: int = 11,
+                 prim_poly: int = 0x187):
+        assert math.gcd(gap, 255) == 1, gap
+        self.nroots = int(nroots)
+        self.fcr = int(fcr)
+        self.gap = int(gap)
+        self.exp = np.zeros(512, np.int32)
+        self.log = np.zeros(256, np.int32)
+        x = 1
+        for i in range(255):
+            self.exp[i] = x
+            self.log[x] = i
+            x <<= 1
+            if x & 0x100:
+                x ^= prim_poly
+        self.exp[255:510] = self.exp[:255]
+        self.gap_inv = pow(gap, -1, 255)
+        # generator polynomial (highest-order first)
+        g = [1]
+        for i in range(nroots):
+            r = self._pow_a(fcr + i * gap)
+            g = self._poly_mul(g, [1, r])
+        self.gen = g
+
+    # -- GF helpers -----------------------------------------------------
+    def _mul(self, a, b):
+        if a == 0 or b == 0:
+            return 0
+        return int(self.exp[(self.log[a] + self.log[b]) % 255])
+
+    def _inv(self, a):
+        return int(self.exp[(255 - self.log[a]) % 255])
+
+    def _pow_a(self, e):
+        return int(self.exp[e % 255])
+
+    def _poly_mul(self, p, q):
+        r = [0] * (len(p) + len(q) - 1)
+        for i, a in enumerate(p):
+            for j, b in enumerate(q):
+                r[i + j] ^= self._mul(a, b)
+        return r
+
+    def _poly_eval(self, p, x):
+        y = 0
+        for c in p:
+            y = self._mul(y, x) ^ int(c)
+        return y
+
+    # -- codec ----------------------------------------------------------
+    def encode(self, data: bytes) -> bytes:
+        assert len(data) == 255 - self.nroots
+        rem = [0] * self.nroots
+        for b in data:
+            factor = b ^ rem[0]
+            rem = rem[1:] + [0]
+            if factor:
+                for i in range(self.nroots):
+                    rem[i] ^= self._mul(self.gen[i + 1], factor)
+        return bytes(data) + bytes(rem)
+
+    def decode(self, block: bytes) -> Optional[bytes]:
+        msg = list(block)
+        n = len(msg)
+        assert n == 255
+        synd = [self._poly_eval(msg, self._pow_a(self.fcr + i * self.gap))
+                for i in range(self.nroots)]
+        if max(synd) == 0:
+            return bytes(block[:-self.nroots])
+
+        # Berlekamp-Massey over Z (coefficients highest-order first)
+        err_loc, old_loc = [1], [1]
+        for i in range(self.nroots):
+            old_loc.append(0)
+            delta = synd[i]
+            for j in range(1, len(err_loc)):
+                delta ^= self._mul(err_loc[-(j + 1)], synd[i - j])
+            if delta != 0:
+                if len(old_loc) > len(err_loc):
+                    new_loc = [self._mul(c, delta) for c in old_loc]
+                    old_loc = [self._mul(c, self._inv(delta))
+                               for c in err_loc]
+                    err_loc = new_loc
+                scaled = [self._mul(c, delta) for c in old_loc]
+                r = [0] * max(len(err_loc), len(scaled))
+                r[len(r) - len(err_loc):] = err_loc
+                for k, c in enumerate(scaled):
+                    r[k + len(r) - len(scaled)] ^= c
+                err_loc = r
+        while err_loc and err_loc[0] == 0:
+            err_loc.pop(0)
+        n_err = len(err_loc) - 1
+        if n_err * 2 > self.nroots:
+            return None
+
+        # Chien search over Z = X^gap: codeword position p (0 = first
+        # byte) has X = α^(n-1-p), Z = X^gap.
+        Z, pos = [], []
+        for p in range(n):
+            xp = (n - 1 - p) % 255
+            z = self._pow_a(xp * self.gap)
+            if self._poly_eval(err_loc, self._inv(z)) == 0:
+                Z.append(z)
+                pos.append(p)
+        if len(pos) != n_err:
+            return None
+
+        # Forney over Z (roots at Z_k⁻¹): Ω(x) = S(x)·Λ(x) mod x^n_err
+        def conv_low(p, q):
+            r = [0] * (len(p) + len(q) - 1)
+            for a, pa in enumerate(p):
+                for b, qb in enumerate(q):
+                    r[a + b] ^= self._mul(pa, qb)
+            return r
+
+        eloc_low = [1]
+        for z in Z:
+            eloc_low = conv_low(eloc_low, [1, z])
+        omega_low = conv_low(synd, eloc_low)[:n_err]
+
+        def eval_low(p, y):
+            acc, yp = 0, 1
+            for c in p:
+                acc ^= self._mul(c, yp)
+                yp = self._mul(yp, y)
+            return acc
+
+        out = list(msg)
+        for k, p in enumerate(pos):
+            zk_inv = self._inv(Z[k])
+            prod = 1
+            for j in range(len(Z)):
+                if j != k:
+                    prod = self._mul(prod, 1 ^ self._mul(Z[j], zk_inv))
+            if prod == 0:
+                return None
+            Yk = self._mul(eval_low(omega_low, zk_inv),
+                           self._inv(prod))
+            # e = Y / X^fcr with X = α^(n-1-p)
+            xp = (n - 1 - p) % 255
+            e = self._mul(Yk, self._inv(self._pow_a(xp * self.fcr)))
+            out[p] ^= e
+        synd2 = [self._poly_eval(out,
+                                 self._pow_a(self.fcr + i * self.gap))
+                 for i in range(self.nroots)]
+        if max(synd2) != 0:
+            return None
+        return bytes(out[:-self.nroots])
+
+
+def ccsds_randomizer(n: int = 255) -> np.ndarray:
+    """CCSDS 131.0-B pseudo-randomizer bytes (x⁸+x⁷+x⁵+x³+1, all-ones
+    seed) — reference falcon_fec.h randVals regenerated from the spec."""
+    bits = [1] * 8
+    for i in range(n * 8):
+        bits.append(bits[i] ^ bits[i + 3] ^ bits[i + 5] ^ bits[i + 7])
+    return np.array([int("".join(map(str, bits[i * 8:(i + 1) * 8])), 2)
+                     for i in range(n)], np.uint8)
+
+
+# CCSDS dual-basis (Berlekamp) transform: a GF(2)-linear map, generated
+# from its 8 basis images (reference falcon_fec.h toDB/fromDB tables are
+# exactly this map and its inverse).
+_DUAL_BASIS_IMAGES = (0x7B, 0xAF, 0x99, 0xFA, 0x86, 0xEC, 0xEF, 0x8D)
+
+
+def _dual_tables():
+    to_db = np.zeros(256, np.uint8)
+    for x in range(256):
+        v = 0
+        for k in range(8):
+            if x & (1 << k):
+                v ^= _DUAL_BASIS_IMAGES[k]
+        to_db[x] = v
+    from_db = np.zeros(256, np.uint8)
+    from_db[to_db] = np.arange(256, dtype=np.uint8)
+    return to_db, from_db
+
+
+TO_DUAL_BASIS, FROM_DUAL_BASIS = _dual_tables()
