@@ -553,6 +553,14 @@ class SDRApp:
                 from .modules.falcon9_module import Falcon9DecoderModule
                 self.modules[name] = Falcon9DecoderModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "dab_decoder":
+                from .modules.dab_module import DABDecoderModule
+                self.modules[name] = DABDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "kg_sstv_decoder":
+                from .modules.kg_sstv_module import KGSSTVDecoderModule
+                self.modules[name] = KGSSTVDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
