@@ -561,6 +561,26 @@ class SDRApp:
                 from .modules.kg_sstv_module import KGSSTVDecoderModule
                 self.modules[name] = KGSSTVDecoderModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "websdr_view":
+                from .modules.websdr_module import WebSDRViewModule
+                self.modules[name] = WebSDRViewModule(
+                    name, self, receivers=mc.get("receivers"),
+                    receive_duration=mc.get("receive_duration", 30.0))
+            elif mtype == "reports_monitor":
+                from .modules.reports_monitor import ReportsMonitorModule
+                self.modules[name] = ReportsMonitorModule(
+                    name, self, callsign=mc.get("callsign", ""),
+                    rbn_host=mc.get("rbn_host",
+                                    "telnet.reversebeacon.net"),
+                    rbn_port=mc.get("rbn_port", 7000),
+                    autostart_rbn=mc.get("autostart_rbn", False))
+            elif mtype == "discord_integration":
+                from .modules.discord_module import \
+                    DiscordIntegrationModule
+                self.modules[name] = DiscordIntegrationModule(
+                    name, self, vfo=mc.get("vfo", "Radio"),
+                    webhook_url=mc.get("webhook_url", ""),
+                    interval_s=mc.get("interval_s", 10.0))
             elif mtype == "signal_detector":
                 from .modules.signal_detector_module import \
                     SignalDetectorModule
