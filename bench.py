@@ -192,13 +192,15 @@ def build_wfm8():
         .astype(np.complex64) * 0.1
 
     offsets = np.linspace(-1.0e6, 1.0e6, C)
-    params = radio.make_params(offsets)
-    state = radio.init_state((C,))
+    # shared-wideband path: the mix-down is fused into the first
+    # halfband so the 2.4 MS/s stream is read once, not C times
+    # (ops/fused_frontend.py; equality test in tests/test_fused_frontend.py)
+    params = radio.make_params_shared(offsets)
+    state = radio.init_state_shared(C)
 
     def step(params, state, xw):
         spectra, _ = spectrum.apply(None, None, xw)
-        xb = jnp.broadcast_to(xw[None, :], (C, T))
-        audio, new_state = radio.apply(params, state, xb)
+        audio, new_state = radio.apply_shared(params, state, xw)
         return (audio, spectra), new_state
 
     return step, params, state, jnp.asarray(x), T

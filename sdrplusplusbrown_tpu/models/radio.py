@@ -264,3 +264,74 @@ class Radio(Block):
     # convenience: jitted step
     def jit_step(self):
         return jax.jit(lambda p, s, x: self.apply(p, s, x))
+
+
+def _radio_shared_mixin():
+    """Attach the shared-wideband path to Radio (kept out of the class
+    body only to stay below; see SharedRxVFOBank in models/rx_vfo.py)."""
+
+
+def _build_vfo_shared(self):
+    from .rx_vfo import SharedRxVFOBank
+    if getattr(self, "_vfo_shared", None) is None:
+        self._vfo_shared = SharedRxVFOBank(
+            self.vfo.in_samplerate, self.vfo.out_samplerate,
+            self.vfo.bandwidth)
+    return self._vfo_shared
+
+
+def make_params_shared(self, offsets_hz, squelch_level=None):
+    """Runtime params for apply_shared (same retune contract)."""
+    vs = self._build_vfo_shared()
+    p = {"vfo": vs.make_params(np.asarray(offsets_hz, np.float64))}
+    if self.squelch_enabled:
+        lvl = squelch_level if squelch_level is not None \
+            else self.squelch.default_level
+        p["squelch"] = {"level": jnp.float32(lvl)}
+    return p
+
+
+def init_state_shared(self, C: int):
+    vs = self._build_vfo_shared()
+    st = self.init_state((C,))
+    st["vfo"] = vs.init_state(C)
+    return st
+
+
+def apply_shared(self, params, state, x):
+    """x: [T] SHARED wideband → same outputs as apply() on a C-broadcast
+    copy, but the full-rate mix-down is fused into the first halfband
+    (ops/fused_frontend.py) so the wideband is read once."""
+    if x.shape[-1] % self.in_multiple:
+        raise ValueError(
+            f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
+            f"be a multiple of in_multiple={self.in_multiple}")
+    vs = self._build_vfo_shared()
+    st = dict(state)
+    y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
+    if self.nb_enabled:
+        y, st["nb"] = self.nb.apply(None, state["nb"], y)
+    if self.squelch_enabled:
+        y, _ = self.squelch.apply(params.get("squelch"), None, y)
+    if self.fmif_enabled:
+        y, st["fmif"] = self.fmif.apply(None, state["fmif"], y)
+    y, st["demod"] = self.demod.apply(None, state["demod"], y)
+    rds = None
+    if isinstance(y, tuple):
+        y, rds = y
+    if self.af_resamp is not None:
+        y, st["af_resamp"] = self.af_resamp.apply(
+            None, state["af_resamp"], y)
+    if self.deemp is not None:
+        y, st["deemp"] = self.deemp.apply(None, state["deemp"], y)
+    if not self.demod_stereo:
+        y = jnp.stack([y, y], axis=-2)
+    if rds is not None:
+        return (y, rds), st
+    return y, st
+
+
+Radio._build_vfo_shared = _build_vfo_shared
+Radio.make_params_shared = make_params_shared
+Radio.init_state_shared = init_state_shared
+Radio.apply_shared = apply_shared

@@ -53,22 +53,23 @@ class RadioBank:
             if self.radios else 1
 
     def init_state(self):
-        return {d: r.init_state((len(self.groups[d]),))
+        return {d: r.init_state_shared(len(self.groups[d]))
                 for d, r in self.radios.items()}
 
     def make_params(self):
-        return {d: r.make_params(
+        return {d: r.make_params_shared(
             np.array([v.offset_hz for v in self.groups[d]]))
             for d, r in self.radios.items()}
 
     def apply(self, params, state, x):
-        """x: [T] wideband → dict demod_id → ([C_d, 2, T_out_d], ...)."""
+        """x: [T] wideband → dict demod_id → ([C_d, 2, T_out_d], ...).
+
+        Uses the shared-wideband fused front end (ops/fused_frontend.py):
+        each mode group reads the wideband once, not C_d times."""
         outs = {}
         new_state = {}
         for d, radio in self.radios.items():
-            C = len(self.groups[d])
-            xb = jnp.broadcast_to(x[None, :], (C, x.shape[-1]))
-            y, new_state[d] = radio.apply(params[d], state[d], xb)
+            y, new_state[d] = radio.apply_shared(params[d], state[d], x)
             outs[d] = y
         return outs, new_state
 

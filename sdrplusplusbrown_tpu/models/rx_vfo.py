@@ -65,3 +65,79 @@ class RxVFO(Block):
         if self.filter_needed:
             y, st["fir"] = self.fir.apply(None, state["fir"], y)
         return y, st
+
+
+class SharedRxVFOBank(Block):
+    """RxVFO over a SHARED wideband: the per-channel mix-down is folded
+    into the first predecimation halfband (ops/fused_frontend.py), so
+    the full-rate wideband is read once instead of C times.
+
+    Produces bit-near (~90 dB) the same output as broadcasting the
+    wideband into a batched RxVFO; the remaining (decimated-rate) chain
+    reuses the exact same blocks.
+    """
+
+    def __init__(self, in_samplerate: float, out_samplerate: float,
+                 bandwidth: float):
+        from ..ops.fused_frontend import SharedXlateDecimFIR, fused_params
+        self.base = RxVFO(in_samplerate, out_samplerate, bandwidth)
+        self.in_samplerate = float(in_samplerate)
+        self._fused_params = fused_params
+        blocks = self.base.resamp.chain.named_blocks
+        self.has_predec = bool(blocks) and blocks[0][0] == "decim"
+        if self.has_predec:
+            stage0 = blocks[0][1].stages[0]
+            self.fused = SharedXlateDecimFIR(stage0.taps,
+                                             in_samplerate, stage0.decim)
+            self.rest_decim = blocks[0][1].stages[1:]
+        else:
+            # no predecimation to fold into — plain broadcast path
+            self.fused = None
+            self.rest_decim = []
+        self.rest = [(n, b) for n, b in blocks if n != "decim"]
+        self.ratio = self.base.ratio
+        self.in_multiple = self.base.in_multiple
+        self.filter_needed = self.base.filter_needed
+
+    def make_params(self, offsets_hz):
+        if self.fused is None:
+            return {"xl": self.base.make_params(offsets_hz)["xl"]}
+        return {"fused": self._fused_params(
+            np.asarray(offsets_hz, np.float64), self.in_samplerate,
+            self.fused.decim)}
+
+    def init_state(self, C: int):
+        st = {}
+        if self.fused is None:
+            st["xl"] = self.base.xlator.init_state((C,))
+        else:
+            st["fused"] = self.fused.init_state((C,))
+            st["rest_decim"] = [s.init_state((C,))
+                                for s in self.rest_decim]
+        for n, b in self.rest:
+            st[n] = b.init_state((C,))
+        if self.filter_needed:
+            st["fir"] = self.base.fir.init_state((C,))
+        return st
+
+    def apply(self, params, state, x):
+        """x: [T] shared wideband → ([C, T_out], state')."""
+        st = dict(state)
+        if self.fused is None:
+            C = params["xl"]["omega"].shape[0]
+            xb = jnp.broadcast_to(x[None, :], (C, x.shape[-1]))
+            y, st["xl"] = self.base.xlator.apply(params["xl"],
+                                                 state["xl"], xb)
+        else:
+            y, st["fused"] = self.fused.apply(params["fused"],
+                                              state["fused"], x)
+            new_rd = []
+            for blk, s in zip(self.rest_decim, state["rest_decim"]):
+                y, ns = blk.apply(None, s, y)
+                new_rd.append(ns)
+            st["rest_decim"] = new_rd
+        for n, b in self.rest:
+            y, st[n] = b.apply(None, state[n], y)
+        if self.filter_needed:
+            y, st["fir"] = self.base.fir.apply(None, state["fir"], y)
+        return y, st
