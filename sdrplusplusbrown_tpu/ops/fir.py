@@ -133,6 +133,19 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
             from .pallas_fir import fir_apply_any
             return fir_apply_any(x, np.asarray(taps))
 
+    # Decimating stages: XLA's conv lowering moves ~9× the operand bytes
+    # for 1-2 feature dims (docs/fir_backend.md), so on TPU route them
+    # through the strided-banded-matmul pallas kernel.
+    if stride > 1 and not taps_c \
+            and _FIR_BACKEND in ("auto", "pallas") \
+            and (W - (K - 1)) % stride == 0 \
+            and (W - (K - 1)) // stride >= 128:
+        batch = int(np.prod(lead)) if lead else 1
+        if jax.default_backend() not in ("cpu",) \
+                and batch <= _AUTO_PALLAS_MAX_BATCH:
+            from .pallas_fir import fir_decim_apply_any
+            return fir_decim_apply_any(x, np.asarray(taps), stride)
+
     if not x_c and not taps_c:
         xf = x.reshape((-1, 1, W)).astype(jnp.float32)
         ker = jnp.asarray(taps, jnp.float32).reshape((1, 1, K))

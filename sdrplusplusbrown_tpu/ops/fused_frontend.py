@@ -90,17 +90,32 @@ class SharedXlateDecimFIR(Block):
         gr = h * jnp.cos(ang)
         gi = h * jnp.sin(ang)
 
-        # one strided conv of the shared wideband: features (re, im),
-        # outputs (re_c, im_c) interleaved
-        xf = jnp.stack([jnp.real(ext), jnp.imag(ext)])[None]  # [1,2,L]
-        kern = jnp.zeros((2 * C, 2, K), jnp.float32)
-        kern = kern.at[0::2, 0].set(gr).at[0::2, 1].set(-gi)
-        kern = kern.at[1::2, 0].set(gi).at[1::2, 1].set(gr)
-        y = jax.lax.conv_general_dilated(
-            xf, kern, window_strides=(D,), padding="VALID",
-            dimension_numbers=_DN,
-            preferred_element_type=jnp.float32)[0]   # [2C, M]
-        pre = jax.lax.complex(y[0::2], y[1::2])      # [C, M]
+        from .fir import get_fir_backend, _AUTO_PALLAS_MAX_BATCH
+        use_pallas = (get_fir_backend() in ("auto", "pallas")
+                      and jax.default_backend() not in ("cpu",)
+                      and C <= _AUTO_PALLAS_MAX_BATCH
+                      and K <= 128 and T // D >= 128)
+        if use_pallas:
+            # window-matrix kernel: the shared wideband is DMA'd once
+            # per super-tile and all C channels come from one MXU matmul
+            # (ops/pallas_fir.fused_mix_decim_apply)
+            from .pallas_fir import fused_mix_decim_apply
+            g = jnp.zeros((2 * C, 2 * K), jnp.float32)
+            g = g.at[0::2, :K].set(gr).at[0::2, K:].set(-gi)
+            g = g.at[1::2, :K].set(gi).at[1::2, K:].set(gr)
+            pre = fused_mix_decim_apply(ext, g, D)
+        else:
+            # one strided conv of the shared wideband: features (re,
+            # im), outputs (re_c, im_c) interleaved
+            xf = jnp.stack([jnp.real(ext), jnp.imag(ext)])[None]
+            kern = jnp.zeros((2 * C, 2, K), jnp.float32)
+            kern = kern.at[0::2, 0].set(gr).at[0::2, 1].set(-gi)
+            kern = kern.at[1::2, 0].set(gi).at[1::2, 1].set(gr)
+            y = jax.lax.conv_general_dilated(
+                xf, kern, window_strides=(D,), padding="VALID",
+                dimension_numbers=_DN,
+                preferred_element_type=jnp.float32)[0]   # [2C, M]
+            pre = jax.lax.complex(y[0::2], y[1::2])      # [C, M]
 
         # decimated-rate twiddle e^{j(φ_c − ω_c(K−1) + ω_c D·m)}
         M = pre.shape[-1]

@@ -73,9 +73,15 @@ def fir_apply(xp: jnp.ndarray, taps: np.ndarray, tile: int = 512,
     n_super = T // sup
     kern = functools.partial(_fir_kernel, R=rows, tile=tile, K=K,
                              pad_k=pad_k, Lp=Lp)
+    cost = pl.CostEstimate(
+        flops=int(2 * (tile + K - 1) * tile * rows * C * n_super),
+        bytes_accessed=int(C * n_super * (rows * tile + pad_k) * 4
+                           + C * T * 4 + H.size * 4),
+        transcendentals=0)
     out = pl.pallas_call(
         kern,
         grid=(C, n_super),
+        cost_estimate=cost,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
@@ -122,3 +128,336 @@ def fir_apply_any(ext: jnp.ndarray, taps: np.ndarray, tile: int = 512,
     else:
         out = y
     return out.reshape(lead + (T,))
+
+
+# ----------------------------------------------------------------------
+# Decimating variant: y[m] = sum_k ext[m*D + k] * taps[k]
+#
+# Same super-tile DMA structure; the banded matrix strides the taps by D
+# per output column (H[j*D + k, j] = taps[k]), so the MXU computes a
+# whole tile of decimated outputs per matmul.  The conv_general_dilated
+# route for these stages moves ~9x the operand bytes on TPU (XLA pads
+# the 1-2 feature dims onto the 128-lane MXU; measured in
+# docs/fir_backend.md) — this kernel is what makes the decimation
+# chain HBM-minimal.
+
+def toeplitz_taps_decim(taps: np.ndarray, tile: int, D: int) -> np.ndarray:
+    K = len(taps)
+    Lw = (tile - 1) * D + K
+    H = np.zeros((Lw, tile), np.float32)
+    for j in range(tile):
+        H[j * D:j * D + K, j] = taps
+    return H
+
+
+def _fir_decim_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
+                      R, tile, K, D, pad_k, Lp):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    start = c * Lp + i * (R * tile * D)
+    n_read = R * tile * D + pad_k
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, n_read)],
+        w_scratch.at[pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    Lw = (tile - 1) * D + K
+    off = pad_k - (K - 1)
+    rows = [w_scratch[pl.ds(off + r * tile * D, Lw)] for r in range(R)]
+    W = jnp.stack(rows)                                   # [R, Lw]
+    o_ref[0] = jnp.dot(W, h_ref[...],
+                       preferred_element_type=jnp.float32)
+
+
+def fir_decim_apply(xp: jnp.ndarray, taps: np.ndarray, D: int,
+                    tile: int = 256, rows: int = 8,
+                    interpret: bool = False) -> jnp.ndarray:
+    """xp: [C, pad_k + T] float32; T a multiple of rows·tile·D.
+    Returns y [C, T//D]."""
+    K = int(np.asarray(taps).shape[-1])
+    pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+    C, Lp = xp.shape
+    T = Lp - pad_k
+    sup = rows * tile * D
+    assert T % sup == 0, (T, sup)
+    assert Lp % ALIGN == 0, Lp
+    H = jnp.asarray(toeplitz_taps_decim(np.asarray(taps, np.float32),
+                                        tile, D))
+    n_super = T // sup
+    kern = functools.partial(_fir_decim_kernel, R=rows, tile=tile, K=K,
+                             D=D, pad_k=pad_k, Lp=Lp)
+    cost = pl.CostEstimate(
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
+        bytes_accessed=int(C * n_super * (rows * tile * D + pad_k) * 4
+                           + C * (T // D) * 4 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, n_super),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, tile), lambda c, i: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_super * rows, tile),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows * tile * D + pad_k,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp.reshape(-1).astype(jnp.float32), H)
+    return out.reshape(C, T // D)
+
+
+def fir_decim_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int,
+                        tile: int = 256, rows: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.fir.correlate with stride=D: ``ext`` is the
+    overlap-save extended block [..., T + K - 1], real or complex."""
+    K = int(np.asarray(taps).shape[-1])
+    lead = ext.shape[:-1]
+    L = ext.shape[-1]
+    T = L - (K - 1)
+    M = T // D
+    pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+    cplx = jnp.iscomplexobj(ext)
+    if cplx:
+        xf = jnp.concatenate(
+            [jnp.real(ext).reshape(-1, L), jnp.imag(ext).reshape(-1, L)],
+            axis=0)
+    else:
+        xf = ext.reshape(-1, L)
+    sup = rows * tile * D
+    T_pad = ((T + sup - 1) // sup) * sup
+    xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1), T_pad - T)))
+    y = fir_decim_apply(xf, taps, D, tile, rows, interpret)[:, :M]
+    if cplx:
+        h = y.shape[0] // 2
+        out = jax.lax.complex(y[:h], y[h:])
+    else:
+        out = y
+    return out.reshape(lead + (M,))
+
+
+# ----------------------------------------------------------------------
+# Polyphase L/M resampler through the same banded-matmul structure.
+#
+# From ops/resampler.PolyphaseResampler: with the widened kernel
+# k[r, l] (kw = taps_per_phase + decim - 1 columns, phase shift c_r
+# embedded), output o = m*interp + r is
+#     y[o] = sum_l ext[m*decim + l] * k[r, l]
+# For an output tile of `mt` consecutive m (all interp phases), the
+# banded matrix is H[m_loc*decim + l, m_loc*interp + r] = k[r, l], and
+# one [R, Lw] x [Lw, mt*interp] matmul yields R*mt*interp outputs.
+
+def banded_poly_matrix(widened: np.ndarray, interp: int, decim: int,
+                       mt: int) -> np.ndarray:
+    kw = widened.shape[1]
+    Lw = (mt - 1) * decim + kw
+    H = np.zeros((Lw, mt * interp), np.float32)
+    for m in range(mt):
+        for r in range(interp):
+            H[m * decim:m * decim + kw, m * interp + r] = widened[r]
+    return H
+
+
+def _banded_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
+                   R, tile_out, row_adv, Lw, pad_k, Lp):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    start = c * Lp + i * (R * row_adv)
+    n_read = R * row_adv + pad_k
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, n_read)],
+        w_scratch.at[pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    off = pad_k - (Lw - row_adv) if Lw > row_adv else pad_k
+    # history needed left of each row = Lw - row_adv (kw - decim for the
+    # polyphase; K-1 for plain FIR)
+    hist = Lw - row_adv
+    off = pad_k - hist
+    rows = [w_scratch[pl.ds(off + r * row_adv, Lw)] for r in range(R)]
+    W = jnp.stack(rows)                                   # [R, Lw]
+    o_ref[0] = jnp.dot(W, h_ref[...],
+                       preferred_element_type=jnp.float32)
+
+
+def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
+                            interp: int, decim: int, mt: int = 64,
+                            rows: int = 8,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for the PolyphaseResampler conv: ``ext`` is the extended
+    block [..., T + tpp - 1] (tpp-1 = kw - decim carried samples),
+    real or complex; returns [..., (T//decim)*interp]."""
+    kw = widened.shape[1]
+    hist = kw - decim                    # == tpp - 1
+    lead = ext.shape[:-1]
+    L = ext.shape[-1]
+    T = L - hist
+    M = T // decim                       # output m count
+    # lane alignment: tile_out = mt*interp should be a multiple of 128
+    while (mt * interp) % 128:
+        mt += 1
+    tile_out = mt * interp
+    row_adv = mt * decim
+    Lw = (mt - 1) * decim + kw
+    pad_k = ((hist + ALIGN - 1) // ALIGN) * ALIGN
+    cplx = jnp.iscomplexobj(ext)
+    if cplx:
+        xf = jnp.concatenate(
+            [jnp.real(ext).reshape(-1, L), jnp.imag(ext).reshape(-1, L)],
+            axis=0)
+    else:
+        xf = ext.reshape(-1, L)
+    sup_m = rows * mt
+    M_pad = ((M + sup_m - 1) // sup_m) * sup_m
+    xf = jnp.pad(xf, ((0, 0), (pad_k - hist, (M_pad - M) * decim)))
+    C, Lp = xf.shape
+    H = jnp.asarray(banded_poly_matrix(np.asarray(widened, np.float32),
+                                       interp, decim, mt))
+    n_super = M_pad // sup_m
+    kern = functools.partial(_banded_kernel, R=rows, tile_out=tile_out,
+                             row_adv=row_adv, Lw=Lw, pad_k=pad_k, Lp=Lp)
+    cost = pl.CostEstimate(
+        flops=int(2 * Lw * tile_out * rows * C * n_super),
+        bytes_accessed=int(C * n_super * (rows * row_adv + pad_k) * 4
+                           + C * M * interp * 4 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, n_super),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((Lw, tile_out), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, tile_out), lambda c, i: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_super * rows, tile_out),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows * row_adv + pad_k,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xf.reshape(-1), H)
+    y = out.reshape(C, M_pad * interp)[:, :M * interp]
+    if cplx:
+        h = y.shape[0] // 2
+        yc = jax.lax.complex(y[:h], y[h:])
+    else:
+        yc = y
+    return yc.reshape(lead + (M * interp,))
+
+
+# ----------------------------------------------------------------------
+# Fused mix-down + decimating FIR on a SHARED wideband with per-channel
+# complex-modulated taps (ops/fused_frontend.py).  The taps g_c[k] are
+# RUNTIME values (retune!), so the banded matrix cannot be baked; the
+# kernel builds the strided window matrix S in VMEM and computes all
+# channels with one [R·tile, 2K] × [2K, 2C] MXU matmul:
+#
+#     out_re_c = Sr·gr_c − Si·gi_c ;  out_im_c = Sr·gi_c + Si·gr_c
+#
+# Mosaic cannot shape-cast a 1-D vector to (N, D) in-kernel, so the
+# stride-D window extraction is done by DE-INTERLEAVING the wideband
+# into D phase planes on the host (one cheap pass over SHARED data):
+# sample index off+k+(i·n_out+j)·D lives in plane (off+k)%D at element
+# (off+k)//D + i·n_out + j — a contiguous slice per tap.
+
+def _fused_mix_kernel(x_hbm, g_ref, o_ref, *rest,
+                      R, tile, K, D, pad_k, plane_len, n_out):
+    scrs = rest[:2 * D]
+    sems = rest[2 * D:]
+    i = pl.program_id(0)
+    # DMA the needed window of each of the 2·D phase planes
+    cps = []
+    for p in range(2 * D):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(p * plane_len + i * n_out, n_out + ALIGN)],
+            scrs[p].at[pl.ds(0, n_out + ALIGN)], sems[p])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+    off = pad_k - (K - 1)
+    # VPU accumulation: per tap, broadcast the [2C] tap column against
+    # the contiguous phase-plane slice.  (Stacking the slices for one
+    # MXU matmul trips Mosaic's concat lane-offset rules; elementwise
+    # relayouts are supported and the stage is HBM-bound anyway.)
+    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)      # [2C, n_out]
+    for part in range(2):                      # re then im
+        for k in range(K):
+            d = (off + k) % D
+            m0 = (off + k) // D
+            sl = scrs[part * D + d][pl.ds(m0, n_out)]
+            acc = acc + g_ref[:, part * K + k][:, None] * sl[None, :]
+    o_ref[0] = acc
+
+
+def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
+                          tile: int = 256, rows: int = 8,
+                          interpret: bool = False) -> jnp.ndarray:
+    """ext: [T + K - 1] complex64 shared wideband (overlap-save
+    extended); g: [2C, 2K] float32 packed channel taps —
+    row 2c = [gr_c | -gi_c], row 2c+1 = [gi_c | gr_c].
+    Returns [C, T//D] complex64 (pre-twiddle)."""
+    L = ext.shape[-1]
+    twoC, twoK = g.shape
+    K = twoK // 2
+    C = twoC // 2
+    T = L - (K - 1)
+    M = T // D
+    pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+    assert pad_k // D < ALIGN, (pad_k, D)
+    sup = rows * tile                          # outputs per super-tile
+    M_pad = ((M + sup - 1) // sup) * sup
+    xf = jnp.stack([jnp.real(ext), jnp.imag(ext)])
+    xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1), (M_pad - M) * D)))
+    Lp = xf.shape[-1]
+    # de-interleave into D phase planes: planes[part, d, m] = xf[part, m*D+d]
+    # (strided slices, NOT a reshape+transpose: a minor dim of D would
+    # tile-pad 128/D-fold on TPU)
+    plane_len = M_pad + ALIGN
+    planes = jnp.stack([xf[:, d::D] for d in range(D)], axis=1)
+    planes = jnp.pad(planes, ((0, 0), (0, 0),
+                              (0, plane_len - Lp // D)))
+    n_super = M_pad // sup
+    kern = functools.partial(_fused_mix_kernel, R=rows, tile=tile, K=K,
+                             D=D, pad_k=pad_k, plane_len=plane_len,
+                             n_out=sup)
+    # honest accounting for the roofline methodology: XLA cannot see
+    # inside a custom call, so declare exactly what the DMAs move
+    cost = pl.CostEstimate(
+        flops=int(2 * twoK * twoC * sup * n_super),
+        bytes_accessed=int(n_super * 2 * D * (sup + ALIGN) * 4
+                           + n_super * twoC * sup * 4 + g.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_super,),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((twoC, twoK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, twoC, sup), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_super, twoC, sup),
+                                       jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((sup + ALIGN,), jnp.float32)] * (2 * D)
+            + [pltpu.SemaphoreType.DMA] * (2 * D)),
+        interpret=interpret,
+    )(planes.reshape(-1), g)
+    # keep 2C on the MAJOR axis: a [*, 16]-minor layout would tile-pad
+    # the 128 lanes 8-fold and that padding is real HBM traffic
+    y = jnp.moveaxis(out, 1, 0).reshape(twoC, M_pad)[:, :M]
+    return jax.lax.complex(y[0::2], y[1::2])           # [C, M]

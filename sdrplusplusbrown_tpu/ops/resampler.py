@@ -98,6 +98,21 @@ class PolyphaseResampler(Block):
         ext = jnp.concatenate([state, x], axis=-1)
         W = ext.shape[-1]
         kw = self.kernel.shape[1]
+        # TPU: the conv lowering moves ~9x the operand bytes for 1-2
+        # feature dims (docs/fir_backend.md); route through the banded-
+        # matmul pallas kernel instead.
+        from .fir import get_fir_backend, _AUTO_PALLAS_MAX_BATCH
+        import numpy as _np
+        batch = int(_np.prod(lead)) if lead else 1
+        if get_fir_backend() in ("auto", "pallas") \
+                and jax.default_backend() not in ("cpu",) \
+                and batch <= _AUTO_PALLAS_MAX_BATCH \
+                and x.shape[-1] // self.decim >= 128:
+            from .pallas_fir import poly_resample_apply_any
+            out = poly_resample_apply_any(ext, self.kernel, self.interp,
+                                          self.decim)
+            new_state = ext[..., W - (self.tpp - 1):]
+            return out, new_state
         if jnp.iscomplexobj(x):
             xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=-2)
             xf = xf.reshape((-1, 1, W)).astype(jnp.float32)

@@ -38,3 +38,63 @@ def test_toeplitz_structure():
     np.testing.assert_array_equal(x @ H, [1, 0, 0, 0])
     x2 = np.array([0, 1, 0, 0, 0, 0], np.float32)
     np.testing.assert_array_equal(x2 @ H, [2, 1, 0, 0])
+
+
+def test_pallas_decim_fir_matches_correlate(rng):
+    from sdrplusplusbrown_tpu.ops.pallas_fir import fir_decim_apply_any
+    from sdrplusplusbrown_tpu.ops.fir import correlate
+    import jax.numpy as jnp
+    for D, K, C, T in ((2, 63, 8, 32768), (4, 99, 2, 65536)):
+        x = (rng.standard_normal((C, T + K - 1))
+             + 1j * rng.standard_normal((C, T + K - 1))
+             ).astype(np.complex64)
+        taps = np.hanning(K)
+        y_ref = np.asarray(correlate(jnp.asarray(x), taps, stride=D))
+        y_p = np.asarray(fir_decim_apply_any(jnp.asarray(x), taps, D,
+                                             interpret=True))
+        np.testing.assert_allclose(y_p, y_ref, atol=2e-4)
+
+
+def test_pallas_poly_resampler_matches_conv(rng):
+    from sdrplusplusbrown_tpu.ops.pallas_fir import poly_resample_apply_any
+    from sdrplusplusbrown_tpu.ops.resampler import PolyphaseResampler
+    from sdrplusplusbrown_tpu.ops import taps as taps_mod
+    import jax.numpy as jnp
+    for interp, decim in ((5, 6), (3, 4)):
+        proto = taps_mod.low_pass(0.4 / max(interp, decim),
+                                  0.1 / max(interp, decim), 1.0) * interp
+        pr = PolyphaseResampler(interp, decim, proto)
+        C, T = 4, 12 * 1024
+        x = (rng.standard_normal((C, T))
+             + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+        st = pr.init_state((C,))
+        y_ref, _ = pr.apply(None, st, jnp.asarray(x))
+        ext = jnp.concatenate([st, jnp.asarray(x)], axis=-1)
+        y_p = poly_resample_apply_any(ext, pr.kernel, interp, decim,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                                   atol=2e-5)
+
+
+def test_pallas_fused_mix_matches_complex_correlate(rng):
+    from sdrplusplusbrown_tpu.ops.pallas_fir import fused_mix_decim_apply
+    from sdrplusplusbrown_tpu.ops.fir import correlate
+    import jax.numpy as jnp
+    C, K, D, T = 8, 27, 2, 16384
+    x = (rng.standard_normal(T + K - 1)
+         + 1j * rng.standard_normal(T + K - 1)).astype(np.complex64)
+    h = np.hanning(K)
+    omega = np.linspace(-1.0, 1.0, C)
+    g_c = h[None, :] * np.exp(1j * omega[:, None] * np.arange(K))
+    ref = np.stack([np.asarray(correlate(
+        jnp.asarray(x), g_c[c].astype(np.complex64), stride=D))
+        for c in range(C)])
+    g = np.zeros((2 * C, 2 * K), np.float32)
+    g[0::2, :K] = np.real(g_c)
+    g[0::2, K:] = -np.imag(g_c)
+    g[1::2, :K] = np.imag(g_c)
+    g[1::2, K:] = np.real(g_c)
+    y = np.asarray(fused_mix_decim_apply(jnp.asarray(x),
+                                         jnp.asarray(g), D,
+                                         interpret=True))
+    np.testing.assert_allclose(y, ref, atol=2e-5)
