@@ -133,6 +133,19 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
             from .pallas_fir import fir_apply_any
             return fir_apply_any(x, np.asarray(taps))
 
+    # Complex-tap stride-1 filters (e.g. the WFM pilot band-pass):
+    # y = corr(x, Re h) + j·corr(x, Im h) — two real-tap pallas passes
+    # instead of the 2×2-feature conv (same ~9× byte blowup).
+    if stride == 1 and taps_c and _FIR_BACKEND in ("auto", "pallas") \
+            and W - (K - 1) >= 128 and K - 1 <= _TOEPLITZ_TILE:
+        batch = int(np.prod(lead)) if lead else 1
+        if jax.default_backend() not in ("cpu",) \
+                and batch <= _AUTO_PALLAS_MAX_BATCH:
+            from .pallas_fir import fir_apply_any
+            hr = np.real(np.asarray(taps))
+            hi = np.imag(np.asarray(taps))
+            return fir_apply_any(x, hr) + 1j * fir_apply_any(x, hi)
+
     # Decimating stages: XLA's conv lowering moves ~9× the operand bytes
     # for 1-2 feature dims (docs/fir_backend.md), so on TPU route them
     # through the strided-banded-matmul pallas kernel.

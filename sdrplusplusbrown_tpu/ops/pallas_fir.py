@@ -371,34 +371,35 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
 # sample index off+k+(i·n_out+j)·D lives in plane (off+k)%D at element
 # (off+k)//D + i·n_out + j — a contiguous slice per tap.
 
-def _fused_mix_kernel(x_hbm, g_ref, o_ref, *rest,
-                      R, tile, K, D, pad_k, plane_len, n_out):
-    scrs = rest[:2 * D]
-    sems = rest[2 * D:]
+def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, sem_r,
+                      sem_i, *, K, D, pad_k, Lp, n_out, bs):
     i = pl.program_id(0)
-    # DMA the needed window of each of the 2·D phase planes
-    cps = []
-    for p in range(2 * D):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(p * plane_len + i * n_out, n_out + ALIGN)],
-            scrs[p].at[pl.ds(0, n_out + ALIGN)], sems[p])
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
+    n2 = n_out * D
+    start = i * n2
+    n_read = n2 + pad_k
+    cp_r = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, n_read)], wr.at[pl.ds(0, n_read)], sem_r)
+    cp_i = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(Lp + start, n_read)], wi.at[pl.ds(0, n_read)],
+        sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
     off = pad_k - (K - 1)
-    # VPU accumulation: per tap, broadcast the [2C] tap column against
-    # the contiguous phase-plane slice.  (Stacking the slices for one
-    # MXU matmul trips Mosaic's concat lane-offset rules; elementwise
-    # relayouts are supported and the stage is HBM-bound anyway.)
-    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)      # [2C, n_out]
-    for part in range(2):                      # re then im
+    # stride-1 VPU tap accumulation over the INTERLEAVED window (every
+    # slice contiguous), computing D× outputs...
+    acc = jnp.zeros((o_ref.shape[1], n2), jnp.float32)   # [2C, n_out·D]
+    for part, w in ((0, wr), (1, wi)):
         for k in range(K):
-            d = (off + k) % D
-            m0 = (off + k) // D
-            sl = scrs[part * D + d][pl.ds(m0, n_out)]
+            sl = w[pl.ds(off + k, n2)]
             acc = acc + g_ref[:, part * K + k][:, None] * sl[None, :]
-    o_ref[0] = acc
+    # ...then keep every D-th column with a small static selection-matrix
+    # matmul per block (Mosaic cannot lower strided lane slices/gathers)
+    for b in range(n_out // bs):
+        o_ref[0, :, b * bs:(b + 1) * bs] = jnp.dot(
+            acc[:, b * bs * D:(b + 1) * bs * D], s0_ref[...],
+            preferred_element_type=jnp.float32)
 
 
 def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
@@ -415,28 +416,25 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
     T = L - (K - 1)
     M = T // D
     pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
-    assert pad_k // D < ALIGN, (pad_k, D)
     sup = rows * tile                          # outputs per super-tile
+    bs = 256                                   # downsample block columns
+    assert sup % bs == 0
     M_pad = ((M + sup - 1) // sup) * sup
     xf = jnp.stack([jnp.real(ext), jnp.imag(ext)])
-    xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1), (M_pad - M) * D)))
+    xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1),
+                               (M_pad - M) * D + ALIGN)))
     Lp = xf.shape[-1]
-    # de-interleave into D phase planes: planes[part, d, m] = xf[part, m*D+d]
-    # (strided slices, NOT a reshape+transpose: a minor dim of D would
-    # tile-pad 128/D-fold on TPU)
-    plane_len = M_pad + ALIGN
-    planes = jnp.stack([xf[:, d::D] for d in range(D)], axis=1)
-    planes = jnp.pad(planes, ((0, 0), (0, 0),
-                              (0, plane_len - Lp // D)))
     n_super = M_pad // sup
-    kern = functools.partial(_fused_mix_kernel, R=rows, tile=tile, K=K,
-                             D=D, pad_k=pad_k, plane_len=plane_len,
-                             n_out=sup)
-    # honest accounting for the roofline methodology: XLA cannot see
-    # inside a custom call, so declare exactly what the DMAs move
+    # static selection matrix: S0[j·D, j] = 1  → acc @ S0 keeps every
+    # D-th column
+    s0 = np.zeros((bs * D, bs), np.float32)
+    s0[np.arange(bs) * D, np.arange(bs)] = 1.0
+    kern = functools.partial(_fused_mix_kernel, K=K, D=D, pad_k=pad_k,
+                             Lp=Lp, n_out=sup, bs=bs)
     cost = pl.CostEstimate(
-        flops=int(2 * twoK * twoC * sup * n_super),
-        bytes_accessed=int(n_super * 2 * D * (sup + ALIGN) * 4
+        flops=int(n_super * (2 * twoK * twoC * sup * D
+                             + 2 * twoC * sup * D * bs)),
+        bytes_accessed=int(n_super * 2 * (sup * D + pad_k) * 4
                            + n_super * twoC * sup * 4 + g.size * 4),
         transcendentals=0)
     out = pl.pallas_call(
@@ -447,16 +445,21 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((twoC, twoK), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs * D, bs), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, twoC, sup), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_super, twoC, sup),
                                        jnp.float32),
-        scratch_shapes=(
-            [pltpu.VMEM((sup + ALIGN,), jnp.float32)] * (2 * D)
-            + [pltpu.SemaphoreType.DMA] * (2 * D)),
+        scratch_shapes=[
+            pltpu.VMEM((sup * D + pad_k,), jnp.float32),
+            pltpu.VMEM((sup * D + pad_k,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(planes.reshape(-1), g)
+    )(xf.reshape(-1), g, jnp.asarray(s0))
     # keep 2C on the MAJOR axis: a [*, 16]-minor layout would tile-pad
     # the 128 lanes 8-fold and that padding is real HBM traffic
     y = jnp.moveaxis(out, 1, 0).reshape(twoC, M_pad)[:, :M]
