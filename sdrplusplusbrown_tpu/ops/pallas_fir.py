@@ -287,6 +287,18 @@ def _banded_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
                        preferred_element_type=jnp.float32)
 
 
+def poly_pallas_ok(interp: int, decim: int, kw: int,
+                   mt: int = 64, vmem_budget: int = 6 << 20) -> bool:
+    """Would the banded polyphase kernel fit?  (H grows with the aligned
+    mt; large coprime interp/decim pairs fall back to the conv path.)"""
+    while (mt * interp) % 128 or (mt * decim) % 128:
+        mt += 1
+        if mt > 1024:
+            return False
+    Lw = (mt - 1) * decim + kw
+    return Lw * (mt * interp) * 4 <= vmem_budget
+
+
 def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
                             interp: int, decim: int, mt: int = 64,
                             rows: int = 8,
@@ -300,8 +312,10 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
     L = ext.shape[-1]
     T = L - hist
     M = T // decim                       # output m count
-    # lane alignment: tile_out = mt*interp should be a multiple of 128
-    while (mt * interp) % 128:
+    # lane alignment: BOTH tile_out = mt·interp (output columns) and
+    # row_adv = mt·decim (per-row scratch offsets — Mosaic cannot
+    # concat slices at misaligned lane offsets) must be 128-multiples
+    while (mt * interp) % 128 or (mt * decim) % 128:
         mt += 1
     tile_out = mt * interp
     row_adv = mt * decim

@@ -104,11 +104,13 @@ class PolyphaseResampler(Block):
         from .fir import get_fir_backend, _AUTO_PALLAS_MAX_BATCH
         import numpy as _np
         batch = int(_np.prod(lead)) if lead else 1
+        from .pallas_fir import (poly_resample_apply_any,
+                                 poly_pallas_ok)
         if get_fir_backend() in ("auto", "pallas") \
                 and jax.default_backend() not in ("cpu",) \
                 and batch <= _AUTO_PALLAS_MAX_BATCH \
-                and x.shape[-1] // self.decim >= 128:
-            from .pallas_fir import poly_resample_apply_any
+                and x.shape[-1] // self.decim >= 128 \
+                and poly_pallas_ok(self.interp, self.decim, kw):
             out = poly_resample_apply_any(ext, self.kernel, self.interp,
                                           self.decim)
             new_state = ext[..., W - (self.tpp - 1):]
