@@ -105,6 +105,24 @@ def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         preferred_element_type=jnp.float32)
 
 
+def _correlate_fft(x: jnp.ndarray, taps) -> jnp.ndarray:
+    """Stride-1 correlation via one full-block FFT (frequency-domain
+    overlap-save): out[i] = Σ_k x[i+k]·h[k] = ifft(fft(x)·fft(rev h)),
+    sliced at the K−1 group delay."""
+    W = x.shape[-1]
+    K = int(np.asarray(taps).shape[-1])
+    T = W - (K - 1)
+    N = 1 << int(np.ceil(np.log2(W + K)))
+    h_rev = np.asarray(taps)[::-1]
+    x_c = x.astype(jnp.complex64)
+    H = jnp.fft.fft(jnp.asarray(h_rev, jnp.complex64), n=N)
+    Y = jnp.fft.ifft(jnp.fft.fft(x_c, n=N, axis=-1) * H, axis=-1)
+    out = Y[..., K - 1:K - 1 + T]
+    if not jnp.iscomplexobj(x) and not np.iscomplexobj(np.asarray(taps)):
+        return jnp.real(out).astype(jnp.float32)
+    return out.astype(jnp.complex64)
+
+
 def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """out[..., i] = sum_k x[..., i*stride + k] * taps[k].
 
@@ -132,6 +150,15 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         if backend == "pallas":
             from .pallas_fir import fir_apply_any
             return fir_apply_any(x, np.asarray(taps))
+
+    # Large-K stride-1 filters (WFM pilot band-pass ~3.8k taps, CW/VOR
+    # channel filters): FFT overlap-save — a few FFT passes instead of a
+    # banded matmul whose tap matrix would blow the VMEM budget.
+    if stride == 1 and K - 1 > _TOEPLITZ_TILE \
+            and _FIR_BACKEND in ("auto", "pallas") \
+            and jax.default_backend() not in ("cpu",) \
+            and W - (K - 1) >= 128:
+        return _correlate_fft(x, taps)
 
     # Complex-tap stride-1 filters (e.g. the WFM pilot band-pass):
     # y = corr(x, Re h) + j·corr(x, Im h) — two real-tap pallas passes

