@@ -266,11 +266,6 @@ class Radio(Block):
         return jax.jit(lambda p, s, x: self.apply(p, s, x))
 
 
-def _radio_shared_mixin():
-    """Attach the shared-wideband path to Radio (kept out of the class
-    body only to stay below; see SharedRxVFOBank in models/rx_vfo.py)."""
-
-
 def _build_vfo_shared(self):
     from .rx_vfo import SharedRxVFOBank
     if getattr(self, "_vfo_shared", None) is None:

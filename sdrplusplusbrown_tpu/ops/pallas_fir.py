@@ -276,9 +276,8 @@ def _banded_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
         w_scratch.at[pl.ds(0, n_read)], sem)
     cp.start()
     cp.wait()
-    off = pad_k - (Lw - row_adv) if Lw > row_adv else pad_k
-    # history needed left of each row = Lw - row_adv (kw - decim for the
-    # polyphase; K-1 for plain FIR)
+    # history needed left of each row = Lw - row_adv (kw - decim for
+    # the polyphase; K-1 for plain FIR)
     hist = Lw - row_adv
     off = pad_k - hist
     rows = [w_scratch[pl.ds(off + r * row_adv, Lw)] for r in range(R)]
