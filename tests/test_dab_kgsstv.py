@@ -142,3 +142,37 @@ def test_kgsstv_rf_loopback(rng):
     df = K.KGSSTVDeframer()
     df.push_symbols(np.asarray(soft)[np.asarray(valid)])
     assert df.frames == payloads
+
+
+@pytest.mark.slow
+def test_kgsstv_module_surface(rng, tmp_path):
+    import json
+    import os
+    from sdrplusplusbrown_tpu.app import SDRApp
+    root = str(tmp_path / "root")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"source": {"type": "none", "samplerate": 48_000.0},
+                   "modules": {"KG": {"type": "kg_sstv_decoder"}}}, f)
+    app = SDRApp(root, run_pump=False)
+    try:
+        mod = app.modules["KG"]
+        stream = np.concatenate(
+            [2.0 * rng.integers(0, 2, 40).astype(np.float32) - 1.0,
+             K.build_frame_symbols(b"\x11" * 6)])
+        fs = 48_000.0
+        sps = fs / K.KGSSTV_BAUD
+        n_out = int(len(stream) * sps)
+        sidx = np.minimum((np.arange(n_out) / sps).astype(np.int64),
+                          len(stream) - 1)
+        iq = np.exp(1j * 2 * np.pi * np.cumsum(stream[sidx])
+                    * K.KGSSTV_DEVIATION / fs).astype(np.complex64)
+        blk = mod.rc.out_len
+        pad = (-len(iq)) % blk + blk
+        mod.process_iq(np.concatenate([iq,
+                                       np.zeros(pad, np.complex64)]))
+        assert mod.handle_debug_command("status", "")["frames"] == 1
+        assert mod.handle_debug_command("get_frames", "")["frames"] \
+            == ["111111111111"]
+    finally:
+        app.shutdown()

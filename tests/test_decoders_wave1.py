@@ -150,3 +150,35 @@ def test_meteor_oqpsk_roundtrip():
     tail = soft[3000:]
     dev = np.abs((np.angle(tail) % (np.pi / 2)) - np.pi / 4)
     assert np.rad2deg(np.median(dev)) < 10.0, np.rad2deg(np.median(dev))
+
+
+@pytest.mark.slow
+def test_vor_module_surface(tmp_path):
+    """VOR module over the app: feed synthetic VOR baseband through the
+    module's own channelizer path and read the bearing."""
+    import json
+    import os
+    from sdrplusplusbrown_tpu.app import SDRApp
+    root = str(tmp_path / "root")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"source": {"type": "none", "samplerate": 100_000.0},
+                   "modules": {"VOR": {"type": "vor_receiver",
+                                       "offset": 0.0}}}, f)
+    app = SDRApp(root, run_pump=False)
+    try:
+        mod = app.modules["VOR"]
+        az = np.deg2rad(211.0)
+        x25 = synthesize_vor(az, 7.0, noise=0.03)
+        # upsample 25k → 100k (the module's RxVFO channelizes back down)
+        x100 = np.repeat(x25, 4)
+        blk = mod.rc.out_len
+        pad = (-len(x100)) % blk
+        mod._on_baseband(np.concatenate(
+            [x100, np.zeros(pad, np.complex64)]).astype(np.complex64))
+        r = mod.handle_debug_command("get_bearing", "")
+        assert r["windows"] >= 4, r
+        err = abs(((r["bearing"] - 211.0 + 180.0) % 360.0) - 180.0)
+        assert err < 4.0, r
+    finally:
+        app.shutdown()
