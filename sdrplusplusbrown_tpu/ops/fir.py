@@ -46,6 +46,13 @@ _DN = jax.lax.ConvDimensionNumbers(
 _FIR_BACKEND = "auto"
 _TOEPLITZ_TILE = 512
 _AUTO_PALLAS_MAX_BATCH = 64
+#: decim/poly/fused crossover, measured on the full 256-ch scanner chain
+#: (TPU cost_analysis, 2026-08-17): pallas 46 591 B/smp vs conv 45 348 —
+#: at wide batches XLA's conv fills the 128 MXU lanes with the channel
+#: axis and wins, same crossover as the stride-1 study
+#: (docs/fir_backend.md).  The grouped fused kernel stays available for
+#: wider banks by raising this cap.
+_AUTO_PALLAS_MAX_BATCH_DECIM = 64
 
 
 def set_fir_backend(name: str):
@@ -182,7 +189,7 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
             and (W - (K - 1)) // stride >= 128:
         batch = int(np.prod(lead)) if lead else 1
         if jax.default_backend() not in ("cpu",) \
-                and batch <= _AUTO_PALLAS_MAX_BATCH:
+                and batch <= _AUTO_PALLAS_MAX_BATCH_DECIM:
             from .pallas_fir import fir_decim_apply_any
             return fir_decim_apply_any(x, np.asarray(taps), stride)
 

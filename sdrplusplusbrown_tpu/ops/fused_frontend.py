@@ -90,10 +90,11 @@ class SharedXlateDecimFIR(Block):
         gr = h * jnp.cos(ang)
         gi = h * jnp.sin(ang)
 
-        from .fir import get_fir_backend, _AUTO_PALLAS_MAX_BATCH
+        from .fir import (get_fir_backend,
+                          _AUTO_PALLAS_MAX_BATCH_DECIM)
         use_pallas = (get_fir_backend() in ("auto", "pallas")
                       and jax.default_backend() not in ("cpu",)
-                      and C <= _AUTO_PALLAS_MAX_BATCH
+                      and C <= _AUTO_PALLAS_MAX_BATCH_DECIM
                       and K <= 128 and T // D >= 128)
         if use_pallas:
             # window-matrix kernel: the shared wideband is DMA'd once
@@ -103,7 +104,17 @@ class SharedXlateDecimFIR(Block):
             g = jnp.zeros((2 * C, 2 * K), jnp.float32)
             g = g.at[0::2, :K].set(gr).at[0::2, K:].set(-gi)
             g = g.at[1::2, :K].set(gi).at[1::2, K:].set(gr)
-            pre = fused_mix_decim_apply(ext, g, D)
+            # wide banks are processed in <=64-channel groups: the VPU
+            # accumulator [2C, sup*D] must stay inside VMEM, and
+            # re-reading the SHARED wideband per group costs ~8 B/sample
+            GROUP = 64
+            if C <= GROUP:
+                pre = fused_mix_decim_apply(ext, g, D)
+            else:
+                parts = [fused_mix_decim_apply(
+                    ext, g[2 * c0:2 * min(c0 + GROUP, C)], D)
+                    for c0 in range(0, C, GROUP)]
+                pre = jnp.concatenate(parts, axis=0)
         else:
             # one strided conv of the shared wideband: features (re,
             # im), outputs (re_c, im_c) interleaved

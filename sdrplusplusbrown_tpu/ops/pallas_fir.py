@@ -384,8 +384,8 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
 # sample index off+k+(i·n_out+j)·D lives in plane (off+k)%D at element
 # (off+k)//D + i·n_out + j — a contiguous slice per tap.
 
-def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, sem_r,
-                      sem_i, *, K, D, pad_k, Lp, n_out, bs):
+def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, acc_ref,
+                      sem_r, sem_i, *, K, D, pad_k, Lp, n_out, bs):
     i = pl.program_id(0)
     n2 = n_out * D
     start = i * n2
@@ -401,17 +401,40 @@ def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, sem_r,
     cp_i.wait()
     off = pad_k - (K - 1)
     # stride-1 VPU tap accumulation over the INTERLEAVED window (every
-    # slice contiguous), computing D× outputs...
-    acc = jnp.zeros((o_ref.shape[1], n2), jnp.float32)   # [2C, n_out·D]
-    for part, w in ((0, wr), (1, wi)):
-        for k in range(K):
-            sl = w[pl.ds(off + k, n2)]
-            acc = acc + g_ref[:, part * K + k][:, None] * sl[None, :]
+    # slice contiguous), computing D× outputs.  The tap loop is a
+    # fori_loop accumulating into an in-place VMEM scratch — Mosaic
+    # gives every value of an UNROLLED add-chain its own stack slot, so
+    # K × [2C, n2] temporaries blow the 16 MB scoped-VMEM limit at wide
+    # channel counts.  Inside the loop the tap-k shifted window comes
+    # from a dynamic lane ROTATE (Mosaic rejects unaligned dynamic
+    # vector loads: "index in dimension 0 must be a multiple of 1024")
+    # and the tap column from a one-hot iota matmul (no dynamic lane
+    # slicing of loaded values).
+    twoK = 2 * K
+    acc_ref[...] = jnp.zeros((o_ref.shape[1], n2), jnp.float32)
+
+    def _accumulate(w_ref, part):
+        w2 = w_ref[...][None, :]                        # [1, n_read]
+
+        def body(k, carry):
+            sl = jax.lax.slice(pltpu.roll(w2, -(off + k), 1),
+                               (0, 0), (1, n2))
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (twoK, 1), 0)
+                   == part * K + k).astype(jnp.float32)
+            gk = jnp.dot(g_ref[...], sel,
+                         preferred_element_type=jnp.float32)  # [2C, 1]
+            acc_ref[...] = acc_ref[...] + gk * sl
+            return carry
+
+        jax.lax.fori_loop(0, K, body, 0)
+
+    _accumulate(wr, 0)
+    _accumulate(wi, 1)
     # ...then keep every D-th column with a small static selection-matrix
     # matmul per block (Mosaic cannot lower strided lane slices/gathers)
     for b in range(n_out // bs):
         o_ref[0, :, b * bs:(b + 1) * bs] = jnp.dot(
-            acc[:, b * bs * D:(b + 1) * bs * D], s0_ref[...],
+            acc_ref[:, b * bs * D:(b + 1) * bs * D], s0_ref[...],
             preferred_element_type=jnp.float32)
 
 
@@ -468,6 +491,7 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
         scratch_shapes=[
             pltpu.VMEM((sup * D + pad_k,), jnp.float32),
             pltpu.VMEM((sup * D + pad_k,), jnp.float32),
+            pltpu.VMEM((twoC, sup * D), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

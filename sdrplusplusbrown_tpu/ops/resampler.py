@@ -101,14 +101,15 @@ class PolyphaseResampler(Block):
         # TPU: the conv lowering moves ~9x the operand bytes for 1-2
         # feature dims (docs/fir_backend.md); route through the banded-
         # matmul pallas kernel instead.
-        from .fir import get_fir_backend, _AUTO_PALLAS_MAX_BATCH
+        from .fir import (get_fir_backend,
+                          _AUTO_PALLAS_MAX_BATCH_DECIM)
         import numpy as _np
         batch = int(_np.prod(lead)) if lead else 1
         from .pallas_fir import (poly_resample_apply_any,
                                  poly_pallas_ok)
         if get_fir_backend() in ("auto", "pallas") \
                 and jax.default_backend() not in ("cpu",) \
-                and batch <= _AUTO_PALLAS_MAX_BATCH \
+                and batch <= _AUTO_PALLAS_MAX_BATCH_DECIM \
                 and x.shape[-1] // self.decim >= 128 \
                 and poly_pallas_ok(self.interp, self.decim, kw):
             out = poly_resample_apply_any(ext, self.kernel, self.interp,
