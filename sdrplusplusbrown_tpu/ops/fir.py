@@ -143,6 +143,27 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         else jnp.iscomplexobj(taps)
     x_c = jnp.iscomplexobj(x)
 
+    # COMPLEX-tap filters on complex input (any stride): ONE banded-
+    # matmul kernel computing both output parts, with the complex cross
+    # terms in the tap matrix.  The alternative is TWO real-tap pallas
+    # calls plus a complex combine — duplicate split/pad glue and a
+    # second tap matrix (measured 293 vs 173 B/sample for the WFM
+    # 19 kHz pilot band-pass).  Real-tap complex-input stages stay on
+    # the single-call plane routes below (same glue, 4x smaller tap
+    # matrix).
+    if x_c and taps_c and _FIR_BACKEND in ("auto", "pallas") \
+            and isinstance(taps, np.ndarray) \
+            and jax.default_backend() not in ("cpu",) \
+            and (W - (K - 1)) % stride == 0 \
+            and (W - (K - 1)) // stride >= 128:
+        batch = int(np.prod(lead)) if lead else 1
+        if batch <= _AUTO_PALLAS_MAX_BATCH:
+            from .pallas_fir import cplx_pallas_ok, fir_cplx_apply_any
+            M = (W - (K - 1)) // stride
+            t = cplx_pallas_ok(K, stride, batch=batch, m_out=M)
+            if t is not None:
+                return fir_cplx_apply_any(x, taps, stride, tile=t)
+
     if stride == 1 and not taps_c and _FIR_BACKEND != "conv" \
             and W - (K - 1) >= 128 and K - 1 <= _TOEPLITZ_TILE:
         backend = _FIR_BACKEND
@@ -157,6 +178,25 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         if backend == "pallas":
             from .pallas_fir import fir_apply_any
             return fir_apply_any(x, np.asarray(taps))
+
+    # Mid-K stride-1 filters (512 < K-1 <= 1024, e.g. the WFM 19 kHz
+    # pilot band-pass, K=633): the banded pallas kernel with a 1024
+    # tile still beats FFT overlap-save — XLA's FFT passes cost ~3x the
+    # bytes (measured: pilot stage 338 -> ~100 B/demod-sample).  The
+    # [tile+K-1, tile] f32 tap matrix is 8.4 MB VMEM, inside the 16 MB
+    # scoped budget.
+    if stride == 1 and _FIR_BACKEND in ("auto", "pallas") \
+            and jax.default_backend() not in ("cpu",) \
+            and _TOEPLITZ_TILE < K - 1 <= 1024 and W - (K - 1) >= 128:
+        batch = int(np.prod(lead)) if lead else 1
+        if batch <= _AUTO_PALLAS_MAX_BATCH:
+            from .pallas_fir import fir_apply_any
+            if taps_c:
+                hr = np.real(np.asarray(taps))
+                hi = np.imag(np.asarray(taps))
+                return (fir_apply_any(x, hr, tile=1024)
+                        + 1j * fir_apply_any(x, hi, tile=1024))
+            return fir_apply_any(x, np.asarray(taps), tile=1024)
 
     # Large-K stride-1 filters (WFM pilot band-pass ~3.8k taps, CW/VOR
     # channel filters): FFT overlap-save — a few FFT passes instead of a

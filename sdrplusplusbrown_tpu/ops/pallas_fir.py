@@ -244,6 +244,172 @@ def fir_decim_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int,
 
 
 # ----------------------------------------------------------------------
+# One-call complex FIR/decimator through a banded matmul.
+#
+# Every complex-input FIR previously paid 3-4 full HBM passes of GLUE
+# around the compute kernel: a re/im split per pallas call, a zero-pad
+# copy, and the re + j*im recombine — measured 159 B/smp total for the
+# WFM pilot band-pass whose kernel traffic is ~34.  This kernel takes
+# the re and im PLANES ([C | C] row blocks, one fused split+pad pass),
+# DMAs both windows, builds each matmul row as the aligned concat
+# [re_window | im_window] (each piece padded to a lane multiple), and
+# computes BOTH output parts with one MXU product whose tap matrix
+# carries the complex cross terms:
+#
+#     cols [0:tile]      = Re y:  rows_re -> +hr, rows_im -> -hi
+#     cols [tile:2*tile] = Im y:  rows_re -> +hi, rows_im -> +hr
+#
+# Output parts are block-contiguous (no interleaving anywhere), so the
+# outside recombine is an aligned slice + lax.complex — one HBM pass.
+# Real taps are the hi = 0 special case, so ONE kernel serves every
+# complex-input stage: stride-1 channel filters, decimating halfbands,
+# and complex-tap band-passes.
+
+def toeplitz_taps_cplx(taps: np.ndarray, tile: int, D: int,
+                       lw_pad: int) -> np.ndarray:
+    taps = np.asarray(taps)
+    K = taps.shape[-1]
+    hr = np.real(taps).astype(np.float32)
+    hi = (np.imag(taps).astype(np.float32)
+          if np.iscomplexobj(taps) else None)
+    H = np.zeros((2 * lw_pad, 2 * tile), np.float32)
+    ks = np.arange(K)
+    for j in range(tile):
+        idx = j * D + ks
+        H[idx, j] = hr
+        H[lw_pad + idx, tile + j] = hr
+        if hi is not None:
+            H[lw_pad + idx, j] = -hi
+            H[idx, tile + j] = hi
+    return H
+
+
+def _lw_pad(K: int, D: int, tile: int) -> int:
+    return (((tile - 1) * D + K + 127) // 128) * 128
+
+
+def cplx_pallas_ok(K: int, D: int, batch: int = 1,
+                   m_out: int | None = None,
+                   vmem_budget: int = 10 << 20):
+    """Tile in {512, 256, 128} minimizing estimated HBM traffic (the
+    tap matrix is a FIXED per-call cost, so short blocks prefer small
+    tiles), or None if nothing fits the VMEM budget."""
+    best, best_est = None, None
+    for t in (512, 256, 128):
+        lwp = _lw_pad(K, D, t)
+        h_bytes = 2 * lwp * 2 * t * 4
+        if h_bytes > vmem_budget:
+            continue
+        if m_out is None:
+            return t
+        hist = K - D
+        pad_h = ((hist + ALIGN - 1) // ALIGN) * ALIGN
+        n_super = (m_out + 8 * t - 1) // (8 * t)
+        n_read = 8 * t * D + pad_h + ALIGN
+        est = h_bytes + batch * n_super * 2 * n_read * 4
+        if best_est is None or est < best_est:
+            best, best_est = t, est
+    return best
+
+
+def _fir_cplx_kernel(x_hbm, h_ref, o_ref, wr, wi, sem_r, sem_i, *,
+                     R, tile, K, D, pad_h, Lp, n_read, n_planes):
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    adv = tile * D
+    start = i * R * adv
+    cp_r = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c * Lp + start, n_read)],
+        wr.at[pl.ds(0, n_read)], sem_r)
+    cp_i = pltpu.make_async_copy(
+        x_hbm.at[pl.ds((n_planes + c) * Lp + start, n_read)],
+        wi.at[pl.ds(0, n_read)], sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+    off = pad_h - (K - D)
+    lwp = _lw_pad(K, D, tile)
+    # Mosaic cannot concat slices taken deep inside a scratch ("input
+    # offsets outside of the first tile"), so the [re | im] row split
+    # becomes TWO matmuls against the top/bottom halves of H.
+    Wr = jnp.stack([wr[pl.ds(off + r * adv, lwp)] for r in range(R)])
+    Wi = jnp.stack([wi[pl.ds(off + r * adv, lwp)] for r in range(R)])
+    o_ref[0] = (jnp.dot(Wr, h_ref[:lwp],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(Wi, h_ref[lwp:],
+                          preferred_element_type=jnp.float32))
+
+
+def fir_cplx_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int = 1,
+                       tile: int | None = None, rows: int = 8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.fir.correlate on COMPLEX input (real or complex
+    taps, stride D): ``ext`` is the overlap-save extended block
+    [..., T + K - 1] complex64 with T % D == 0; returns [..., T//D]."""
+    taps = np.asarray(taps)
+    K = int(taps.shape[-1])
+    lead = ext.shape[:-1]
+    L = ext.shape[-1]
+    T = L - (K - 1)
+    M = T // D
+    if tile is None:
+        tile = cplx_pallas_ok(K, D)
+    assert tile is not None, (K, D)
+    lwp = _lw_pad(K, D, tile)
+    hist = K - D
+    pad_h = ((hist + ALIGN - 1) // ALIGN) * ALIGN
+    sup = rows * tile
+    M_pad = ((M + sup - 1) // sup) * sup
+    # per-plane length: pad_h history + M_pad*D samples + ALIGN slack
+    # for the lane-rounded last window (DMA lengths stay 1024-aligned)
+    Lp = pad_h + M_pad * D + ALIGN
+    xf = jnp.concatenate([jnp.real(ext).reshape(-1, L),
+                          jnp.imag(ext).reshape(-1, L)], axis=0)
+    xf = jnp.pad(xf, ((0, 0), (pad_h - hist, Lp - (pad_h - hist) - L)))
+    C2 = xf.shape[0]
+    C = C2 // 2
+    H = jnp.asarray(toeplitz_taps_cplx(taps, tile, D, lwp))
+    n_super = M_pad // sup
+    n_read = rows * tile * D + pad_h + ALIGN
+    kern = functools.partial(_fir_cplx_kernel, R=rows, tile=tile, K=K,
+                             D=D, pad_h=pad_h, Lp=Lp, n_read=n_read,
+                             n_planes=C)
+    cost = pl.CostEstimate(
+        flops=int(2 * (2 * lwp) * (2 * tile) * rows * C * n_super),
+        bytes_accessed=int(C * n_super * 2 * n_read * 4
+                           + C * M * 8 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, n_super),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2 * lwp, 2 * tile), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, 2 * tile),
+                               lambda c, i: (c, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_super * rows, 2 * tile),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_read,), jnp.float32),
+            pltpu.VMEM((n_read,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xf.reshape(-1), H)
+    # rows hold [re_tile | im_tile] blocks: aligned slices, one combine
+    o = out.reshape(C, M_pad // tile, 2, tile)
+    yr = o[:, :, 0, :].reshape(C, M_pad)[:, :M]
+    yi = o[:, :, 1, :].reshape(C, M_pad)[:, :M]
+    return jax.lax.complex(yr, yi).reshape(lead + (M,))
+
+
+# ----------------------------------------------------------------------
 # Polyphase L/M resampler through the same banded-matmul structure.
 #
 # From ops/resampler.PolyphaseResampler: with the widened kernel

@@ -98,3 +98,44 @@ def test_pallas_fused_mix_matches_complex_correlate(rng):
                                          jnp.asarray(g), D,
                                          interpret=True))
     np.testing.assert_allclose(y, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("D,cplx_taps", [(1, False), (1, True),
+                                         (2, False), (2, True),
+                                         (4, False)])
+def test_pallas_cplx_interleaved_matches_correlate(rng, D, cplx_taps):
+    """Interleaved-complex banded kernel == conv correlate for complex
+    input, real/complex taps, stride 1 and decimating."""
+    from sdrplusplusbrown_tpu.ops.pallas_fir import fir_cplx_apply_any
+    from sdrplusplusbrown_tpu.ops.fir import correlate
+    K, M = 63, 2048
+    T = M * D
+    x = (rng.standard_normal((3, T + K - 1))
+         + 1j * rng.standard_normal((3, T + K - 1))).astype(np.complex64)
+    h = np.hanning(K).astype(np.float32)
+    if cplx_taps:
+        h = (h * np.exp(1j * 0.21 * np.arange(K))).astype(np.complex64)
+    ref = np.asarray(correlate(jnp.asarray(x), h, stride=D))
+    got = np.asarray(fir_cplx_apply_any(jnp.asarray(x), h, D,
+                                        interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_pallas_cplx_interleaved_large_k(rng):
+    """Pilot-band shape: K=633 complex taps, stride 1 (tile budget picks
+    a narrower tile automatically)."""
+    from sdrplusplusbrown_tpu.ops.pallas_fir import (fir_cplx_apply_any,
+                                                     cplx_pallas_ok)
+    from sdrplusplusbrown_tpu.ops.fir import correlate
+    K, T = 633, 8192
+    t = cplx_pallas_ok(K, 1)
+    assert t is not None
+    x = (rng.standard_normal(T + K - 1)
+         + 1j * rng.standard_normal(T + K - 1)).astype(np.complex64)
+    h = (np.hanning(K) * np.exp(1j * 2 * np.pi * 0.038
+                                * np.arange(K))).astype(np.complex64)
+    ref = np.asarray(correlate(jnp.asarray(x), h))
+    got = np.asarray(fir_cplx_apply_any(jnp.asarray(x), h, 1, tile=t,
+                                        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
