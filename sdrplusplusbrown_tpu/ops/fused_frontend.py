@@ -101,9 +101,11 @@ class SharedXlateDecimFIR(Block):
             # per super-tile and all C channels come from one MXU matmul
             # (ops/pallas_fir.fused_mix_decim_apply)
             from .pallas_fir import fused_mix_decim_apply
-            g = jnp.zeros((2 * C, 2 * K), jnp.float32)
-            g = g.at[0::2, :K].set(gr).at[0::2, K:].set(-gi)
-            g = g.at[1::2, :K].set(gi).at[1::2, K:].set(gr)
+            # ROW-BLOCK packing (re rows [0:C], im rows [C:2C]) so the
+            # kernel's complex recombine is a free row-block slice
+            g = jnp.concatenate(
+                [jnp.concatenate([gr, -gi], axis=1),
+                 jnp.concatenate([gi, gr], axis=1)], axis=0)
             # wide banks are processed in <=64-channel groups: the VPU
             # accumulator [2C, sup*D] must stay inside VMEM, and
             # re-reading the SHARED wideband per group costs ~8 B/sample
@@ -111,9 +113,12 @@ class SharedXlateDecimFIR(Block):
             if C <= GROUP:
                 pre = fused_mix_decim_apply(ext, g, D)
             else:
-                parts = [fused_mix_decim_apply(
-                    ext, g[2 * c0:2 * min(c0 + GROUP, C)], D)
-                    for c0 in range(0, C, GROUP)]
+                parts = []
+                for c0 in range(0, C, GROUP):
+                    c1 = min(c0 + GROUP, C)
+                    gg = jnp.concatenate([g[c0:c1], g[C + c0:C + c1]],
+                                         axis=0)
+                    parts.append(fused_mix_decim_apply(ext, gg, D))
                 pre = jnp.concatenate(parts, axis=0)
         else:
             # one strided conv of the shared wideband: features (re,

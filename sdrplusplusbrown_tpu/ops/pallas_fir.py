@@ -18,6 +18,7 @@ padding the K-1 sample history up to ``pad_k`` (a 1024-lane multiple).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +122,17 @@ def fir_apply_any(ext: jnp.ndarray, taps: np.ndarray, tile: int = 512,
     T_pad = ((T + sup - 1) // sup) * sup
     # [pad_k-(K-1) zeros | K-1 history | T samples | tail zeros]
     xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1), T_pad - T)))
-    y = fir_apply(xf, taps, tile, rows, interpret)[:, :T]
+    Cr = xf.shape[0]
+    if Cr >= 4:
+        # stride-1 through the channel-blocked decim kernel (D=1):
+        # zero relayout copies around the custom call
+        Cp = ((Cr + CB - 1) // CB) * CB
+        if Cp != Cr:
+            xf = jnp.pad(xf, ((0, Cp - Cr), (0, 0)))
+        y = _fir_decim_apply_cb(xf, taps, 1, tile, rows,
+                                interpret)[:Cr, :T]
+    else:
+        y = fir_apply(xf, taps, tile, rows, interpret)[:, :T]
     if cplx:
         h = y.shape[0] // 2
         out = jax.lax.complex(y[:h], y[h:])
@@ -167,6 +178,80 @@ def _fir_decim_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
     W = jnp.stack(rows)                                   # [R, Lw]
     o_ref[0] = jnp.dot(W, h_ref[...],
                        preferred_element_type=jnp.float32)
+
+
+# Channel-blocked variant: the flat-operand kernels force XLA to
+# materialize LAYOUT-CHANGE copies around the custom call (the tiled
+# [C, Lp] -> [C*Lp] reshape and the [C, S, tile] -> [C, S*tile] output
+# merge are physical relayouts — measured 523 B/sample of pure copy
+# traffic in the WFM-8 chain).  Processing 8 channels per grid step
+# keeps the operand 2-D (a [8, n] slice satisfies the (8,128) sublane
+# tiling), and the [C/8, 8, S] output reshapes to [C, S] for free
+# (major-dim merge).  Verified: zero `copy` ops in the compiled HLO.
+
+CB = 8
+
+
+def _fir_decim_cb_kernel(x_hbm, h_ref, o_ref, w, sem, *,
+                         R, tile, K, D, pad_k):
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    sup = R * tile * D
+    n_read = sup + pad_k
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c8 * CB, CB), pl.ds(i * sup, n_read)],
+        w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    Lw = (tile - 1) * D + K
+    off = pad_k - (K - 1)
+    for r in range(R):
+        win = w[:, pl.ds(off + r * tile * D, Lw)]        # [CB, Lw]
+        o_ref[0, :, pl.ds(r * tile, tile)] = jnp.dot(
+            win, h_ref[...], preferred_element_type=jnp.float32)
+
+
+def _fir_decim_apply_cb(xp: jnp.ndarray, taps: np.ndarray, D: int,
+                        tile: int, rows: int,
+                        interpret: bool) -> jnp.ndarray:
+    """xp: [C, pad_k + T] float32 with C % 8 == 0; returns [C, T//D]."""
+    K = int(np.asarray(taps).shape[-1])
+    pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+    C, Lp = xp.shape
+    T = Lp - pad_k
+    sup = rows * tile * D
+    assert T % sup == 0 and C % CB == 0, (T, sup, C)
+    H = jnp.asarray(toeplitz_taps_decim(np.asarray(taps, np.float32),
+                                        tile, D))
+    n_super = T // sup
+    so = rows * tile
+    kern = functools.partial(_fir_decim_cb_kernel, R=rows, tile=tile,
+                             K=K, D=D, pad_k=pad_k)
+    cost = pl.CostEstimate(
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
+        bytes_accessed=int(C * n_super * (sup + pad_k) * 4
+                           + C * (T // D) * 4 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(C // CB, n_super),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CB, so), lambda c, i: (c, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C // CB, CB, n_super * so),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CB, sup + pad_k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp.astype(jnp.float32), H)
+    return out.reshape(C, T // D)
 
 
 def fir_decim_apply(xp: jnp.ndarray, taps: np.ndarray, D: int,
@@ -234,7 +319,17 @@ def fir_decim_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int,
     sup = rows * tile * D
     T_pad = ((T + sup - 1) // sup) * sup
     xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1), T_pad - T)))
-    y = fir_decim_apply(xf, taps, D, tile, rows, interpret)[:, :M]
+    Cr = xf.shape[0]
+    if Cr >= 4:
+        # channel-blocked path (zero relayout copies); row padding to
+        # a multiple of 8 costs only extra window DMA
+        Cp = ((Cr + CB - 1) // CB) * CB
+        if Cp != Cr:
+            xf = jnp.pad(xf, ((0, Cp - Cr), (0, 0)))
+        y = _fir_decim_apply_cb(xf, taps, D, tile, rows,
+                                interpret)[:Cr, :M]
+    else:
+        y = fir_decim_apply(xf, taps, D, tile, rows, interpret)[:, :M]
     if cplx:
         h = y.shape[0] // 2
         out = jax.lax.complex(y[:h], y[h:])
@@ -341,6 +436,107 @@ def _fir_cplx_kernel(x_hbm, h_ref, o_ref, wr, wi, sem_r, sem_i, *,
                           preferred_element_type=jnp.float32))
 
 
+def _fir_cplx_cb_kernel(x_hbm, h_ref, ore_ref, oim_ref, wr, wi,
+                        sem_r, sem_i, *, R, tile, K, D, pad_h,
+                        n_read, n_planes):
+    """Channel-blocked complex kernel: 8 complex channels per grid
+    step (re rows [c8*8, 8], im rows [Cp + c8*8, 8]), both output
+    parts stored to SEPARATE buffers (aligned lane slices of the
+    [CB, 2*tile] product) — no relayout copies anywhere."""
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    adv = tile * D
+    start = i * R * adv
+    cp_r = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c8 * CB, CB), pl.ds(start, n_read)],
+        wr.at[pl.ds(0, CB), pl.ds(0, n_read)], sem_r)
+    cp_i = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(n_planes + c8 * CB, CB), pl.ds(start, n_read)],
+        wi.at[pl.ds(0, CB), pl.ds(0, n_read)], sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+    off = pad_h - (K - D)
+    lwp = _lw_pad(K, D, tile)
+    for r in range(R):
+        win_r = wr[:, pl.ds(off + r * adv, lwp)]         # [CB, lwp]
+        win_i = wi[:, pl.ds(off + r * adv, lwp)]
+        res = (jnp.dot(win_r, h_ref[:lwp],
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(win_i, h_ref[lwp:],
+                         preferred_element_type=jnp.float32))
+        ore_ref[0, :, pl.ds(r * tile, tile)] = res[:, :tile]
+        oim_ref[0, :, pl.ds(r * tile, tile)] = res[:, tile:]
+
+
+def _fir_cplx_apply_cb(ext: jnp.ndarray, taps: np.ndarray, D: int,
+                       tile: int, rows: int,
+                       interpret: bool) -> jnp.ndarray:
+    """Channel-blocked complex FIR: ext [C, T + K - 1] complex64 with
+    C >= 4; returns [C, T//D]."""
+    taps = np.asarray(taps)
+    K = int(taps.shape[-1])
+    C, L = ext.shape
+    T = L - (K - 1)
+    M = T // D
+    lwp = _lw_pad(K, D, tile)
+    hist = K - D
+    pad_h = ((hist + ALIGN - 1) // ALIGN) * ALIGN
+    sup = rows * tile
+    M_pad = ((M + sup - 1) // sup) * sup
+    Cp = ((C + CB - 1) // CB) * CB
+    Lp = pad_h + M_pad * D + ALIGN
+    re = jnp.pad(jnp.real(ext), ((0, Cp - C),
+                                 (pad_h - hist, Lp - (pad_h - hist) - L)))
+    im = jnp.pad(jnp.imag(ext), ((0, Cp - C),
+                                 (pad_h - hist, Lp - (pad_h - hist) - L)))
+    xf = jnp.concatenate([re, im], axis=0)               # [2Cp, Lp]
+    H = jnp.asarray(toeplitz_taps_cplx(taps, tile, D, lwp))
+    n_super = M_pad // sup
+    n_read = rows * tile * D + pad_h + ALIGN
+    kern = functools.partial(_fir_cplx_cb_kernel, R=rows, tile=tile,
+                             K=K, D=D, pad_h=pad_h, n_read=n_read,
+                             n_planes=Cp)
+    cost = pl.CostEstimate(
+        flops=int(2 * (2 * lwp) * (2 * tile) * rows * Cp * n_super),
+        bytes_accessed=int(Cp * n_super * 2 * n_read * 4
+                           + Cp * M * 8 + H.size * 4),
+        transcendentals=0)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(Cp // CB, n_super),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((2 * lwp, 2 * tile), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CB, sup), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB, sup), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Cp // CB, CB, n_super * sup),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((Cp // CB, CB, n_super * sup),
+                                 jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CB, n_read), jnp.float32),
+            pltpu.VMEM((CB, n_read), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xf, H)
+    yr = ore.reshape(Cp, M_pad)[:C, :M]
+    yi = oim.reshape(Cp, M_pad)[:C, :M]
+    return jax.lax.complex(yr, yi)
+
+
 def fir_cplx_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int = 1,
                        tile: int | None = None, rows: int = 8,
                        interpret: bool = False) -> jnp.ndarray:
@@ -356,6 +552,11 @@ def fir_cplx_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int = 1,
     if tile is None:
         tile = cplx_pallas_ok(K, D)
     assert tile is not None, (K, D)
+    batch = int(np.prod(lead)) if lead else 1
+    if batch >= 4:
+        y = _fir_cplx_apply_cb(ext.reshape(-1, L), taps, D, tile,
+                               rows, interpret)
+        return y.reshape(lead + (M,))
     lwp = _lw_pad(K, D, tile)
     hist = K - D
     pad_h = ((hist + ALIGN - 1) // ALIGN) * ALIGN
@@ -452,21 +653,145 @@ def _banded_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
                        preferred_element_type=jnp.float32)
 
 
+def _roll_lwp(Lw: int) -> int:
+    # rolled window: static residual (<128) + dynamic DMA-alignment
+    # shift (<1024) precede the Lw useful lanes; wrap-around garbage
+    # beyond them multiplies zero-padded H rows
+    return ((Lw + 128 + ALIGN + 127) // 128) * 128
+
+
 def poly_pallas_ok(interp: int, decim: int, kw: int,
-                   mt: int = 64, vmem_budget: int = 6 << 20) -> bool:
-    """Would the banded polyphase kernel fit?  (H grows with the aligned
-    mt; large coprime interp/decim pairs fall back to the conv path.)"""
-    while (mt * interp) % 128 or (mt * decim) % 128:
+                   m_out: int | None = None, batch: int = 1,
+                   rows: int = 8, vmem_budget: int = 6 << 20):
+    """Pick the banded polyphase config minimizing estimated HBM
+    traffic: ``(mt, use_roll)`` or None (conv fallback).
+
+    The ALIGNED path needs both mt·interp (output lanes) and mt·decim
+    (stacked-row offsets) to be 128-multiples — coprime-odd ratios force
+    mt = 128 and a giant tap matrix.  The ROLL path only needs
+    mt·interp aligned: rows are loaded at 128-aligned bases and rotated
+    by their (static + DMA-alignment) residual, so mt stays small.  The
+    tap matrix is a fixed per-call cost, so short blocks pick small mt.
+    """
+    best = None
+    best_est = None
+
+    def consider(mt, use_roll):
+        nonlocal best, best_est
+        Lw = (mt - 1) * decim + kw
+        h_bytes = ((((Lw + 127) // 128) * 128) if use_roll else Lw) \
+            * (mt * interp) * 4
+        if h_bytes > vmem_budget:
+            return
+        hist = kw - decim
+        pad_k = ((hist + ALIGN - 1) // ALIGN) * ALIGN
+        extra = (((_roll_lwp(Lw) + ALIGN - 1) // ALIGN) * ALIGN
+                 if use_roll else 0)
+        if m_out is None:
+            est = h_bytes
+        else:
+            n_super = (m_out + rows * mt - 1) // (rows * mt)
+            n_read = rows * mt * decim + pad_k + extra
+            est = h_bytes + batch * n_super * n_read * 4
+        if best_est is None or est < best_est:
+            best, best_est = (mt, use_roll), est
+
+    mt = 1
+    while ((mt * interp) % 128 or (mt * decim) % 128) and mt <= 1024:
         mt += 1
-        if mt > 1024:
-            return False
-    Lw = (mt - 1) * decim + kw
-    return Lw * (mt * interp) * 4 <= vmem_budget
+    if mt <= 1024:
+        consider(mt, False)
+    mt0 = 128 // math.gcd(interp, 128)
+    for j in range(6):
+        consider(mt0 << j, True)
+    return best
+
+
+def _banded_roll_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
+                        R, tile_out, row_adv, Lwp, pad_k, hist, Lp,
+                        n_read):
+    """Banded matmul with UNALIGNED row advance: the DMA starts at the
+    1024-aligned floor of the super-tile offset and each row is loaded
+    at the 128-aligned floor of its window, then lane-ROTATED by the
+    residual (dynamic DMA shift + static row shift).  Wrap-around
+    garbage lands on zero-padded H rows."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    start = c * Lp + i * (R * row_adv)
+    # (start // ALIGN) * ALIGN: the div-mul form is what Mosaic's
+    # divisibility prover recognizes (start - start % ALIGN is not)
+    start_al = (start // ALIGN) * ALIGN
+    extra = start - start_al
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start_al, n_read)],
+        w_scratch.at[pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    off = pad_k - hist
+    Lw128 = h_ref.shape[0]              # ceil(Lw/128)*128 << Lwp
+    rows_ = []
+    for r in range(R):
+        o_r = off + r * row_adv
+        b_r = (o_r // 128) * 128
+        v = w_scratch[pl.ds(b_r, Lwp)][None, :]
+        v = pltpu.roll(v, -((o_r - b_r) + extra), 1)
+        # slice the roll slack away BEFORE the matmul so H only needs
+        # ceil(Lw/128) row tiles (padding H to Lwp tripled its traffic)
+        rows_.append(jax.lax.slice(v, (0, 0), (1, Lw128)))
+    W = jnp.concatenate(rows_, axis=0)                # [R, Lw128]
+    o_ref[0] = jnp.dot(W, h_ref[...],
+                       preferred_element_type=jnp.float32)
+
+
+def _banded_cb_kernel(x_hbm, h_ref, o_ref, w, sem, *,
+                      R, tile_out, row_adv, Lw, pad_k, n_read):
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c8 * CB, CB), pl.ds(i * (R * row_adv), n_read)],
+        w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    hist = Lw - row_adv
+    off = pad_k - hist
+    for r in range(R):
+        win = w[:, pl.ds(off + r * row_adv, Lw)]         # [CB, Lw]
+        o_ref[0, :, pl.ds(r * tile_out, tile_out)] = jnp.dot(
+            win, h_ref[...], preferred_element_type=jnp.float32)
+
+
+def _banded_roll_cb_kernel(x_hbm, h_ref, o_ref, w, sem, *,
+                           R, tile_out, row_adv, Lwp, pad_k, hist,
+                           n_read):
+    """Channel-blocked roll variant: both the DMA lane offset and the
+    per-row window offsets are floored to 128-lane boundaries and the
+    residual handled by a lane rotate (2-D lane granularity is 128,
+    not the 1-D 1024)."""
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    start = i * (R * row_adv)
+    start_al = (start // 128) * 128
+    extra = start - start_al
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c8 * CB, CB), pl.ds(start_al, n_read)],
+        w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+    cp.start()
+    cp.wait()
+    off = pad_k - hist
+    Lw128 = h_ref.shape[0]
+    for r in range(R):
+        o_r = off + r * row_adv
+        b_r = (o_r // 128) * 128
+        win = w[:, pl.ds(b_r, Lwp)]                      # [CB, Lwp]
+        win = pltpu.roll(win, -((o_r - b_r) + extra), 1)
+        win = jax.lax.slice(win, (0, 0), (CB, Lw128))
+        o_ref[0, :, pl.ds(r * tile_out, tile_out)] = jnp.dot(
+            win, h_ref[...], preferred_element_type=jnp.float32)
 
 
 def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
                             interp: int, decim: int, mt: int = 64,
-                            rows: int = 8,
+                            rows: int = 8, use_roll: bool = False,
                             interpret: bool = False) -> jnp.ndarray:
     """Drop-in for the PolyphaseResampler conv: ``ext`` is the extended
     block [..., T + tpp - 1] (tpp-1 = kw - decim carried samples),
@@ -477,11 +802,16 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
     L = ext.shape[-1]
     T = L - hist
     M = T // decim                       # output m count
-    # lane alignment: BOTH tile_out = mt·interp (output columns) and
-    # row_adv = mt·decim (per-row scratch offsets — Mosaic cannot
-    # concat slices at misaligned lane offsets) must be 128-multiples
-    while (mt * interp) % 128 or (mt * decim) % 128:
-        mt += 1
+    if use_roll:
+        # roll mode only needs the OUTPUT lanes aligned
+        assert (mt * interp) % 128 == 0, (mt, interp)
+    else:
+        # lane alignment: BOTH tile_out = mt·interp (output columns)
+        # and row_adv = mt·decim (stacked-row scratch offsets — Mosaic
+        # cannot concat slices at misaligned lane offsets) must be
+        # 128-multiples
+        while (mt * interp) % 128 or (mt * decim) % 128:
+            mt += 1
     tile_out = mt * interp
     row_adv = mt * decim
     Lw = (mt - 1) * decim + kw
@@ -495,38 +825,114 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
         xf = ext.reshape(-1, L)
     sup_m = rows * mt
     M_pad = ((M + sup_m - 1) // sup_m) * sup_m
-    xf = jnp.pad(xf, ((0, 0), (pad_k - hist, (M_pad - M) * decim)))
-    C, Lp = xf.shape
-    H = jnp.asarray(banded_poly_matrix(np.asarray(widened, np.float32),
-                                       interp, decim, mt))
+    if use_roll:
+        Lwp = _roll_lwp(Lw)
+        n_read = ((rows * row_adv + pad_k + Lwp + ALIGN + ALIGN - 1)
+                  // ALIGN) * ALIGN
+        tail_extra = n_read - (rows * row_adv + pad_k)
+    else:
+        Lwp = Lw
+        n_read = rows * row_adv + pad_k
+        tail_extra = 0
+    base_len = (pad_k - hist) + L + (M_pad - M) * decim + tail_extra
+    Lp = ((base_len + ALIGN - 1) // ALIGN) * ALIGN
+    xf = jnp.pad(xf, ((0, 0), (pad_k - hist,
+                               Lp - (pad_k - hist) - L)))
+    C = xf.shape[0]
+    H = banded_poly_matrix(np.asarray(widened, np.float32),
+                           interp, decim, mt)
+    if use_roll:
+        Lw128 = ((Lw + 127) // 128) * 128
+        H = np.pad(H, ((0, Lw128 - Lw), (0, 0)))
+    H = jnp.asarray(H)
     n_super = M_pad // sup_m
-    kern = functools.partial(_banded_kernel, R=rows, tile_out=tile_out,
-                             row_adv=row_adv, Lw=Lw, pad_k=pad_k, Lp=Lp)
-    cost = pl.CostEstimate(
-        flops=int(2 * Lw * tile_out * rows * C * n_super),
-        bytes_accessed=int(C * n_super * (rows * row_adv + pad_k) * 4
-                           + C * M * interp * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
-        kern,
-        grid=(C, n_super),
-        cost_estimate=cost,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((Lw, tile_out), lambda c, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rows, tile_out), lambda c, i: (c, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, n_super * rows, tile_out),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows * row_adv + pad_k,), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xf.reshape(-1), H)
-    y = out.reshape(C, M_pad * interp)[:, :M * interp]
+    if C >= 4:
+        # channel-blocked path: no relayout copies around the call
+        Cp = ((C + CB - 1) // CB) * CB
+        if Cp != C:
+            xf = jnp.pad(xf, ((0, Cp - C), (0, 0)))
+        if use_roll:
+            n_read_cb = ((rows * row_adv + pad_k + Lwp + 256)
+                         // 128 + 1) * 128
+            kern = functools.partial(_banded_roll_cb_kernel, R=rows,
+                                     tile_out=tile_out,
+                                     row_adv=row_adv, Lwp=Lwp,
+                                     pad_k=pad_k, hist=hist,
+                                     n_read=n_read_cb)
+        else:
+            n_read_cb = n_read
+            kern = functools.partial(_banded_cb_kernel, R=rows,
+                                     tile_out=tile_out,
+                                     row_adv=row_adv, Lw=Lw,
+                                     pad_k=pad_k, n_read=n_read_cb)
+        so = rows * tile_out
+        cost = pl.CostEstimate(
+            flops=int(2 * H.shape[0] * tile_out * rows * Cp * n_super),
+            bytes_accessed=int(Cp * n_super * n_read_cb * 4
+                               + Cp * M * interp * 4 + H.size * 4),
+            transcendentals=0)
+        out = pl.pallas_call(
+            kern,
+            grid=(Cp // CB, n_super),
+            cost_estimate=cost,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((H.shape[0], tile_out),
+                             lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, CB, so), lambda c, i: (c, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Cp // CB, CB,
+                                            n_super * so),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((CB, n_read_cb), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xf, H)
+        y = out.reshape(Cp, M_pad * interp)[:C, :M * interp]
+    else:
+        if use_roll:
+            kern = functools.partial(_banded_roll_kernel, R=rows,
+                                     tile_out=tile_out,
+                                     row_adv=row_adv,
+                                     Lwp=Lwp, pad_k=pad_k, hist=hist,
+                                     Lp=Lp, n_read=n_read)
+        else:
+            kern = functools.partial(_banded_kernel, R=rows,
+                                     tile_out=tile_out,
+                                     row_adv=row_adv,
+                                     Lw=Lw, pad_k=pad_k, Lp=Lp)
+        cost = pl.CostEstimate(
+            flops=int(2 * H.shape[0] * tile_out * rows * C * n_super),
+            bytes_accessed=int(C * n_super * n_read * 4
+                               + C * M * interp * 4 + H.size * 4),
+            transcendentals=0)
+        out = pl.pallas_call(
+            kern,
+            grid=(C, n_super),
+            cost_estimate=cost,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((H.shape[0], tile_out),
+                             lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, tile_out),
+                                   lambda c, i: (c, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, n_super * rows,
+                                            tile_out),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_read,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xf.reshape(-1), H)
+        y = out.reshape(C, M_pad * interp)[:, :M * interp]
     if cplx:
         h = y.shape[0] // 2
         yc = jax.lax.complex(y[:h], y[h:])
@@ -577,7 +983,7 @@ def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, acc_ref,
     # and the tap column from a one-hot iota matmul (no dynamic lane
     # slicing of loaded values).
     twoK = 2 * K
-    acc_ref[...] = jnp.zeros((o_ref.shape[1], n2), jnp.float32)
+    acc_ref[...] = jnp.zeros((o_ref.shape[0], n2), jnp.float32)
 
     def _accumulate(w_ref, part):
         w2 = w_ref[...][None, :]                        # [1, n_read]
@@ -599,7 +1005,7 @@ def _fused_mix_kernel(x_hbm, g_ref, s0_ref, o_ref, wr, wi, acc_ref,
     # ...then keep every D-th column with a small static selection-matrix
     # matmul per block (Mosaic cannot lower strided lane slices/gathers)
     for b in range(n_out // bs):
-        o_ref[0, :, b * bs:(b + 1) * bs] = jnp.dot(
+        o_ref[:, b * bs:(b + 1) * bs] = jnp.dot(
             acc_ref[:, b * bs * D:(b + 1) * bs * D], s0_ref[...],
             preferred_element_type=jnp.float32)
 
@@ -622,10 +1028,14 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
     bs = 256                                   # downsample block columns
     assert sup % bs == 0
     M_pad = ((M + sup - 1) // sup) * sup
-    xf = jnp.stack([jnp.real(ext), jnp.imag(ext)])
-    xf = jnp.pad(xf, ((0, 0), (pad_k - (K - 1),
-                               (M_pad - M) * D + ALIGN)))
-    Lp = xf.shape[-1]
+    # build the two planes FLAT via 1-D concat: reshaping a tiled
+    # [2, Lp] to [2*Lp] is a physical relayout XLA materializes as a
+    # full copy (~66 B/in-sample for the shared wideband)
+    zf = jnp.zeros((pad_k - (K - 1),), jnp.float32)
+    zt = jnp.zeros(((M_pad - M) * D + ALIGN,), jnp.float32)
+    xf = jnp.concatenate([zf, jnp.real(ext), zt,
+                          zf, jnp.imag(ext), zt])
+    Lp = xf.shape[-1] // 2
     n_super = M_pad // sup
     # static selection matrix: S0[j·D, j] = 1  → acc @ S0 keeps every
     # D-th column
@@ -650,10 +1060,9 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
             pl.BlockSpec((bs * D, bs), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, twoC, sup), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((twoC, sup), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_super, twoC, sup),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((twoC, M_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((sup * D + pad_k,), jnp.float32),
             pltpu.VMEM((sup * D + pad_k,), jnp.float32),
@@ -662,8 +1071,9 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xf.reshape(-1), g, jnp.asarray(s0))
-    # keep 2C on the MAJOR axis: a [*, 16]-minor layout would tile-pad
-    # the 128 lanes 8-fold and that padding is real HBM traffic
-    y = jnp.moveaxis(out, 1, 0).reshape(twoC, M_pad)[:, :M]
-    return jax.lax.complex(y[0::2], y[1::2])           # [C, M]
+    )(xf, g, jnp.asarray(s0))
+    # g rows are packed in BLOCKS (re rows [0:C], im rows [C:2C]) so
+    # the complex recombine is a free row-block slice — interleaved
+    # rows would need a sublane-strided gather (a relayout copy)
+    y = out[:, :M]
+    return jax.lax.complex(y[:C], y[C:])               # [C, M]

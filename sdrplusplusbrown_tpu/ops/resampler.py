@@ -110,12 +110,17 @@ class PolyphaseResampler(Block):
         if get_fir_backend() in ("auto", "pallas") \
                 and jax.default_backend() not in ("cpu",) \
                 and batch <= _AUTO_PALLAS_MAX_BATCH_DECIM \
-                and x.shape[-1] // self.decim >= 128 \
-                and poly_pallas_ok(self.interp, self.decim, kw):
-            out = poly_resample_apply_any(ext, self.kernel, self.interp,
-                                          self.decim)
-            new_state = ext[..., W - (self.tpp - 1):]
-            return out, new_state
+                and x.shape[-1] // self.decim >= 16:
+            m_out = x.shape[-1] // self.decim
+            cfg = poly_pallas_ok(self.interp, self.decim, kw,
+                                 m_out=m_out, batch=batch)
+            if cfg is not None:
+                mt, use_roll = cfg
+                out = poly_resample_apply_any(ext, self.kernel,
+                                              self.interp, self.decim,
+                                              mt=mt, use_roll=use_roll)
+                new_state = ext[..., W - (self.tpp - 1):]
+                return out, new_state
         if jnp.iscomplexobj(x):
             xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=-2)
             xf = xf.reshape((-1, 1, W)).astype(jnp.float32)

@@ -90,28 +90,31 @@ def test_pallas_fused_mix_matches_complex_correlate(rng):
         jnp.asarray(x), g_c[c].astype(np.complex64), stride=D))
         for c in range(C)])
     g = np.zeros((2 * C, 2 * K), np.float32)
-    g[0::2, :K] = np.real(g_c)
-    g[0::2, K:] = -np.imag(g_c)
-    g[1::2, :K] = np.imag(g_c)
-    g[1::2, K:] = np.real(g_c)
+    g[:C, :K] = np.real(g_c)
+    g[:C, K:] = -np.imag(g_c)
+    g[C:, :K] = np.imag(g_c)
+    g[C:, K:] = np.real(g_c)
     y = np.asarray(fused_mix_decim_apply(jnp.asarray(x),
                                          jnp.asarray(g), D,
                                          interpret=True))
     np.testing.assert_allclose(y, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("batch", [3, 9])
 @pytest.mark.parametrize("D,cplx_taps", [(1, False), (1, True),
                                          (2, False), (2, True),
                                          (4, False)])
-def test_pallas_cplx_interleaved_matches_correlate(rng, D, cplx_taps):
+def test_pallas_cplx_interleaved_matches_correlate(rng, D, cplx_taps,
+                                                   batch):
     """Interleaved-complex banded kernel == conv correlate for complex
     input, real/complex taps, stride 1 and decimating."""
     from sdrplusplusbrown_tpu.ops.pallas_fir import fir_cplx_apply_any
     from sdrplusplusbrown_tpu.ops.fir import correlate
     K, M = 63, 2048
     T = M * D
-    x = (rng.standard_normal((3, T + K - 1))
-         + 1j * rng.standard_normal((3, T + K - 1))).astype(np.complex64)
+    x = (rng.standard_normal((batch, T + K - 1))
+         + 1j * rng.standard_normal((batch, T + K - 1))
+         ).astype(np.complex64)
     h = np.hanning(K).astype(np.float32)
     if cplx_taps:
         h = (h * np.exp(1j * 0.21 * np.arange(K))).astype(np.complex64)
@@ -139,3 +142,53 @@ def test_pallas_cplx_interleaved_large_k(rng):
     got = np.asarray(fir_cplx_apply_any(jnp.asarray(x), h, 1, tile=t,
                                         interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("batch", [1, 5])
+@pytest.mark.parametrize("interp,decim", [(96, 125), (24, 25), (3, 5)])
+def test_pallas_poly_roll_matches_resampler(rng, interp, decim, batch):
+    """Roll-mode banded polyphase (coprime/odd ratios whose aligned mt
+    would blow VMEM) == the conv reference path."""
+    import jax
+    from sdrplusplusbrown_tpu.ops.resampler import PolyphaseResampler
+    from sdrplusplusbrown_tpu.ops import taps as taps_mod
+    from sdrplusplusbrown_tpu.ops.pallas_fir import (
+        poly_resample_apply_any, poly_pallas_ok)
+    proto = taps_mod.low_pass(0.4 / decim, 0.1 / decim, 1.0) * interp
+    pr = PolyphaseResampler(interp, decim, proto)
+    T = decim * 256
+    x = (rng.standard_normal((batch, T + pr.tpp - 1))
+         + 1j * rng.standard_normal((batch, T + pr.tpp - 1))
+         ).astype(np.complex64)
+    kw = pr.kernel.shape[1]
+    cfg = poly_pallas_ok(interp, decim, kw, m_out=T // decim)
+    assert cfg is not None, (interp, decim, kw)
+    mt, use_roll = cfg
+    st = jnp.asarray(x[:, :pr.tpp - 1])
+    y_ref, _ = pr.apply(None, st, jnp.asarray(x[:, pr.tpp - 1:]))
+    ext = jnp.asarray(x)
+    y_p = poly_resample_apply_any(ext, pr.kernel, interp, decim,
+                                  mt=mt, use_roll=use_roll,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=3e-5)
+
+
+def test_pallas_poly_roll_forced(rng):
+    """use_roll=True forced on an aligned-friendly ratio still matches
+    (exercises the dynamic DMA-shift path at several supertiles)."""
+    from sdrplusplusbrown_tpu.ops.resampler import PolyphaseResampler
+    from sdrplusplusbrown_tpu.ops import taps as taps_mod
+    from sdrplusplusbrown_tpu.ops.pallas_fir import poly_resample_apply_any
+    interp, decim = 2, 5
+    proto = taps_mod.low_pass(0.4 / decim, 0.1 / decim, 1.0) * interp
+    pr = PolyphaseResampler(interp, decim, proto)
+    T = decim * 2048
+    x = rng.standard_normal(T + pr.tpp - 1).astype(np.float32)
+    st = jnp.asarray(x[:pr.tpp - 1])
+    y_ref, _ = pr.apply(None, st, jnp.asarray(x[pr.tpp - 1:]))
+    y_p = poly_resample_apply_any(jnp.asarray(x), pr.kernel, interp,
+                                  decim, mt=64, use_roll=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=3e-5)
