@@ -230,16 +230,8 @@ class Radio(Block):
             p["squelch"] = {"level": jnp.float32(lvl)}
         return p
 
-    def apply(self, params, state, x):
-        if x.shape[-1] % self.in_multiple:
-            raise ValueError(
-                f"Radio[{self.demod_name}]: block length "
-                f"{x.shape[-1]} must be a multiple of in_multiple="
-                f"{self.in_multiple}")
-        if params is None:
-            params = self.init_params()
-        st = dict(state)
-        y, st["vfo"] = self.vfo.apply(params["vfo"], state["vfo"], x)
+    def _post_vfo(self, params, state, st, y):
+        """IF chain → demod → AF chain, shared by every front-end path."""
         if self.nb_enabled:
             y, st["nb"] = self.nb.apply(None, state["nb"], y)
         if self.squelch_enabled:
@@ -260,6 +252,18 @@ class Radio(Block):
         if rds is not None:
             return (y, rds), st
         return y, st
+
+    def apply(self, params, state, x):
+        if x.shape[-1] % self.in_multiple:
+            raise ValueError(
+                f"Radio[{self.demod_name}]: block length "
+                f"{x.shape[-1]} must be a multiple of in_multiple="
+                f"{self.in_multiple}")
+        if params is None:
+            params = self.init_params()
+        st = dict(state)
+        y, st["vfo"] = self.vfo.apply(params["vfo"], state["vfo"], x)
+        return self._post_vfo(params, state, st, y)
 
     # convenience: jitted step
     def jit_step(self):
@@ -304,29 +308,66 @@ def apply_shared(self, params, state, x):
     vs = self._build_vfo_shared()
     st = dict(state)
     y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
-    if self.nb_enabled:
-        y, st["nb"] = self.nb.apply(None, state["nb"], y)
+    return self._post_vfo(params, state, st, y)
+
+
+def can_channelize(self) -> bool:
+    """True when the PFB front end can serve this demod config: the
+    in/IF rate ratio is an even integer and the bandwidth leaves
+    transition room (models/rx_vfo.py:ChannelizedRxVFOBank)."""
+    r = self.in_samplerate / self.if_rate
+    return (abs(r - round(r)) < 1e-9 and int(round(r)) % 2 == 0
+            and self.bandwidth < self.if_rate)
+
+
+def _build_vfo_channelized(self):
+    from .rx_vfo import ChannelizedRxVFOBank
+    if getattr(self, "_vfo_channelized", None) is None:
+        self._vfo_channelized = ChannelizedRxVFOBank(
+            self.vfo.in_samplerate, self.vfo.out_samplerate,
+            self.vfo.bandwidth)
+    return self._vfo_channelized
+
+
+def make_params_channelized(self, offsets_hz, squelch_level=None):
+    """Runtime params for apply_channelized (same retune contract)."""
+    vb = self._build_vfo_channelized()
+    p = {"vfo": vb.make_params(np.asarray(offsets_hz, np.float64))}
     if self.squelch_enabled:
-        y, _ = self.squelch.apply(params.get("squelch"), None, y)
-    if self.fmif_enabled:
-        y, st["fmif"] = self.fmif.apply(None, state["fmif"], y)
-    y, st["demod"] = self.demod.apply(None, state["demod"], y)
-    rds = None
-    if isinstance(y, tuple):
-        y, rds = y
-    if self.af_resamp is not None:
-        y, st["af_resamp"] = self.af_resamp.apply(
-            None, state["af_resamp"], y)
-    if self.deemp is not None:
-        y, st["deemp"] = self.deemp.apply(None, state["deemp"], y)
-    if not self.demod_stereo:
-        y = jnp.stack([y, y], axis=-2)
-    if rds is not None:
-        return (y, rds), st
-    return y, st
+        lvl = squelch_level if squelch_level is not None \
+            else self.squelch.default_level
+        p["squelch"] = {"level": jnp.float32(lvl)}
+    return p
+
+
+def init_state_channelized(self, C: int):
+    vb = self._build_vfo_channelized()
+    st = self.init_state((C,))
+    st["vfo"] = vb.init_state(C)
+    return st
+
+
+def apply_channelized(self, params, state, x):
+    """x: [T] SHARED wideband → per-channel audio via the 2×-oversampled
+    PFB front end (ChannelizedRxVFOBank) — O(C)-free at the full input
+    rate, the wide-bank/scanner path.  Signal-equivalent (not bit-near)
+    to apply(): different anti-alias filters."""
+    if x.shape[-1] % self.in_multiple:
+        raise ValueError(
+            f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
+            f"be a multiple of in_multiple={self.in_multiple}")
+    vb = self._build_vfo_channelized()
+    st = dict(state)
+    y, st["vfo"] = vb.apply(params["vfo"], state["vfo"], x)
+    return self._post_vfo(params, state, st, y)
 
 
 Radio._build_vfo_shared = _build_vfo_shared
 Radio.make_params_shared = make_params_shared
 Radio.init_state_shared = init_state_shared
 Radio.apply_shared = apply_shared
+Radio.can_channelize = can_channelize
+Radio._build_vfo_channelized = _build_vfo_channelized
+Radio.make_params_channelized = make_params_channelized
+Radio.init_state_channelized = init_state_channelized
+Radio.apply_channelized = apply_channelized

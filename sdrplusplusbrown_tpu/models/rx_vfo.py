@@ -67,6 +67,93 @@ class RxVFO(Block):
         return y, st
 
 
+class ChannelizedRxVFOBank(Block):
+    """RxVFO bank over a SHARED wideband via a 2×-oversampled polyphase
+    channelizer — the wide-C answer (scanners, monitoring banks).
+
+    The fused front end (SharedRxVFOBank) still does O(C) work at the
+    full input rate; past the pallas/conv crossover (~64 channels) the
+    front end dominates the whole chain.  Here the band is split ONCE
+    (O(taps) per wideband sample, independent of C); each channel then
+    costs only a bin gather + residual NCO + 2:1 decimation at the
+    decimated rate:
+
+        wideband ──PFB(M bins @ 2·out_sr)──► gather nearest bin per
+        channel ──rotate by Δ=offset−bin·out_sr──► halfband 2:1 ──►
+        bandwidth FIR  (same design as RxVFO's, rx_vfo.h:117-121)
+
+    Requires in_sr/out_sr = M an even integer and bandwidth < out_sr.
+    Offsets (bin index + Δ rotor) are runtime params — retuning any
+    channel is a new params pytree, no recompile.  Unlike
+    SharedRxVFOBank this path is *signal-equivalent* rather than
+    bit-near to the per-channel chain (different anti-alias filters),
+    so tests assert demod-audio fidelity, not IF equality.
+    """
+
+    def __init__(self, in_samplerate: float, out_samplerate: float,
+                 bandwidth: float):
+        from ..ops.channelizer import OversampledChannelizer
+        self.in_samplerate = float(in_samplerate)
+        self.out_samplerate = float(out_samplerate)
+        self.bandwidth = float(bandwidth)
+        r = in_samplerate / out_samplerate
+        M = int(round(r))
+        if abs(r - M) > 1e-9 or M % 2:
+            raise ValueError(
+                f"ChannelizedRxVFOBank: in/out rate ratio {r} must be an "
+                f"even integer")
+        if not bandwidth < out_samplerate:
+            raise ValueError(
+                f"ChannelizedRxVFOBank: bandwidth {bandwidth} must be < "
+                f"out rate {out_samplerate} (need transition room)")
+        self.M = M
+        # prototype: −6 dB at out_sr, passband down to out_sr/2 + bw/2
+        # (worst-case residual shift + channel half-band), stopband from
+        # 3/2·out_sr − bw/2 (alias edge at the 2·out_sr bin rate)
+        proto = taps_mod.low_pass(out_samplerate,
+                                  out_samplerate - bandwidth,
+                                  in_samplerate)
+        self.chz = OversampledChannelizer(in_samplerate, M, proto)
+        self.fine = FrequencyXlator(0.0, 2.0 * out_samplerate)
+        self.decim2 = FIR(taps_mod.low_pass(out_samplerate / 2.0,
+                                            out_samplerate - bandwidth,
+                                            2.0 * out_samplerate), decim=2)
+        self.filter_needed = bandwidth != out_samplerate
+        if self.filter_needed:
+            fw = bandwidth / 2.0
+            self.fir = FIR(taps_mod.low_pass(fw, fw * 0.1, out_samplerate))
+        from fractions import Fraction
+        self.ratio = Fraction(1, M)
+        self.in_multiple = M
+
+    def make_params(self, offsets_hz):
+        f = np.asarray(offsets_hz, np.float64)
+        k = np.round(f / self.out_samplerate)
+        delta = f - k * self.out_samplerate
+        idx = np.mod(k.astype(np.int64), self.M).astype(np.int32)
+        return {"bin": jnp.asarray(idx),
+                "xl": nco_params(-delta, 2.0 * self.out_samplerate)}
+
+    def init_state(self, C: int):
+        st = {"chz": self.chz.init_state(),
+              "xl": self.fine.init_state((C,)),
+              "d2": self.decim2.init_state((C,))}
+        if self.filter_needed:
+            st["fir"] = self.fir.init_state((C,))
+        return st
+
+    def apply(self, params, state, x):
+        """x: [T] shared wideband → ([C, T/M], state')."""
+        st = dict(state)
+        bins, st["chz"] = self.chz.apply(None, state["chz"], x)
+        y = jnp.take(bins, params["bin"], axis=0)        # [C, 2T/M]
+        y, st["xl"] = self.fine.apply(params["xl"], state["xl"], y)
+        y, st["d2"] = self.decim2.apply(None, state["d2"], y)
+        if self.filter_needed:
+            y, st["fir"] = self.fir.apply(None, state["fir"], y)
+        return y, st
+
+
 class SharedRxVFOBank(Block):
     """RxVFO over a SHARED wideband: the per-channel mix-down is folded
     into the first predecimation halfband (ops/fused_frontend.py), so

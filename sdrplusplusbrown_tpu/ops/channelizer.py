@@ -72,6 +72,86 @@ class PolyphaseChannelizer(Block):
         return y, new_state
 
 
+class OversampledChannelizer(Block):
+    """2×-oversampled polyphase channelizer: M bins spaced fs/M, each
+    emitted at rate 2·fs/M (frame hop D = M/2).
+
+    This is the wide-batch answer to per-channel mix-then-decimate
+    (the reference runs one RxVFO chain per channel,
+    core/src/dsp/channel/rx_vfo.h:89-121, which is O(C·T) at the full
+    input rate): the whole band is filtered once and all M bins fall out
+    of one FFT, O(T·taps_per_phase + T·log M).  The 2× oversampling
+    leaves each bin alias-free over ±fs/M, so a channel at an
+    *arbitrary* frequency can be serviced by its nearest bin plus a
+    residual fine-shift at the decimated rate (ChannelizedRxVFOBank).
+
+    Implementation: two critically-sampled branch-FIR passes.  Even
+    frames (positions k·M) are the plain pass; odd frames (k·M − M/2)
+    run on the input delayed by M/2, and their phase-continuity twiddle
+    e^{-j2πb(M/2)/M} = (−1)^b is applied for free as a circular roll of
+    the branch axis before the FFT (FFT(roll(v, M/2))_b = (−1)^b·FFT(v)_b).
+
+    The prototype filter is caller-supplied: its passband must cover the
+    worst-case residual shift (±fs/2M) plus the channel half-bandwidth,
+    and its stopband must start by 2·fs/M − that edge (alias protection
+    at the 2·fs/M bin rate).
+    """
+
+    def __init__(self, samplerate: float, n_channels: int,
+                 proto_taps: np.ndarray):
+        self.samplerate = float(samplerate)
+        M = int(n_channels)
+        if M % 2:
+            raise ValueError(f"OversampledChannelizer: M={M} must be even")
+        self.M = M
+        proto = np.asarray(proto_taps, np.float64)
+        K = proto.shape[0]
+        tpp = -(-K // M)
+        proto = np.pad(proto, (0, tpp * M - K))
+        self.branches = proto.reshape(tpp, M).T.copy()
+        self.tpp = tpp
+        self.ratio = Fraction(2, M)       # per-bin samples per input sample
+        self.in_multiple = M
+
+    def channel_freqs(self) -> np.ndarray:
+        m = np.arange(self.M)
+        m = np.where(m <= self.M // 2, m, m - self.M)
+        return m * self.samplerate / self.M
+
+    def init_state(self, batch_shape=()):
+        z = jnp.zeros(batch_shape + (self.M, self.tpp - 1), jnp.complex64)
+        return {"tail_a": z, "tail_b": z,
+                "delay": jnp.zeros(batch_shape + (self.M // 2,),
+                                   jnp.complex64)}
+
+    def _cs_pass(self, tail, x):
+        """Critically-sampled branch FIR (pre-FFT): [..., T] → [..., M, k]."""
+        T = x.shape[-1]
+        k = T // self.M
+        xp = jnp.moveaxis(x.reshape(x.shape[:-1] + (k, self.M)), -1, -2)
+        tail = tail.astype(x.dtype) if tail.dtype != x.dtype else tail
+        ext = jnp.concatenate([tail, xp], axis=-1)
+        v = _branch_fir(ext, jnp.asarray(self.branches, jnp.float32))
+        return v, ext[..., ext.shape[-1] - (self.tpp - 1):]
+
+    def apply(self, params, state, x):
+        """x [..., T] → y [..., M, 2T/M] (bins × 2×-oversampled frames)."""
+        T = x.shape[-1]
+        assert T % self.M == 0, (T, self.M)
+        half = self.M // 2
+        va, tail_a = self._cs_pass(state["tail_a"], x)
+        xd = jnp.concatenate(
+            [state["delay"].astype(x.dtype), x[..., :T - half]], axis=-1)
+        vb, tail_b = self._cs_pass(state["tail_b"], xd)
+        ya = jnp.fft.fft(va, axis=-2)
+        yb = jnp.fft.fft(jnp.roll(vb, half, axis=-2), axis=-2)
+        # odd (delayed) frames sit half a hop EARLIER: interleave [B, A]
+        y = jnp.stack([yb, ya], axis=-1)
+        y = y.reshape(y.shape[:-2] + (2 * ya.shape[-1],))
+        return y, {"tail_a": tail_a, "tail_b": tail_b,
+                   "delay": x[..., T - half:]}
+
+
 def _branch_fir(ext: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
     """Per-branch real-tap FIR on complex data.
 
