@@ -258,6 +258,34 @@ def bench_multimode():
                          jnp.asarray(x), T, K=8)
 
 
+def bench_scanner128():
+    """Wide-bank monitoring: 128 NFM channels on one 2.4 MS/s wideband
+    via the 2x-oversampled PFB channelized front end (the reference runs
+    one RxVFO thread per channel, core/src/dsp/channel/rx_vfo.h:89-121;
+    measured crossover vs the fused front end in
+    scripts/channelized_roofline.py)."""
+    import jax.numpy as jnp
+    from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_NFM
+
+    fs = 2_400_000.0
+    C = 128
+    radio = Radio(fs, DEMOD_NFM, squelch_enabled=True,
+                  pll_mode="normalize")
+    g = radio.in_multiple
+    T = int(((240_000 + g - 1) // g) * g)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
+         ).astype(np.complex64) * 0.1
+    offs = np.linspace(-1.1e6, 1.1e6, C) + 917.0
+
+    def step(params, state, xw):
+        audio, state = radio.apply_channelized(params, state, xw)
+        return (audio,), state
+
+    return measure_chain(step, radio.make_params_channelized(offs),
+                         radio.init_state_channelized(C), jnp.asarray(x), T)
+
+
 def main():
     import jax
     from sdrplusplusbrown_tpu.ops import fir as fir_mod
@@ -290,6 +318,7 @@ def main():
             "wfm8": r,
             "channelizer64_10msps_fft": bench_channelizer(),
             "multimode8_2p4msps": bench_multimode(),
+            "scanner128_nfm_2p4msps": bench_scanner128(),
         }
     print(json.dumps(out))
 

@@ -32,44 +32,77 @@ class VFOSpec:
         self.bandwidth = bandwidth
 
 
+# Measured TPU roofline crossover (scripts/channelized_roofline.py, NFM
+# @2.4 MS/s): fused-shared wins at C=8 (1345 vs 955 MS/s bound), the PFB
+# channelized path wins from C=32 on (721 vs 347; 12x at C=128).
+CHANNELIZE_MIN_C = 16
+
+
 class RadioBank:
-    """Group VFO specs by demod mode; one batched Radio per group."""
+    """Group VFO specs by demod mode; one batched Radio per group.
+
+    ``channelize``: "auto" picks the front end per group — the
+    2x-oversampled PFB channelized path (Radio.apply_channelized,
+    O(C)-free at the input rate) for wide groups that satisfy
+    Radio.can_channelize, the fused shared front end otherwise.
+    """
 
     def __init__(self, in_samplerate: float, vfos: List[VFOSpec],
-                 audio_samplerate: float = 48_000.0, **radio_kwargs):
+                 audio_samplerate: float = 48_000.0,
+                 channelize: object = "auto", **radio_kwargs):
         self.in_samplerate = float(in_samplerate)
         self.audio_samplerate = float(audio_samplerate)
         self.groups: Dict[int, List[VFOSpec]] = {}
         for v in vfos:
             self.groups.setdefault(v.demod_id, []).append(v)
         self.radios: Dict[int, Radio] = {}
+        self.channelized: Dict[int, bool] = {}
         for demod_id, group in self.groups.items():
             bw = group[0].bandwidth
-            self.radios[demod_id] = Radio(
-                in_samplerate, demod_id, bandwidth=bw,
-                audio_samplerate=audio_samplerate, **radio_kwargs)
+            r = Radio(in_samplerate, demod_id, bandwidth=bw,
+                      audio_samplerate=audio_samplerate, **radio_kwargs)
+            self.radios[demod_id] = r
+            if channelize == "auto":
+                self.channelized[demod_id] = (
+                    r.can_channelize() and len(group) >= CHANNELIZE_MIN_C)
+            else:
+                self.channelized[demod_id] = bool(channelize)
+                if self.channelized[demod_id] and not r.can_channelize():
+                    raise ValueError(
+                        f"RadioBank: demod {demod_id} cannot channelize "
+                        f"(in/IF ratio must be an even integer)")
         self.in_multiple = math.lcm(
             *[r.in_multiple for r in self.radios.values()]) \
             if self.radios else 1
 
     def init_state(self):
-        return {d: r.init_state_shared(len(self.groups[d]))
+        return {d: (r.init_state_channelized(len(self.groups[d]))
+                    if self.channelized[d]
+                    else r.init_state_shared(len(self.groups[d])))
                 for d, r in self.radios.items()}
 
     def make_params(self):
-        return {d: r.make_params_shared(
-            np.array([v.offset_hz for v in self.groups[d]]))
-            for d, r in self.radios.items()}
+        out = {}
+        for d, r in self.radios.items():
+            offs = np.array([v.offset_hz for v in self.groups[d]])
+            out[d] = (r.make_params_channelized(offs) if self.channelized[d]
+                      else r.make_params_shared(offs))
+        return out
 
     def apply(self, params, state, x):
         """x: [T] wideband → dict demod_id → ([C_d, 2, T_out_d], ...).
 
-        Uses the shared-wideband fused front end (ops/fused_frontend.py):
-        each mode group reads the wideband once, not C_d times."""
+        Each mode group reads the wideband once, not C_d times: via the
+        fused shared front end (ops/fused_frontend.py) or, for wide
+        groups, the PFB channelizer (models/rx_vfo.py)."""
         outs = {}
         new_state = {}
         for d, radio in self.radios.items():
-            y, new_state[d] = radio.apply_shared(params[d], state[d], x)
+            if self.channelized[d]:
+                y, new_state[d] = radio.apply_channelized(
+                    params[d], state[d], x)
+            else:
+                y, new_state[d] = radio.apply_shared(params[d], state[d], x)
             outs[d] = y
         return outs, new_state
 

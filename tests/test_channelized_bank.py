@@ -147,6 +147,30 @@ def test_channelized_retune_is_params_only(rng):
     assert sb > sa + 20.0
 
 
+def test_radio_bank_auto_channelize(rng):
+    """Wide NFM group auto-selects the PFB path; narrow group stays on
+    the fused front end; both produce working audio."""
+    from sdrplusplusbrown_tpu.models.radio_bank import RadioBank, VFOSpec
+    from sdrplusplusbrown_tpu.models.radio import DEMOD_WFM
+
+    C = 16
+    f0s = np.linspace(-1.0e6, 1.0e6, C) + 531.0
+    vfos = [VFOSpec(f"nfm{i}", DEMOD_NFM, f0s[i]) for i in range(C)]
+    vfos.append(VFOSpec("wfm0", DEMOD_WFM, 150e3))
+    bank = RadioBank(FS, vfos, pll_mode="normalize")
+    assert bank.channelized[DEMOD_NFM] is True
+    assert bank.channelized[DEMOD_WFM] is False   # ratio 4.8, not even
+
+    g = bank.in_multiple
+    T = ((360_000 + g - 1) // g) * g
+    x = _nfm_multiplex(f0s[:3], T, rng)
+    outs, _ = jax.jit(lambda p, s, b: bank.apply(p, s, b))(
+        bank.make_params(), bank.init_state(), jnp.asarray(x))
+    for i in range(3):
+        s = _tone_snr(np.asarray(outs[DEMOD_NFM])[i, 0, 2000:], 400 + 150 * i)
+        assert s > 25.0, (i, s)
+
+
 def test_channelized_rejects_bad_ratio():
     with pytest.raises(ValueError):
         ChannelizedRxVFOBank(FS, 500_000.0, 150e3)   # ratio 4.8
