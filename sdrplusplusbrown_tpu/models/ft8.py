@@ -1,0 +1,524 @@
+"""Native FT8 codec + batched TPU decoder.
+
+The reference ships FT8 decoding as the vendored MSHV core run in a
+separate executable (decoder_modules/ft8_decoder/src/ft8_decoder.h:150-212
+spawns ``sdrpp_ft8_mshv`` per 15 s window; the decode loop itself is
+decoder_modules/ft8_decoder/src/ft8_etc/decoderft8.cpp — scalar C++, one
+candidate at a time).  This module is an original TPU-native decoder:
+
+- one half-symbol/half-tone oversampled energy spectrogram (batched rFFT),
+- the Costas sync metric evaluated for EVERY (time, frequency) cell at
+  once as 21 shifted-slice adds (no per-candidate loop),
+- ``top_k`` candidates demodulated together: tone log-energies gathered
+  into a [B, 58, 8] tensor, Gray-split into bit LLRs,
+- all B candidates pushed through the sparse-H normalized min-sum LDPC
+  decoder (ops/ldpc.py) in ONE ``lax.scan`` — the whole pipeline is a
+  single jitted call; only CRC checking and message unpacking run on host.
+
+Message packing/unpacking implements the WSJT-X 77-bit protocol layout
+(i3/n3 message types; standard two-call messages, CQ modifiers, grids,
+reports, free text, telemetry display).  Protocol constants (LDPC
+matrices, Costas array, Gray map, CRC polynomial) live in
+models/ft8_tables.py.  No fine time/frequency sync is attempted: the
+half-tone/half-symbol candidate grid costs ~1-2 dB of sensitivity vs
+WSJT-X at the deep-fade margin, which the batched search width (topk
+candidates) partially buys back.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from .ft8_tables import (LDPC_174_91_GENERATOR_HEX, CHECK_VARS_174_91,
+                         COSTAS_7X7, GRAY_MAP, CRC14_POLY)
+
+# ---------------------------------------------------------------------------
+# 77-bit message codec (WSJT-X protocol layout)
+# ---------------------------------------------------------------------------
+
+A1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+A2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+A3 = "0123456789"
+A4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+FREETEXT = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-./?"
+C58 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
+
+NTOKENS = 2_063_592
+MAX22 = 4_194_304
+MAXGRID4 = 32_400
+
+
+def _bits_to_int(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _int_to_bits(v: int, n: int) -> List[int]:
+    return [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+
+def crc14(bits77) -> int:
+    """CRC-14 over the 77 message bits zero-extended to 82 bits
+    (generator 0x2757, x^14 implicit; init 0, no reflection)."""
+    v = _bits_to_int(bits77) << 5          # pad to 82 bits
+    v <<= 14                               # append CRC register
+    div = (1 << 14) | CRC14_POLY
+    for shift in range(82 + 14 - 15, -1, -1):
+        if (v >> (shift + 14)) & 1:
+            v ^= div << shift
+    return v & 0x3FFF
+
+
+def _pack_c28(call: str) -> Optional[int]:
+    call = call.strip().upper()
+    if call == "DE":
+        return 0
+    if call == "QRZ":
+        return 1
+    if call == "CQ":
+        return 2
+    # standard callsign: [pfx][pfx]digit[sfx][sfx][sfx], 6-char aligned
+    # so the digit sits in position 3
+    c = call
+    if len(c) < 3 or len(c) > 6:
+        return None
+    if len(c) >= 3 and c[1] in A3 and len(c) <= 5:
+        c = " " + c
+    if len(c) < 6:
+        c = c + " " * (6 - len(c))
+    if len(c) != 6 or c[0] not in A1 or c[1] not in A2 or c[2] not in A3:
+        return None
+    if any(ch not in A4 for ch in c[3:]):
+        return None
+    n = A1.index(c[0])
+    n = n * 36 + A2.index(c[1])
+    n = n * 10 + A3.index(c[2])
+    n = n * 27 + A4.index(c[3])
+    n = n * 27 + A4.index(c[4])
+    n = n * 27 + A4.index(c[5])
+    return NTOKENS + MAX22 + n
+
+
+def _pack_cq_modifier(tail: str) -> Optional[int]:
+    tail = tail.strip().upper()
+    if tail.isdigit() and len(tail) == 3:
+        return 3 + int(tail)
+    if tail.isalpha() and 1 <= len(tail) <= 4:
+        n = 0
+        for ch in tail.rjust(4):
+            n = n * 27 + A4.index(ch)
+        return 3 + 1000 + n
+    return None
+
+
+def _unpack_c28(n28: int) -> str:
+    if n28 == 0:
+        return "DE"
+    if n28 == 1:
+        return "QRZ"
+    if n28 == 2:
+        return "CQ"
+    if n28 < NTOKENS:
+        if n28 <= 1002:
+            return "CQ %03d" % (n28 - 3)
+        if n28 <= 532443:
+            n = n28 - 1003
+            cs = []
+            for _ in range(4):
+                cs.append(A4[n % 27])
+                n //= 27
+            return "CQ " + "".join(reversed(cs)).strip()
+        return "<token%d>" % n28
+    if n28 < NTOKENS + MAX22:
+        return "<...>"                     # 22-bit callsign hash
+    n = n28 - NTOKENS - MAX22
+    c6 = A4[n % 27]; n //= 27
+    c5 = A4[n % 27]; n //= 27
+    c4 = A4[n % 27]; n //= 27
+    c3 = A3[n % 10]; n //= 10
+    c2 = A2[n % 36]; n //= 36
+    c1 = A1[n] if n < 37 else "?"
+    return (c1 + c2 + c3 + c4 + c5 + c6).strip()
+
+
+_GRID_OK = lambda s: (len(s) == 4 and "A" <= s[0] <= "R"
+                      and "A" <= s[1] <= "R" and s[2:].isdigit())
+
+
+def _pack_g15(field: str):
+    """Returns (R1, g15) or None."""
+    field = field.strip().upper()
+    r1 = 0
+    if field.startswith("R ") and _GRID_OK(field[2:]):
+        r1, field = 1, field[2:]
+    elif field.startswith("R+") or field.startswith("R-"):
+        r1, field = 1, field[1:]
+    if field == "":
+        return r1, MAXGRID4 + 1
+    if field == "RRR":
+        return r1, MAXGRID4 + 2
+    if field == "RR73":
+        return r1, MAXGRID4 + 3
+    if field == "73":
+        return r1, MAXGRID4 + 4
+    if _GRID_OK(field):
+        j1 = ord(field[0]) - 65
+        j2 = ord(field[1]) - 65
+        return r1, ((j1 * 18 + j2) * 10 + int(field[2])) * 10 + int(field[3])
+    if field[0] in "+-" and field[1:].isdigit() and len(field) <= 3:
+        rpt = int(field)
+        if -30 <= rpt <= 99:
+            return r1, MAXGRID4 + 35 + rpt
+    return None
+
+
+def _unpack_g15(r1: int, g15: int) -> str:
+    if g15 < MAXGRID4:
+        j = g15
+        g = chr(65 + j // (18 * 10 * 10))
+        g += chr(65 + (j // 100) % 18)
+        g += str((j // 10) % 10) + str(j % 10)
+        return ("R " + g) if r1 else g
+    irpt = g15 - MAXGRID4
+    if irpt == 1:
+        return ""
+    if irpt == 2:
+        return "RRR"
+    if irpt == 3:
+        return "RR73"
+    if irpt == 4:
+        return "73"
+    rpt = irpt - 35
+    s = "%+03d" % rpt
+    return ("R" + s) if r1 else s
+
+
+def _split_call(tok: str):
+    """→ (base, r1_flag, i3) stripping /R (i3=1) or /P (i3=2)."""
+    if tok.endswith("/R"):
+        return tok[:-2], 1, 1
+    if tok.endswith("/P"):
+        return tok[:-2], 1, 2
+    return tok, 0, None
+
+
+def pack77(text: str) -> List[int]:
+    """Pack a message into 77 bits (types 1/2 standard, CQ modifiers,
+    0.0 free text fallback).  Raises ValueError if unpackable."""
+    text = " ".join(text.upper().split())
+    toks = text.split()
+    # merge "R FN42" into one field
+    if len(toks) >= 2 and toks[-2] == "R" and _GRID_OK(toks[-1]):
+        toks = toks[:-2] + ["R " + toks[-1]]
+
+    def try_standard():
+        ts = list(toks)
+        if not (2 <= len(ts) <= 4):
+            return None
+        i3 = 1
+        # call 1 (possibly CQ + modifier)
+        if ts[0] == "CQ" and len(ts) >= 3:
+            mod = _pack_cq_modifier(ts[1])
+            if mod is not None and _pack_c28(ts[1]) is None:
+                c28a, r1a, rest = mod, 0, ts[2:]
+            else:
+                c28a, r1a, rest = 2, 0, ts[1:]
+        else:
+            base, r1a, ii = _split_call(ts[0])
+            c28a = _pack_c28(base)
+            if c28a is None:
+                return None
+            if ii:
+                i3 = ii
+            rest = ts[1:]
+        if not rest:
+            return None
+        base, r1b, ii = _split_call(rest[0])
+        c28b = _pack_c28(base)
+        if c28b is None:
+            return None
+        if ii:
+            i3 = ii
+        rest = rest[1:]
+        if len(rest) > 1:
+            return None
+        if rest:
+            g = _pack_g15(rest[0])
+            if g is None:
+                return None
+            R1, g15 = g
+        else:
+            R1, g15 = 0, MAXGRID4 + 1
+        return (_int_to_bits(c28a, 28) + [r1a]
+                + _int_to_bits(c28b, 28) + [r1b]
+                + [R1] + _int_to_bits(g15, 15) + _int_to_bits(i3, 3))
+
+    out = try_standard()
+    if out is not None:
+        return out
+    # free text (type 0.0): 13 chars of the 42-char alphabet
+    if len(text) <= 13 and all(c in FREETEXT for c in text):
+        v = 0
+        for ch in text.ljust(13):
+            v = v * 42 + FREETEXT.index(ch)
+        return _int_to_bits(v, 71) + [0, 0, 0] + [0, 0, 0]
+    raise ValueError(f"cannot pack FT8 message: {text!r}")
+
+
+def unpack77(bits77) -> str:
+    bits = [int(b) for b in bits77]
+    i3 = _bits_to_int(bits[74:77])
+    if i3 in (1, 2):
+        c28a = _bits_to_int(bits[0:28]); r1a = bits[28]
+        c28b = _bits_to_int(bits[29:57]); r1b = bits[57]
+        R1 = bits[58]; g15 = _bits_to_int(bits[59:74])
+        sfx = "/R" if i3 == 1 else "/P"
+        ca = _unpack_c28(c28a) + (sfx if r1a else "")
+        cb = _unpack_c28(c28b) + (sfx if r1b else "")
+        tail = _unpack_g15(R1, g15)
+        return " ".join(x for x in (ca, cb, tail) if x)
+    if i3 == 0:
+        n3 = _bits_to_int(bits[71:74])
+        if n3 == 0:
+            v = _bits_to_int(bits[0:71])
+            cs = []
+            for _ in range(13):
+                cs.append(FREETEXT[v % 42])
+                v //= 42
+            return "".join(reversed(cs)).strip()
+        if n3 == 5:
+            return "%018X" % _bits_to_int(bits[0:71])
+        return f"<type 0.{n3}>"
+    if i3 == 4:
+        c58 = _bits_to_int(bits[12:70])
+        cs = []
+        for _ in range(11):
+            cs.append(C58[c58 % 38])
+            c58 //= 38
+        call = "".join(reversed(cs)).strip()
+        # layout: h12(12) c58(58) h1(1) r2(2) c1(1) i3(3)
+        r2 = _bits_to_int(bits[71:73]); c1 = bits[73]
+        tail = {0: "", 1: "RRR", 2: "RR73", 3: "73"}[r2]
+        if c1:
+            return " ".join(x for x in ("CQ", call, tail) if x)
+        return " ".join(x for x in ("<...>", call, tail) if x)
+    return f"<type {i3}>"
+
+
+# ---------------------------------------------------------------------------
+# Encoding: bits → tones → waveform
+# ---------------------------------------------------------------------------
+
+_SYM_DATA_POS = list(range(7, 36)) + list(range(43, 72))   # 58 data symbols
+_SYNC_BLOCKS = (0, 36, 72)
+
+# tone → 3 bits (inverse Gray): GRAY_MAP[bits] = tone
+_TONE_BITS = [0] * 8
+for _b, _t in enumerate(GRAY_MAP):
+    _TONE_BITS[_t] = _b
+
+
+def _ldpc():
+    from ..ops.ldpc import SystematicLDPC
+    return SystematicLDPC(LDPC_174_91_GENERATOR_HEX, 91,
+                          check_adjacency=CHECK_VARS_174_91)
+
+
+def ft8_tones(text: str) -> np.ndarray:
+    """Message text → the 79-symbol tone sequence (values 0..7)."""
+    bits77 = pack77(text)
+    a91 = bits77 + _int_to_bits(crc14(bits77), 14)
+    code = _ldpc().encode(np.array(a91, np.uint8))        # [174]
+    tones = np.zeros(79, np.int32)
+    for b in _SYNC_BLOCKS:
+        tones[b:b + 7] = COSTAS_7X7
+    for s, pos in enumerate(_SYM_DATA_POS):
+        v = int(code[3 * s]) * 4 + int(code[3 * s + 1]) * 2 \
+            + int(code[3 * s + 2])
+        tones[pos] = GRAY_MAP[v]
+    return tones
+
+
+def ft8_waveform(text: str, f0: float, samplerate: float = 12_000.0,
+                 nsamples: Optional[int] = None, dt: float = 0.0,
+                 amplitude: float = 1.0, bt: float = 2.0) -> np.ndarray:
+    """Synthesize the GFSK FT8 waveform (6.25 baud 8-FSK, Gaussian
+    frequency pulse BT=2, constant envelope) at base frequency ``f0``.
+    If ``nsamples`` is given, the signal is placed ``dt`` seconds into a
+    zero-padded buffer of that length (the 15 s receive window)."""
+    tones = ft8_tones(text)
+    sps = int(round(samplerate / 6.25))
+    t = (np.arange(3 * sps) + 0.5) / sps - 1.5
+    K = math.pi * math.sqrt(2.0 / math.log(2.0)) * bt
+    erf = np.vectorize(math.erf)
+    pulse = 0.5 * (erf(K * (t + 0.5)) - erf(K * (t - 0.5)))
+
+    pad = sps
+    buf = np.zeros(79 * sps + 2 * pad)
+    tones_ext = np.concatenate([[tones[0]], tones, [tones[-1]]])
+    for s, tone in enumerate(tones_ext):
+        c = pad + (s - 1) * sps + sps // 2          # symbol center sample
+        lo = c - (3 * sps) // 2
+        a, b = max(lo, 0), min(lo + 3 * sps, len(buf))
+        buf[a:b] += tone * pulse[a - lo: a - lo + (b - a)]
+    dev = buf[pad: pad + 79 * sps]
+    phase = np.cumsum(2 * np.pi * (f0 + 6.25 * dev) / samplerate)
+    sig = (amplitude * np.sin(phase)).astype(np.float32)
+    if nsamples is None:
+        return sig
+    out = np.zeros(nsamples, np.float32)
+    i0 = int(round(dt * samplerate))
+    j0, j1 = max(i0, 0), min(i0 + len(sig), nsamples)
+    if j1 > j0:
+        out[j0:j1] = sig[j0 - i0: j1 - i0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The batched decoder
+# ---------------------------------------------------------------------------
+
+class FT8NativeDecoder:
+    """Batched one-call FT8 decoder.
+
+    ``decode(audio)`` takes a 15 s window of 12 kHz mono float32 audio and
+    returns decode dicts {message, freq, dt, snr, score}.  The full
+    candidate search + demod + LDPC runs as one jitted computation.
+    """
+
+    PAD_T = 25            # half-symbol steps of pre-pad → dt ≥ -2.0 s
+    FMIN_HZ = 100.0
+    FMAX_HZ = 3100.0
+
+    def __init__(self, samplerate: float = 12_000.0, topk: int = 128,
+                 ldpc_iters: int = 30):
+        assert abs(samplerate / 6.25 - round(samplerate / 6.25)) < 1e-9
+        self.samplerate = float(samplerate)
+        self.sps = int(round(samplerate / 6.25))
+        self.hop = self.sps // 2
+        self.topk = int(topk)
+        self.ldpc_iters = int(ldpc_iters)
+        self.code = _ldpc()
+        self.nbins = int(self.FMAX_HZ / (6.25 / 2)) + 16   # 3.125 Hz bins
+        self._jit = None
+
+    # -- jitted pipeline ---------------------------------------------------
+
+    def _pipeline(self, audio):
+        import jax
+        import jax.numpy as jnp
+
+        sps, hop = self.sps, self.hop
+        n = audio.shape[0]
+        nf = (n - sps) // hop + 1
+        idx = jnp.arange(nf)[:, None] * hop + jnp.arange(sps)[None, :]
+        win = jnp.asarray(np.hanning(sps).astype(np.float32))
+        frames = audio[idx] * win
+        F = jnp.fft.rfft(frames, n=2 * sps, axis=1)[:, :self.nbins]
+        E = jnp.abs(F) ** 2                                  # [nf, nbins]
+        noise_floor = jnp.median(E)
+        logE = jnp.log(E + 1e-12)
+
+        # pad the time axis so negative/late dt candidates exist
+        pad_t, pad_after = self.PAD_T, 20
+        fill = jnp.median(logE)
+        logEp = jnp.concatenate([
+            jnp.full((pad_t, self.nbins), fill, logE.dtype), logE,
+            jnp.full((pad_after, self.nbins), fill, logE.dtype)], axis=0)
+        Tp = nf + pad_t + pad_after
+
+        Fc = self.nbins - 15
+        Tc = Tp - 157
+        # per-row mean over the 8 tone bins (half-tone spacing → stride 2)
+        M8 = sum(logEp[:, 2 * j: 2 * j + Fc] for j in range(8)) / 8.0
+
+        S = jnp.zeros((Tc, Fc), jnp.float32)
+        for b in _SYNC_BLOCKS:
+            for k in range(7):
+                r = 2 * (b + k)
+                tone = COSTAS_7X7[k]
+                S = S + (logEp[r: r + Tc, 2 * tone: 2 * tone + Fc]
+                         - M8[r: r + Tc, :])
+
+        fmin_bin = int(self.FMIN_HZ / 3.125)
+        mask = (jnp.arange(Fc) >= fmin_bin)
+        S = jnp.where(mask[None, :], S, -jnp.inf)
+
+        scores, flat = jax.lax.top_k(S.reshape(-1), self.topk)
+        t0 = flat // Fc
+        f0 = flat % Fc
+
+        # tone log-energies for the 58 data symbols of each candidate
+        pos = jnp.asarray(np.array(_SYM_DATA_POS, np.int32))
+        rows = t0[:, None] + 2 * pos[None, :]                # [B, 58]
+        cols = f0[:, None, None] + 2 * jnp.arange(8)[None, None, :]
+        s2 = logEp[rows[:, :, None], cols]                   # [B, 58, 8]
+        s2n = s2 - jax.scipy.special.logsumexp(s2, axis=2, keepdims=True)
+
+        tone_bits = jnp.asarray(
+            np.array([[(_TONE_BITS[j] >> (2 - i)) & 1 for j in range(8)]
+                      for i in range(3)], np.float32))       # [3, 8]
+        BIG = jnp.float32(1e9)
+        llr_sym = []
+        for i in range(3):
+            m0 = jnp.where(tone_bits[i] == 0, 0.0, -BIG)
+            m1 = jnp.where(tone_bits[i] == 1, 0.0, -BIG)
+            l0 = jax.scipy.special.logsumexp(s2n + m0, axis=2)
+            l1 = jax.scipy.special.logsumexp(s2n + m1, axis=2)
+            llr_sym.append(l0 - l1)                          # [B, 58]
+        llrs = jnp.stack(llr_sym, axis=2).reshape(self.topk, 174)
+
+        bits, ok = self.code.decode(llrs, iters=self.ldpc_iters)
+        sig = jnp.mean(jnp.exp(jnp.max(s2, axis=2)), axis=1)  # [B]
+        return scores, t0, f0, bits, ok, sig, noise_floor
+
+    # -- host driver -------------------------------------------------------
+
+    def decode(self, audio: np.ndarray) -> List[dict]:
+        import jax
+        import jax.numpy as jnp
+        if self._jit is None:
+            self._jit = jax.jit(self._pipeline)
+        audio = np.asarray(audio, np.float32)
+        need = 79 * self.sps
+        if len(audio) < need:
+            audio = np.pad(audio, (0, need - len(audio)))
+        out = self._jit(jnp.asarray(audio))
+        scores, t0, f0, bits, ok, sig, noise = map(np.asarray, out)
+
+        results: dict = {}
+        for i in np.flatnonzero(ok):
+            cw = bits[i]
+            msg77 = cw[:77]
+            if crc14(msg77) != _bits_to_int(cw[77:91]):
+                continue
+            if cw[:91].sum() == 0:        # all-zero codeword ≈ no signal
+                continue
+            try:
+                text = unpack77(msg77)
+            except Exception:
+                continue
+            # SNR referenced to 2500 Hz noise bandwidth (estimate):
+            # tone energy vs median-bin noise × (2500 / 3.125) bins;
+            # +3.0 dB calibrates the Hann window / scalloping bias
+            # (measured against known-SNR synthetic signals).
+            snr = 3.0 + 10.0 * math.log10(
+                max(float(sig[i]), 1e-30)
+                / max(float(noise) * 800.0, 1e-30))
+            rec = {
+                "message": text,
+                "freq": float(f0[i]) * 3.125,
+                "dt": (float(t0[i]) - self.PAD_T) * (self.hop
+                                                     / self.samplerate),
+                "snr": round(snr, 1),
+                "score": float(scores[i]),
+            }
+            prev = results.get(text)
+            if prev is None or rec["score"] > prev["score"]:
+                results[text] = rec
+        return sorted(results.values(), key=lambda r: -r["score"])

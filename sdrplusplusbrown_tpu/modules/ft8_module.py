@@ -4,11 +4,12 @@ reference: decoder_modules/ft8_decoder — slices the VFO's 12 kHz audio
 into 15 s windows aligned to the UTC cycle and ships each window to an
 isolated decoder process (the vendored MSHV core runs as the separate
 ``sdrpp_ft8_mshv`` executable via the fork server, ft8_decoder.h:150-212).
-The vendored MSHV core is out of scope; this module provides the full
-runtime around it — window alignment, pool/subprocess isolation, decode
-collection — with the decoder pluggable: an external command (the MSHV
-contract: float32 PCM on stdin, decode lines on stdout) or any Python
-callable.
+This module provides the full runtime — window alignment,
+pool/subprocess isolation, decode collection — with the decoder
+pluggable: by default the built-in TPU-native FT8 decoder
+(models/ft8.py, batched candidate search + LDPC in one jitted call), or
+an external command (the MSHV contract: float32 PCM on stdin, decode
+lines on stdout) for drop-in use of the reference executable.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ class FT8DecoderModule(ModuleInstance):
         self.decoder_style = decoder_style
         self.mode = mode
         self.decodes: List[dict] = []
+        self._native = None
         import jax
         self._resamp = RationalResampler(48_000.0, FT8_RATE)
         self._rs_state = self._resamp.init_state(())
@@ -98,7 +100,14 @@ class FT8DecoderModule(ModuleInstance):
         if self.decoder_cmd:
             return run_external_decoder(list(self.decoder_cmd), window,
                                         samplerate)
-        # built-in fallback: report active tone candidates (lets the
+        if self.mode == "FT8":
+            # built-in native decoder (models/ft8.py): the whole
+            # candidate search + LDPC batch is one jitted call
+            if self._native is None:
+                from ..models.ft8 import FT8NativeDecoder
+                self._native = FT8NativeDecoder(samplerate)
+            return self._native.decode(window)
+        # non-FT8 fallback: report active tone candidates (lets the
         # pipeline be exercised without the external MSHV binary)
         X = np.abs(np.fft.rfft(window * np.hanning(len(window))))
         floor = np.median(X)
