@@ -311,16 +311,51 @@ def unpack77(bits77) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Encoding: bits → tones → waveform
+# Protocol shapes: FT8 and FT4 share the codec/LDPC; they differ in
+# symbol grid, tone count, sync patterns, and FT4's message whitening.
 # ---------------------------------------------------------------------------
 
-_SYM_DATA_POS = list(range(7, 36)) + list(range(43, 72))   # 58 data symbols
-_SYNC_BLOCKS = (0, 36, 72)
+from .ft8_tables import FT4_GRAY_MAP, FT4_RVEC, FT4_SYNC_BLOCKS
 
-# tone → 3 bits (inverse Gray): GRAY_MAP[bits] = tone
-_TONE_BITS = [0] * 8
-for _b, _t in enumerate(GRAY_MAP):
-    _TONE_BITS[_t] = _b
+
+class _Proto:
+    def __init__(self, name, nsym, ntones, data_pos, sync_cells,
+                 gray_map, baud_divisor, bt, rvec=None):
+        self.name = name
+        self.nsym = nsym                       # total channel symbols
+        self.ntones = ntones
+        self.data_pos = list(data_pos)
+        self.sync_cells = list(sync_cells)     # [(symbol_pos, tone), ...]
+        self.gray_map = list(gray_map)         # bits -> tone
+        self.bits_per_sym = ntones.bit_length() - 1
+        self.tone_bits = [0] * ntones          # tone -> bits
+        for b, t in enumerate(gray_map):
+            self.tone_bits[t] = b
+        self.baud_divisor = baud_divisor       # sps = samplerate / baud
+        self.bt = bt
+        self.rvec = None if rvec is None else np.array(rvec, np.uint8)
+
+    def sps(self, samplerate: float) -> int:
+        sps = samplerate / self.baud_divisor
+        assert abs(sps - round(sps)) < 1e-9
+        return int(round(sps))
+
+
+FT8_PROTO = _Proto(
+    "FT8", nsym=79, ntones=8,
+    data_pos=list(range(7, 36)) + list(range(43, 72)),
+    sync_cells=[(b + k, COSTAS_7X7[k])
+                for b in (0, 36, 72) for k in range(7)],
+    gray_map=GRAY_MAP, baud_divisor=6.25, bt=2.0)
+
+FT4_PROTO = _Proto(
+    "FT4", nsym=103, ntones=4,
+    data_pos=(list(range(4, 33)) + list(range(37, 66))
+              + list(range(70, 99))),
+    sync_cells=[(p + k, pat[k]) for p, pat in FT4_SYNC_BLOCKS
+                for k in range(4)],
+    gray_map=FT4_GRAY_MAP, baud_divisor=12_000.0 / 576.0, bt=1.0,
+    rvec=FT4_RVEC)
 
 
 def _ldpc():
@@ -329,45 +364,57 @@ def _ldpc():
                           check_adjacency=CHECK_VARS_174_91)
 
 
-def ft8_tones(text: str) -> np.ndarray:
-    """Message text → the 79-symbol tone sequence (values 0..7)."""
-    bits77 = pack77(text)
-    a91 = bits77 + _int_to_bits(crc14(bits77), 14)
+def _tones(proto: _Proto, text: str) -> np.ndarray:
+    bits77 = np.array(pack77(text), np.uint8)
+    if proto.rvec is not None:
+        bits77 = bits77 ^ proto.rvec            # whiten BEFORE crc/ldpc
+    a91 = list(bits77) + _int_to_bits(crc14(bits77), 14)
     code = _ldpc().encode(np.array(a91, np.uint8))        # [174]
-    tones = np.zeros(79, np.int32)
-    for b in _SYNC_BLOCKS:
-        tones[b:b + 7] = COSTAS_7X7
-    for s, pos in enumerate(_SYM_DATA_POS):
-        v = int(code[3 * s]) * 4 + int(code[3 * s + 1]) * 2 \
-            + int(code[3 * s + 2])
-        tones[pos] = GRAY_MAP[v]
+    tones = np.zeros(proto.nsym, np.int32)
+    for pos, tone in proto.sync_cells:
+        tones[pos] = tone
+    bps = proto.bits_per_sym
+    for s, pos in enumerate(proto.data_pos):
+        v = 0
+        for i in range(bps):
+            v = v * 2 + int(code[bps * s + i])
+        tones[pos] = proto.gray_map[v]
     return tones
 
 
-def ft8_waveform(text: str, f0: float, samplerate: float = 12_000.0,
-                 nsamples: Optional[int] = None, dt: float = 0.0,
-                 amplitude: float = 1.0, bt: float = 2.0) -> np.ndarray:
-    """Synthesize the GFSK FT8 waveform (6.25 baud 8-FSK, Gaussian
-    frequency pulse BT=2, constant envelope) at base frequency ``f0``.
-    If ``nsamples`` is given, the signal is placed ``dt`` seconds into a
-    zero-padded buffer of that length (the 15 s receive window)."""
-    tones = ft8_tones(text)
-    sps = int(round(samplerate / 6.25))
+def ft8_tones(text: str) -> np.ndarray:
+    """Message text → the 79-symbol FT8 tone sequence (values 0..7)."""
+    return _tones(FT8_PROTO, text)
+
+
+def ft4_tones(text: str) -> np.ndarray:
+    """Message text → the 103-symbol FT4 tone sequence (values 0..3)."""
+    return _tones(FT4_PROTO, text)
+
+
+def _gfsk_waveform(proto: _Proto, text: str, f0: float, samplerate: float,
+                   nsamples: Optional[int], dt: float,
+                   amplitude: float) -> np.ndarray:
+    """Constant-envelope GFSK: tone spacing == baud rate, Gaussian
+    frequency pulse of the protocol's BT, edge symbols extended."""
+    tones = _tones(proto, text)
+    sps = proto.sps(samplerate)
+    baud = samplerate / sps
     t = (np.arange(3 * sps) + 0.5) / sps - 1.5
-    K = math.pi * math.sqrt(2.0 / math.log(2.0)) * bt
+    K = math.pi * math.sqrt(2.0 / math.log(2.0)) * proto.bt
     erf = np.vectorize(math.erf)
     pulse = 0.5 * (erf(K * (t + 0.5)) - erf(K * (t - 0.5)))
 
     pad = sps
-    buf = np.zeros(79 * sps + 2 * pad)
+    buf = np.zeros(proto.nsym * sps + 2 * pad)
     tones_ext = np.concatenate([[tones[0]], tones, [tones[-1]]])
     for s, tone in enumerate(tones_ext):
         c = pad + (s - 1) * sps + sps // 2          # symbol center sample
         lo = c - (3 * sps) // 2
         a, b = max(lo, 0), min(lo + 3 * sps, len(buf))
         buf[a:b] += tone * pulse[a - lo: a - lo + (b - a)]
-    dev = buf[pad: pad + 79 * sps]
-    phase = np.cumsum(2 * np.pi * (f0 + 6.25 * dev) / samplerate)
+    dev = buf[pad: pad + proto.nsym * sps]
+    phase = np.cumsum(2 * np.pi * (f0 + baud * dev) / samplerate)
     sig = (amplitude * np.sin(phase)).astype(np.float32)
     if nsamples is None:
         return sig
@@ -379,32 +426,55 @@ def ft8_waveform(text: str, f0: float, samplerate: float = 12_000.0,
     return out
 
 
+def ft8_waveform(text: str, f0: float, samplerate: float = 12_000.0,
+                 nsamples: Optional[int] = None, dt: float = 0.0,
+                 amplitude: float = 1.0) -> np.ndarray:
+    """GFSK FT8 waveform (6.25 baud 8-FSK, BT=2) at base frequency
+    ``f0``; optionally placed ``dt`` seconds into an ``nsamples`` window.
+    """
+    return _gfsk_waveform(FT8_PROTO, text, f0, samplerate, nsamples, dt,
+                          amplitude)
+
+
+def ft4_waveform(text: str, f0: float, samplerate: float = 12_000.0,
+                 nsamples: Optional[int] = None, dt: float = 0.0,
+                 amplitude: float = 1.0) -> np.ndarray:
+    """GFSK FT4 waveform (20.833 baud 4-FSK, BT=1) at base frequency
+    ``f0``; optionally placed ``dt`` seconds into an ``nsamples`` window.
+    """
+    return _gfsk_waveform(FT4_PROTO, text, f0, samplerate, nsamples, dt,
+                          amplitude)
+
+
 # ---------------------------------------------------------------------------
 # The batched decoder
 # ---------------------------------------------------------------------------
 
-class FT8NativeDecoder:
-    """Batched one-call FT8 decoder.
+class FTxNativeDecoder:
+    """Batched one-call FT8/FT4 decoder.
 
-    ``decode(audio)`` takes a 15 s window of 12 kHz mono float32 audio and
-    returns decode dicts {message, freq, dt, snr, score}.  The full
+    ``decode(audio)`` takes a slot window of 12 kHz mono float32 audio
+    and returns decode dicts {message, freq, dt, snr, score}.  The full
     candidate search + demod + LDPC runs as one jitted computation.
     """
 
-    PAD_T = 25            # half-symbol steps of pre-pad → dt ≥ -2.0 s
+    PRE_PAD_S = 2.0       # candidate dt reaches back this far
     FMIN_HZ = 100.0
     FMAX_HZ = 3100.0
 
     def __init__(self, samplerate: float = 12_000.0, topk: int = 128,
-                 ldpc_iters: int = 30):
-        assert abs(samplerate / 6.25 - round(samplerate / 6.25)) < 1e-9
+                 ldpc_iters: int = 30, proto: _Proto = FT8_PROTO):
+        self.proto = proto
         self.samplerate = float(samplerate)
-        self.sps = int(round(samplerate / 6.25))
+        self.sps = proto.sps(samplerate)
         self.hop = self.sps // 2
+        self.bin_hz = samplerate / (2 * self.sps)   # half-tone bins
+        self.pad_t = int(round(self.PRE_PAD_S * samplerate / self.hop))
         self.topk = int(topk)
         self.ldpc_iters = int(ldpc_iters)
         self.code = _ldpc()
-        self.nbins = int(self.FMAX_HZ / (6.25 / 2)) + 16   # 3.125 Hz bins
+        self.nbins = int(self.FMAX_HZ / self.bin_hz) \
+            + 2 * (proto.ntones - 1) + 2
         self._jit = None
 
     # -- jitted pipeline ---------------------------------------------------
@@ -413,7 +483,9 @@ class FT8NativeDecoder:
         import jax
         import jax.numpy as jnp
 
+        p = self.proto
         sps, hop = self.sps, self.hop
+        ntones, bps = p.ntones, p.bits_per_sym
         n = audio.shape[0]
         nf = (n - sps) // hop + 1
         idx = jnp.arange(nf)[:, None] * hop + jnp.arange(sps)[None, :]
@@ -425,27 +497,26 @@ class FT8NativeDecoder:
         logE = jnp.log(E + 1e-12)
 
         # pad the time axis so negative/late dt candidates exist
-        pad_t, pad_after = self.PAD_T, 20
+        pad_t, pad_after = self.pad_t, 20
         fill = jnp.median(logE)
         logEp = jnp.concatenate([
             jnp.full((pad_t, self.nbins), fill, logE.dtype), logE,
             jnp.full((pad_after, self.nbins), fill, logE.dtype)], axis=0)
         Tp = nf + pad_t + pad_after
 
-        Fc = self.nbins - 15
-        Tc = Tp - 157
-        # per-row mean over the 8 tone bins (half-tone spacing → stride 2)
-        M8 = sum(logEp[:, 2 * j: 2 * j + Fc] for j in range(8)) / 8.0
+        Fc = self.nbins - 2 * (ntones - 1) - 1
+        Tc = Tp - (2 * (p.nsym - 1) + 1)
+        # per-row mean over the tone bins (half-tone spacing → stride 2)
+        Mt = sum(logEp[:, 2 * j: 2 * j + Fc]
+                 for j in range(ntones)) / float(ntones)
 
         S = jnp.zeros((Tc, Fc), jnp.float32)
-        for b in _SYNC_BLOCKS:
-            for k in range(7):
-                r = 2 * (b + k)
-                tone = COSTAS_7X7[k]
-                S = S + (logEp[r: r + Tc, 2 * tone: 2 * tone + Fc]
-                         - M8[r: r + Tc, :])
+        for pos, tone in p.sync_cells:
+            r = 2 * pos
+            S = S + (logEp[r: r + Tc, 2 * tone: 2 * tone + Fc]
+                     - Mt[r: r + Tc, :])
 
-        fmin_bin = int(self.FMIN_HZ / 3.125)
+        fmin_bin = int(self.FMIN_HZ / self.bin_hz)
         mask = (jnp.arange(Fc) >= fmin_bin)
         S = jnp.where(mask[None, :], S, -jnp.inf)
 
@@ -453,24 +524,26 @@ class FT8NativeDecoder:
         t0 = flat // Fc
         f0 = flat % Fc
 
-        # tone log-energies for the 58 data symbols of each candidate
-        pos = jnp.asarray(np.array(_SYM_DATA_POS, np.int32))
-        rows = t0[:, None] + 2 * pos[None, :]                # [B, 58]
-        cols = f0[:, None, None] + 2 * jnp.arange(8)[None, None, :]
-        s2 = logEp[rows[:, :, None], cols]                   # [B, 58, 8]
+        # tone log-energies for the data symbols of each candidate
+        pos = jnp.asarray(np.array(p.data_pos, np.int32))
+        rows = t0[:, None] + 2 * pos[None, :]                # [B, D]
+        cols = f0[:, None, None] \
+            + 2 * jnp.arange(ntones)[None, None, :]
+        s2 = logEp[rows[:, :, None], cols]                   # [B, D, nt]
         s2n = s2 - jax.scipy.special.logsumexp(s2, axis=2, keepdims=True)
 
         tone_bits = jnp.asarray(
-            np.array([[(_TONE_BITS[j] >> (2 - i)) & 1 for j in range(8)]
-                      for i in range(3)], np.float32))       # [3, 8]
+            np.array([[(p.tone_bits[j] >> (bps - 1 - i)) & 1
+                       for j in range(ntones)]
+                      for i in range(bps)], np.float32))     # [bps, nt]
         BIG = jnp.float32(1e9)
         llr_sym = []
-        for i in range(3):
+        for i in range(bps):
             m0 = jnp.where(tone_bits[i] == 0, 0.0, -BIG)
             m1 = jnp.where(tone_bits[i] == 1, 0.0, -BIG)
             l0 = jax.scipy.special.logsumexp(s2n + m0, axis=2)
             l1 = jax.scipy.special.logsumexp(s2n + m1, axis=2)
-            llr_sym.append(l0 - l1)                          # [B, 58]
+            llr_sym.append(l0 - l1)                          # [B, D]
         llrs = jnp.stack(llr_sym, axis=2).reshape(self.topk, 174)
 
         bits, ok = self.code.decode(llrs, iters=self.ldpc_iters)
@@ -485,7 +558,7 @@ class FT8NativeDecoder:
         if self._jit is None:
             self._jit = jax.jit(self._pipeline)
         audio = np.asarray(audio, np.float32)
-        need = 79 * self.sps
+        need = self.proto.nsym * self.sps
         if len(audio) < need:
             audio = np.pad(audio, (0, need - len(audio)))
         out = self._jit(jnp.asarray(audio))
@@ -499,6 +572,8 @@ class FT8NativeDecoder:
                 continue
             if cw[:91].sum() == 0:        # all-zero codeword ≈ no signal
                 continue
+            if self.proto.rvec is not None:
+                msg77 = msg77 ^ self.proto.rvec
             try:
                 text = unpack77(msg77)
             except Exception:
@@ -509,11 +584,11 @@ class FT8NativeDecoder:
             # (measured against known-SNR synthetic signals).
             snr = 3.0 + 10.0 * math.log10(
                 max(float(sig[i]), 1e-30)
-                / max(float(noise) * 800.0, 1e-30))
+                / max(float(noise) * (2500.0 / self.bin_hz), 1e-30))
             rec = {
                 "message": text,
-                "freq": float(f0[i]) * 3.125,
-                "dt": (float(t0[i]) - self.PAD_T) * (self.hop
+                "freq": float(f0[i]) * self.bin_hz,
+                "dt": (float(t0[i]) - self.pad_t) * (self.hop
                                                      / self.samplerate),
                 "snr": round(snr, 1),
                 "score": float(scores[i]),
@@ -522,3 +597,19 @@ class FT8NativeDecoder:
             if prev is None or rec["score"] > prev["score"]:
                 results[text] = rec
         return sorted(results.values(), key=lambda r: -r["score"])
+
+
+class FT8NativeDecoder(FTxNativeDecoder):
+    def __init__(self, samplerate: float = 12_000.0, topk: int = 128,
+                 ldpc_iters: int = 30):
+        super().__init__(samplerate, topk, ldpc_iters, FT8_PROTO)
+
+
+class FT4NativeDecoder(FTxNativeDecoder):
+    """FT4: 7.5 s slots, 103 symbols of 4-GFSK at 20.833 baud; the
+    77-bit payload is whitened with FT4_RVEC before CRC/LDPC
+    (gen_ft4.cpp:73-92)."""
+
+    def __init__(self, samplerate: float = 12_000.0, topk: int = 128,
+                 ldpc_iters: int = 30):
+        super().__init__(samplerate, topk, ldpc_iters, FT4_PROTO)

@@ -34,7 +34,7 @@ class FT8DecoderModule(ModuleInstance):
     def __init__(self, name: str, app, stream: str = "Radio",
                  decoder_cmd: Optional[List[str]] = None,
                  decoder_style: str = "pipe", mode: str = "FT8",
-                 window_seconds: float = FT8_WINDOW_S,
+                 window_seconds: Optional[float] = None,
                  max_workers: int = 4):
         super().__init__(name)
         self.app = app
@@ -52,6 +52,9 @@ class FT8DecoderModule(ModuleInstance):
         self._rs_step = jax.jit(
             lambda s, x: self._resamp.apply(None, s, x))
         self._buf = np.zeros(0, np.float32)
+        if window_seconds is None:
+            # FT8 transmits in 15 s cycles, FT4 in 7.5 s cycles
+            window_seconds = 7.5 if mode == "FT4" else FT8_WINDOW_S
         self.window_seconds = float(window_seconds)
         # UTC cycle alignment: drop samples until the next window
         # boundary so windows line up with FT8 transmit periods
@@ -100,12 +103,15 @@ class FT8DecoderModule(ModuleInstance):
         if self.decoder_cmd:
             return run_external_decoder(list(self.decoder_cmd), window,
                                         samplerate)
-        if self.mode == "FT8":
+        if self.mode in ("FT8", "FT4"):
             # built-in native decoder (models/ft8.py): the whole
             # candidate search + LDPC batch is one jitted call
             if self._native is None:
-                from ..models.ft8 import FT8NativeDecoder
-                self._native = FT8NativeDecoder(samplerate)
+                from ..models.ft8 import (FT4NativeDecoder,
+                                          FT8NativeDecoder)
+                cls = (FT8NativeDecoder if self.mode == "FT8"
+                       else FT4NativeDecoder)
+                self._native = cls(samplerate)
             return self._native.decode(window)
         # non-FT8 fallback: report active tone candidates (lets the
         # pipeline be exercised without the external MSHV binary)

@@ -150,3 +150,64 @@ def test_module_native_decode_path():
     st = mod.handle_debug_command("decodes", "")
     assert any(d.get("text") == "CQ K1ABC FN42" for d in st["decodes"])
     mod.shutdown()
+
+
+# ----------------------------------------------------------------- FT4
+
+def test_ft4_tone_structure():
+    from sdrplusplusbrown_tpu.models.ft8 import ft4_tones
+    from sdrplusplusbrown_tpu.models.ft8_tables import FT4_SYNC_BLOCKS
+    t = ft4_tones("CQ K1ABC FN42")
+    assert t.shape == (103,)
+    assert t.max() <= 3
+    for p, pat in FT4_SYNC_BLOCKS:
+        assert list(t[p:p + 4]) == pat
+
+
+def test_ft4_whitening_differs_from_ft8():
+    """FT4 whitens the payload with RVEC before CRC/LDPC — the data
+    symbols must differ from a hypothetical unwhitened encoding."""
+    from sdrplusplusbrown_tpu.models.ft8 import FT4_PROTO, _tones
+    import copy
+    proto_nowhiten = copy.copy(FT4_PROTO)
+    proto_nowhiten.rvec = None
+    a = _tones(FT4_PROTO, "CQ K1ABC FN42")
+    b = _tones(proto_nowhiten, "CQ K1ABC FN42")
+    assert np.any(a != b)
+
+
+def test_ft4_decode_two_signals():
+    from sdrplusplusbrown_tpu.models.ft8 import (FT4NativeDecoder,
+                                                 ft4_waveform)
+    N = int(7.5 * FS)
+    rng = np.random.default_rng(3)
+    x = 0.1 * rng.standard_normal(N).astype(np.float32)
+    sigs = [("CQ K1ABC FN42", 1000.0, 0.5, 0.5),
+            ("W9XYZ K1ABC RR73", 1800.0, 0.3, 0.4)]
+    for msg, f0, dt, amp in sigs:
+        x += ft4_waveform(msg, f0, FS, N, dt=dt, amplitude=amp)
+    res = FT4NativeDecoder(FS).decode(x)
+    by_msg = {r["message"]: r for r in res}
+    for msg, f0, dt, _ in sigs:
+        assert msg in by_msg, (msg, list(by_msg))
+        assert abs(by_msg[msg]["freq"] - f0) <= 6.0
+        assert abs(by_msg[msg]["dt"] - dt) <= 0.05
+
+
+def test_module_ft4_mode():
+    from sdrplusplusbrown_tpu.models.ft8 import ft4_waveform
+    from sdrplusplusbrown_tpu.modules.ft8_module import FT8DecoderModule
+
+    class _App:
+        modules: dict = {}
+
+    mod = FT8DecoderModule("ft4", _App(), stream="none", mode="FT4")
+    assert mod.window_seconds == 7.5
+    N = int(7.5 * FS)
+    x = 0.05 * np.random.default_rng(9).standard_normal(N) \
+        .astype(np.float32)
+    x += ft4_waveform("K1ABC W9XYZ -07", 1500.0, FS, N, dt=0.4,
+                      amplitude=0.5)
+    lines = mod._decode(x, FS, 0)
+    assert any(d["message"] == "K1ABC W9XYZ -07" for d in lines)
+    mod.shutdown()
