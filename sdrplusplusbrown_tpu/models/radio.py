@@ -169,10 +169,13 @@ class Radio(Block):
         self.squelch_enabled = squelch_enabled
         self.fmif_enabled = fmif_enabled
 
-        # AF chain (reference radio_module.h:100-107)
+        # AF chain (reference radio_module.h:100-107).  The demod may emit
+        # audio below the IF rate (WFM's decimated MPX path, ops/wfm.py).
+        af_in_rate = float(getattr(self.demod, "out_samplerate",
+                                   self.if_rate))
         self.af_resamp = None
-        if self.if_rate != self.audio_samplerate:
-            self.af_resamp = RationalResampler(self.if_rate,
+        if af_in_rate != self.audio_samplerate:
+            self.af_resamp = RationalResampler(af_in_rate,
                                                self.audio_samplerate)
         if deemphasis is None:
             deemphasis = "50us" if demod_id == DEMOD_WFM else "none"

@@ -17,10 +17,24 @@ Pilot recovery has two modes:
   * ``pll_mode="normalize"`` (default) — p/|p| of the band-passed pilot,
     delayed one sample to match the PLL's one-sample output lag; fully
     parallel (no per-sample dependency anywhere in the WFM chain).
+
+MPX-rate decimation (TPU redesign, not in the reference): the composite
+MPX signal occupies at most 59.4 kHz (RDS 57k±2.4k; 53 kHz without RDS),
+but the reference runs the whole stereo section at the 500 kHz IF rate
+(broadcast_fm.h:144-215).  The chain is HBM-bound on TPU, so the real
+MPX is decimated by ``mpx_decim`` (cascaded protecting halfbands) right
+after the discriminator; the pilot/stereo/RDS/audio stages then run at
+``samplerate/mpx_decim`` — identical math at identical relative
+frequencies, a fraction of the bytes.  Audio leaves at the decimated
+rate (``out_samplerate``, ``ratio``); the Radio's AF resampler absorbs
+the rate change.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+
+import numpy as np
 import jax.numpy as jnp
 
 from ..runtime.block import Block
@@ -30,13 +44,14 @@ from .demod import Quadrature
 from .pll import PLL, pilot_normalize
 from .delay import Delay
 from .xlator import FrequencyXlator
-from .resampler import RationalResampler
+from .resampler import RationalResampler, design_halfband_stage
 
 
 class BroadcastFM(Block):
     def __init__(self, deviation: float, samplerate: float,
                  stereo: bool = True, low_pass: bool = True,
-                 rds_out: bool = False, pll_mode: str = "normalize"):
+                 rds_out: bool = False, pll_mode: str = "normalize",
+                 mpx_decim: int = 4):
         self.samplerate = float(samplerate)
         self.stereo = stereo
         self.low_pass = low_pass
@@ -44,28 +59,60 @@ class BroadcastFM(Block):
         self.pll_mode = pll_mode
 
         self.quad = Quadrature(deviation, samplerate)
+
+        # protected MPX band: RDS top 57k+2.4k, else L−R top 38k+15k
+        protect = 59500.0 if rds_out else 53500.0
+        mpx_decim = int(mpx_decim)
+        assert mpx_decim >= 1 and (mpx_decim & (mpx_decim - 1)) == 0
+        # each halfband stage needs fs_in/2 − protect > protect
+        while mpx_decim > 1 and samplerate / mpx_decim <= 2.0 * protect * 1.02:
+            mpx_decim //= 2
+        self.mpx_decim = mpx_decim
+        self.mpx_stages = []
+        fs = self.samplerate
+        d = mpx_decim
+        while d > 1:
+            self.mpx_stages.append(RealFIR(design_halfband_stage(
+                fs, protect).astype(np.float32), decim=2))
+            fs /= 2.0
+            d //= 2
+        fsm = fs  # MPX processing rate
+
         self.pilot_taps = taps_mod.band_pass_complex(
-            18750.0, 19250.0, 3000.0, samplerate, odd_tap_count=True)
+            18750.0, 19250.0, 3000.0, fsm, odd_tap_count=True)
         self.pilot_fir = FIR(self.pilot_taps)
-        w19 = taps_mod.hz_to_rads(19000.0, samplerate)
-        self.pll = PLL(25000.0 / samplerate, init_freq=w19,
-                       min_freq=taps_mod.hz_to_rads(18750.0, samplerate),
-                       max_freq=taps_mod.hz_to_rads(19250.0, samplerate))
+        w19 = taps_mod.hz_to_rads(19000.0, fsm)
+        # band_pass_complex modulates by exp(-j*w0*(t-half)) (the
+        # reference's convention, taps/band_pass.h), so the filtered pilot
+        # carries a constant phase offset w0*count/2 on top of the linear
+        # group delay.  Squaring doubles it into the recovered 38 kHz
+        # carrier: cos(2*w0*count/2) separation loss (~0.3 rad at 500 kHz,
+        # ~1.06 rad at 125 kHz).  Cancel the known constant.
+        self.pilot_phase_corr = complex(
+            np.exp(-1j * w19 * (len(self.pilot_taps) / 2.0)))
+        self.pll = PLL(25000.0 / fsm, init_freq=w19,
+                       min_freq=taps_mod.hz_to_rads(18750.0, fsm),
+                       max_freq=taps_mod.hz_to_rads(19250.0, fsm))
         d = (len(self.pilot_taps) - 1) // 2 + 1
         self.lpr_delay = Delay(d)
         self.lmr_delay = Delay(d)
         self.pilot_lag = Delay(1)  # normalize-mode stand-in for PLL lag
-        self.audio_taps = taps_mod.low_pass(15000.0, 4000.0, samplerate)
+        self.audio_taps = taps_mod.low_pass(15000.0, 4000.0, fsm)
         self.audio_fir = RealFIR(self.audio_taps)  # applied to stacked L/R
+        self.in_multiple = self.mpx_decim
         if rds_out:
-            self.rds_xlator = FrequencyXlator(-57000.0, samplerate)
-            self.rds_resamp = RationalResampler(samplerate, 5000.0)
-            self.in_multiple = self.rds_resamp.in_multiple
+            self.rds_xlator = FrequencyXlator(-57000.0, fsm)
+            self.rds_resamp = RationalResampler(fsm, 5000.0)
+            self.in_multiple = self.mpx_decim * self.rds_resamp.in_multiple
+        self.out_samplerate = fsm
+        self.ratio = Fraction(1, self.mpx_decim)
         self.out_channels = 2
 
     def init_state(self, batch_shape=()):
         st = {
             "quad": self.quad.init_state(batch_shape),
+            "mpx_decim": [s.init_state(batch_shape, jnp.float32)
+                          for s in self.mpx_stages],
             "pilot_fir": self.pilot_fir.init_state(batch_shape),
             "pll": self.pll.init_state(batch_shape),
             "pilot_lag": self.pilot_lag.init_state(batch_shape, jnp.complex64),
@@ -81,6 +128,11 @@ class BroadcastFM(Block):
     def apply(self, params, state, x):
         st = dict(state)
         mpx, st["quad"] = self.quad.apply(None, state["quad"], x)
+        mpx_states = []
+        for stage, sst in zip(self.mpx_stages, state["mpx_decim"]):
+            mpx, nst = stage.apply(None, sst, mpx)
+            mpx_states.append(nst)
+        st["mpx_decim"] = mpx_states
 
         rds = None
         if self.stereo:
@@ -93,6 +145,7 @@ class BroadcastFM(Block):
                 vco = pilot_normalize(pilot)
                 vco, st["pilot_lag"] = self.pilot_lag.apply(
                     None, state["pilot_lag"], vco)
+            vco = vco * jnp.complex64(self.pilot_phase_corr)
             lpr, st["lpr_delay"] = self.lpr_delay.apply(
                 None, state["lpr_delay"], mpx)
             lmr_c, st["lmr_delay"] = self.lmr_delay.apply(

@@ -130,6 +130,8 @@ class ShardedRadioPipeline:
                 "quad": init_carry(d.quad, (C,)),
                 "audio_fir": init_carry(d.audio_fir, (C, 2), jnp.float32),
             })
+            for i, s in enumerate(d.mpx_stages):
+                carry[f"mpx{i}"] = init_carry(s, (C,), jnp.float32)
             if d.stereo:
                 carry.update({
                     "pilot_fir": init_carry(d.pilot_fir, (C,)),
@@ -191,6 +193,9 @@ class ShardedRadioPipeline:
 
         if isinstance(d, BroadcastFM):
             mpx, new["quad"] = sharded_apply(d.quad, y, ta, carry["quad"])
+            for i, s in enumerate(d.mpx_stages):
+                mpx, new[f"mpx{i}"] = sharded_apply(s, mpx, ta,
+                                                    carry[f"mpx{i}"])
             if d.stereo:
                 from ..ops.pll import pilot_normalize
                 mpx_c = mpx.astype(jnp.complex64)
@@ -199,6 +204,7 @@ class ShardedRadioPipeline:
                 vco = pilot_normalize(pilot)
                 vco, new["pilot_lag"] = sharded_apply(
                     d.pilot_lag, vco, ta, carry["pilot_lag"])
+                vco = vco * jnp.complex64(d.pilot_phase_corr)
                 lpr, new["lpr_delay"] = sharded_apply(
                     d.lpr_delay, mpx, ta, carry["lpr_delay"])
                 lmr_c, new["lmr_delay"] = sharded_apply(
