@@ -104,17 +104,21 @@ class FT8DecoderModule(ModuleInstance):
             return run_external_decoder(list(self.decoder_cmd), window,
                                         samplerate)
         if self.mode in ("FT8", "FT4"):
-            # built-in native decoder (models/ft8.py): the whole
-            # candidate search + LDPC batch is one jitted call
-            if self._native is None:
-                from ..models.ft8 import (FT4NativeDecoder,
-                                          FT8NativeDecoder)
-                cls = (FT8NativeDecoder if self.mode == "FT8"
-                       else FT4NativeDecoder)
-                self._native = cls(samplerate)
-            return self._native.decode(window)
-        # non-FT8 fallback: report active tone candidates (lets the
-        # pipeline be exercised without the external MSHV binary)
+            from ..models.ft8 import (FT4_PROTO, FT8_PROTO,
+                                      FT4NativeDecoder, FT8NativeDecoder)
+            proto = FT8_PROTO if self.mode == "FT8" else FT4_PROTO
+            if len(window) >= proto.nsym * proto.sps(samplerate):
+                # built-in native decoder (models/ft8.py): the whole
+                # candidate search + LDPC batch is one jitted call
+                if self._native is None:
+                    cls = (FT8NativeDecoder if self.mode == "FT8"
+                           else FT4NativeDecoder)
+                    self._native = cls(samplerate)
+                return self._native.decode(window)
+            # fall through: the configured window is shorter than one
+            # transmission (e.g. sped-up tests) — FT8/FT4 can't decode
+        # fallback: report active tone candidates (lets the pipeline be
+        # exercised without the external MSHV binary or a full slot)
         X = np.abs(np.fft.rfft(window * np.hanning(len(window))))
         floor = np.median(X)
         peaks = np.flatnonzero(X > 20 * floor)
