@@ -420,15 +420,53 @@ class SDRApp:
             mod_conf = dict(conf.get("modules", {}))
             self.sink_sel = dict(conf.get("sinks", {}))
 
-        self.source: Optional[FileSource] = None
+        self.source = None
         with self.config.acquire(False) as conf:
-            src = conf["source"]
-            if src.get("type") == "file" and src.get("path"):
-                self.source = FileSource(src["path"],
-                                         loop=bool(src.get("loop", True)))
-                self.samplerate = self.source.samplerate
-                if self.source.center_freq:
-                    self.frequency = self.source.center_freq
+            src = dict(conf["source"])
+        stype = src.get("type")
+        if stype == "file" and src.get("path"):
+            self.source = FileSource(src["path"],
+                                     loop=bool(src.get("loop", True)))
+            self.samplerate = self.source.samplerate
+            if self.source.center_freq:
+                self.frequency = self.source.center_freq
+        elif stype == "network":
+            # raw UDP/TCP IQ (reference source_modules/network_source)
+            from .io.network_source import NetworkSource
+            self.source = NetworkSource(
+                host=src.get("host", "localhost"),
+                port=int(src.get("port", 1234)),
+                protocol=src.get("protocol", "udp"),
+                sample_type=src.get("sampleType", "int16"),
+                samplerate=float(src.get("samplerate", 1_000_000.0)))
+            self.samplerate = self.source.samplerate
+        elif stype == "rtl_tcp":
+            # rtl_tcp protocol client (reference source_modules/rtl_tcp_source)
+            from .io.network_source import RtlTcpSource
+            self.source = RtlTcpSource(
+                host=src.get("host", "localhost"),
+                port=int(src.get("port", 1234)),
+                samplerate=float(src.get("samplerate", 2_400_000.0)))
+            self.samplerate = self.source.samplerate
+            self.source.tune(self.frequency)
+        elif stype == "spyserver":
+            # SpyServer protocol client (reference source_modules/spyserver_source)
+            from .io.spyserver_source import SpyServerSource
+            self.source = SpyServerSource(
+                host=src.get("host", "localhost"),
+                port=int(src.get("port", 5555)),
+                srate_index=int(src.get("sampleRateId", 0)),
+                gain=int(src.get("gain", 0)))
+            self.samplerate = self.source.samplerate
+            self.source.start_stream(self.frequency)
+        elif stype == "sdrpp_server":
+            # remote StreamServer (reference source_modules/sdrpp_server_source)
+            from .server.stream_client import StreamClient
+            self.source = StreamClient(
+                src.get("host", "localhost"), int(src.get("port", 5259)),
+                password=src.get("password", ""),
+                compression=src.get("compression", "none"))
+            self.samplerate = float(self.source.samplerate)
 
         self.frontend = IQFrontEnd(
             self.samplerate, decim_ratio=self._decim, dc_blocking=self._dc,
@@ -618,6 +656,11 @@ class SDRApp:
 
     def tune(self, freq: float):
         self.frequency = float(freq)
+        # hardware-backed sources get the retune (reference
+        # SourceManager::tune → source tuneHandler, source.cpp:127-135)
+        tuner = getattr(self.source, "tune", None)
+        if callable(tuner):
+            tuner(freq)
         with self.config.acquire() as conf:
             conf["frequency"] = freq
 
@@ -628,11 +671,12 @@ class SDRApp:
         m.set_offset(offset_hz)
         return True
 
-    def select_sink(self, stream: str, sink: str) -> bool:
+    def select_sink(self, stream: str, sink: str, **sink_conf) -> bool:
         """Attach a sink to a module's audio stream (or a secondary
-        substream 'Name__##N'): 'recorder' records to WAV,
-        'null_audio_sink'/'None' discards (reference
-        SinkManager::setStreamSink, sink.h)."""
+        substream 'Name__##N'): 'recorder' records to WAV, 'network'
+        streams int16 PCM to a host:port (reference
+        sink_modules/network_sink), 'null_audio_sink'/'None' discards
+        (reference SinkManager::setStreamSink, sink.h)."""
         from .runtime.sink import get_secondary_stream_index
         base, idx = get_secondary_stream_index(stream)
         m = self.modules.get(base)
@@ -641,21 +685,37 @@ class SDRApp:
         if idx > 0 and self.stream_registry.get(stream) is None:
             return False
         old = self.sinks.pop(stream, None)
-        if isinstance(old, WavRecorder):
+        if hasattr(old, "close"):
             old.close()
+        new_sink = None
         if sink == "recorder":
             rec_dir = os.path.join(self.root, "recordings")
             os.makedirs(rec_dir, exist_ok=True)
             path = os.path.join(rec_dir, WavRecorder.capture_name(
                 f"sink_{stream}", self.frequency))
-            self.sinks[stream] = WavRecorder(
+            new_sink = WavRecorder(
                 path, m.radio.audio_samplerate, channels=2)
+        elif sink == "network":
+            from .io.network_sink import NetworkSink
+            with self.config.acquire(False) as conf:
+                nc = dict(conf.get("network_sink", {}))
+            nc.update(sink_conf)
+            try:
+                new_sink = NetworkSink(
+                    host=nc.get("host", "localhost"),
+                    port=int(nc.get("port", 7355)),
+                    protocol=nc.get("protocol", "udp"),
+                    stereo=bool(nc.get("stereo", False)))
+            except OSError as e:
+                flog.error("network sink connect failed: {}", repr(e))
+                return False
+        if new_sink is not None:
+            self.sinks[stream] = new_sink
             if idx > 0:
                 # substream sinks consume via the registry fan-out (the
                 # pump only writes base-stream sinks directly)
-                rec = self.sinks[stream]
                 s = self.stream_registry.get(stream)
-                s.bind(lambda blk, _r=rec: _r.write(blk))
+                s.bind(lambda blk, _r=new_sink: _r.write(blk))
         self.sink_sel[stream] = sink
         with self.config.acquire() as conf:
             conf.setdefault("sinks", {})[stream] = sink
@@ -862,7 +922,7 @@ class SDRApp:
                     sink = self.sinks.get(m.name)
                     for blk in stream.push_demod(audio):
                         m.audio_event.emit(blk)
-                        if isinstance(sink, WavRecorder):
+                        if hasattr(sink, "write"):
                             sink.write(blk)
                     self.stream_registry.publish(StreamHook(
                         source=m.name,
@@ -886,6 +946,9 @@ class SDRApp:
         for m in self.modules.values():
             m.shutdown()
         for s in self.sinks.values():
-            if isinstance(s, WavRecorder):
+            if hasattr(s, "close"):
                 s.close()
+        closer = getattr(self.source, "close", None)
+        if callable(closer):
+            closer()
         self.config.disable_autosave()

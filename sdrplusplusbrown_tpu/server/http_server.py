@@ -153,7 +153,7 @@ class HttpDebugServer:
             return
         if path == "/sinks":
             h._json({"sinks": sorted(set(
-                ["null_audio_sink", "recorder"]))})
+                ["null_audio_sink", "recorder", "network"]))})
             return
         if path == "/streams":
             names = list(app.modules)
@@ -189,7 +189,9 @@ class HttpDebugServer:
                     and app.stream_registry.get(stream) is None:
                 h._json({"error": f"stream '{stream}' not found"})
                 return
-            if not app.select_sink(stream, sink):
+            extra = {k: v for k, v in j.items()
+                     if k not in ("stream", "sink")}
+            if not app.select_sink(stream, sink, **extra):
                 h._json({"error": f"cannot attach sink to '{stream}'"})
                 return
             h._json({"status": "ok", "stream": stream, "sink": sink})
