@@ -207,8 +207,29 @@ class SharedRxVFOBank(Block):
             st["fir"] = self.base.fir.init_state((C,))
         return st
 
+    def _plane_pipe(self, C: int):
+        """Lazily-built plane-protocol pipeline (ops/plane_frontend.py);
+        None when this bank/shape can't use it."""
+        cache = getattr(self, "_plane_cache", None)
+        if cache is None:
+            cache = self._plane_cache = {}
+        if C not in cache:
+            from ..ops.plane_frontend import build_plane_pipeline
+            cache[C] = build_plane_pipeline(self, C)
+        return cache[C]
+
     def apply(self, params, state, x):
         """x: [T] shared wideband → ([C, T_out], state')."""
+        if self.fused is not None:
+            from ..ops.fir import get_fir_backend
+            import jax as _jax
+            C = params["fused"]["omega"].shape[0]
+            if (get_fir_backend() in ("auto", "pallas")
+                    and _jax.default_backend() not in ("cpu",)
+                    and "omega_dec_sup" in params["fused"]):
+                pipe = self._plane_pipe(C)
+                if pipe is not None:
+                    return pipe.apply(params["fused"], state, x)
         st = dict(state)
         if self.fused is None:
             C = params["xl"]["omega"].shape[0]

@@ -38,6 +38,8 @@ def fused_params(offset_hz, samplerate: float, decim: int) -> dict:
     from .xlator import SPAN
     omega = -np.asarray(offset_hz, np.float64) * (_TWO_PI / samplerate)
     om_d = omega * decim
+    # the *_sup/*_bs spans feed the plane pipeline's in-kernel twiddle
+    # (ops/plane_frontend.py: SUP=2048 / BS=256 kernel geometry)
     return {
         "omega": jnp.asarray(omega, jnp.float32),
         "omega_span": jnp.asarray(np.mod(omega * SPAN, _TWO_PI),
@@ -46,6 +48,10 @@ def fused_params(offset_hz, samplerate: float, decim: int) -> dict:
                                  jnp.float32),
         "omega_dec_span": jnp.asarray(np.mod(om_d * SPAN, _TWO_PI),
                                       jnp.float32),
+        "omega_dec_sup": jnp.asarray(np.mod(om_d * 2048, _TWO_PI),
+                                     jnp.float32),
+        "omega_dec_bs": jnp.asarray(np.mod(om_d * 256, _TWO_PI),
+                                    jnp.float32),
     }
 
 

@@ -1077,3 +1077,403 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
     # rows would need a sublane-strided gather (a relayout copy)
     y = out[:, :M]
     return jax.lax.complex(y[:C], y[C:])               # [C, M]
+
+
+# ----------------------------------------------------------------------
+# Plane-protocol stages: chain kernels WITHOUT per-stage split/pad/
+# recombine HBM passes.
+#
+# Measured on the WFM-8 chain (scripts/frontend_breakdown.py): each
+# complex stage paid ~2-4x its irreducible window+output traffic in
+# GLUE — a re/im split pass, a zero-pad/history concat pass, the
+# re + j*im recombine, and (for the fused stage) a separate twiddle
+# pass over the full IF-rate array.  In the plane protocol every stage
+# consumes and produces the SAME layout:
+#
+#     ext_planes: [P, head + M_pad]  float32   (P = 2C planes, P % 8 == 0;
+#                 re planes rows [0:C], im planes rows [C:2C])
+#
+# where columns [head - pad_k, head) hold the stage's overlap-save
+# history (written by the PREVIOUS kernel's head block, grid step 0)
+# and M_pad >= M_valid columns of payload follow (garbage past
+# M_valid).  Each kernel runs grid (planes/8, n_super + 1): step 0
+# writes the HEAD BLOCK of its own output (zeros + the NEXT stage's
+# carried history, passed as a small state operand), steps i >= 1
+# compute output super-tile i-1.  The only full-rate HBM traffic left
+# per stage is the window DMA + the output write.
+
+def _plane_decim_kernel(x_hbm, h_ref, tail_ref, o_ref, w, sem, *,
+                        R, tile, K, D, pad_k, x_base, head_pad):
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    so = R * tile
+    sup = so * D
+
+    @pl.when(i == 0)
+    def _head():
+        o_ref[0] = jnp.zeros((CB, so), jnp.float32)
+        o_ref[0, :, so - head_pad:] = tail_ref[...]
+
+    @pl.when(i > 0)
+    def _body():
+        n_read = sup + pad_k
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c8 * CB, CB),
+                     pl.ds(x_base + (i - 1) * sup, n_read)],
+            w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+        cp.start()
+        cp.wait()
+        Lw = (tile - 1) * D + K
+        off = pad_k - (K - 1)
+        for r in range(R):
+            win = w[:, pl.ds(off + r * tile * D, Lw)]    # [CB, Lw]
+            o_ref[0, :, pl.ds(r * tile, tile)] = jnp.dot(
+                win, h_ref[...], preferred_element_type=jnp.float32)
+
+
+def fir_decim_planes(xp: jnp.ndarray, taps: np.ndarray, D: int,
+                     x_base: int, m_pad_out: int, head_pad: int,
+                     tail: jnp.ndarray, tile: int = 256, rows: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Plane-protocol decimating FIR stage.
+
+    xp: [P, Lp] float32 planes; the stage's input data begins at column
+    ``x_base + pad_k`` with its K-1 history immediately before it.
+    Returns [P, so + m_pad_out] with the head block carrying ``tail``
+    (the NEXT stage's history, [P, head_pad]) in its last columns.
+    """
+    K = int(np.asarray(taps).shape[-1])
+    pad_k = ((K - 1 + 127) // 128) * 128   # 2-D DMA: 128-lane granularity
+    P, Lp = xp.shape
+    so = rows * tile
+    sup = so * D
+    assert P % CB == 0, P
+    assert m_pad_out % so == 0, (m_pad_out, so)
+    assert x_base % 128 == 0 and x_base >= 0, x_base
+    assert head_pad % 128 == 0 and head_pad <= so, (head_pad, so)
+    n_super = m_pad_out // so
+    assert x_base + n_super * sup + pad_k <= Lp, \
+        (x_base, n_super, sup, pad_k, Lp)
+    H = jnp.asarray(toeplitz_taps_decim(np.asarray(taps, np.float32),
+                                        tile, D))
+    kern = functools.partial(_plane_decim_kernel, R=rows, tile=tile,
+                             K=K, D=D, pad_k=pad_k, x_base=x_base,
+                             head_pad=head_pad)
+    cost = pl.CostEstimate(
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * P * n_super),
+        bytes_accessed=int(P * n_super * (sup + pad_k) * 4
+                           + P * (so + m_pad_out) * 4 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(P // CB, n_super + 1),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, head_pad), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CB, so), lambda c, i: (c, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P // CB, CB,
+                                        (n_super + 1) * so),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CB, sup + pad_k), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp.astype(jnp.float32), H, tail.astype(jnp.float32))
+    return out.reshape(P, (n_super + 1) * so)
+
+
+def _plane_poly_kernel(x_hbm, h_ref, tail_ref, o_ref, w, sem, *,
+                       R, tile_out, row_adv, Lw, pad_k, x_base,
+                       head_pad, n_read):
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    so = R * tile_out
+
+    @pl.when(i == 0)
+    def _head():
+        o_ref[0] = jnp.zeros((CB, so), jnp.float32)
+        o_ref[0, :, so - head_pad:] = tail_ref[...]
+
+    @pl.when(i > 0)
+    def _body():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c8 * CB, CB),
+                     pl.ds(x_base + (i - 1) * (R * row_adv), n_read)],
+            w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+        cp.start()
+        cp.wait()
+        hist = Lw - row_adv
+        off = pad_k - hist
+        for r in range(R):
+            win = w[:, pl.ds(off + r * row_adv, Lw)]     # [CB, Lw]
+            o_ref[0, :, pl.ds(r * tile_out, tile_out)] = jnp.dot(
+                win, h_ref[...], preferred_element_type=jnp.float32)
+
+
+def _plane_poly_roll_kernel(x_hbm, h_ref, tail_ref, o_ref, w, sem, *,
+                            R, tile_out, row_adv, Lwp, pad_k, hist,
+                            x_base, head_pad, n_read):
+    c8 = pl.program_id(0)
+    i = pl.program_id(1)
+    so = R * tile_out
+
+    @pl.when(i == 0)
+    def _head():
+        o_ref[0] = jnp.zeros((CB, so), jnp.float32)
+        o_ref[0, :, so - head_pad:] = tail_ref[...]
+
+    @pl.when(i > 0)
+    def _body():
+        start = x_base + (i - 1) * (R * row_adv)
+        start_al = (start // 128) * 128
+        extra = start - start_al
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c8 * CB, CB), pl.ds(start_al, n_read)],
+            w.at[pl.ds(0, CB), pl.ds(0, n_read)], sem)
+        cp.start()
+        cp.wait()
+        off = pad_k - hist
+        Lw128 = h_ref.shape[0]
+        for r in range(R):
+            o_r = off + r * row_adv
+            b_r = (o_r // 128) * 128
+            win = w[:, pl.ds(b_r, Lwp)]
+            win = pltpu.roll(win, -((o_r - b_r) + extra), 1)
+            win = jax.lax.slice(win, (0, 0), (CB, Lw128))
+            o_ref[0, :, pl.ds(r * tile_out, tile_out)] = jnp.dot(
+                win, h_ref[...], preferred_element_type=jnp.float32)
+
+
+def poly_resample_planes(xp: jnp.ndarray, widened: np.ndarray,
+                         interp: int, decim: int, mt: int,
+                         use_roll: bool, x_base: int, m_pad_out: int,
+                         head_pad: int, tail: jnp.ndarray,
+                         rows: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Plane-protocol polyphase L/M stage (banded matmul).
+
+    ``m_pad_out`` counts OUTPUT samples (multiple of rows*mt*interp).
+    The stage consumes rows*mt*decim input columns per super-tile from
+    ``x_base + pad_k`` onward.
+    """
+    kw = widened.shape[1]
+    hist = kw - decim
+    pad_k = ((hist + 127) // 128) * 128    # 2-D DMA: 128-lane granularity
+    P, Lp = xp.shape
+    if use_roll:
+        assert (mt * interp) % 128 == 0, (mt, interp)
+    else:
+        assert (mt * interp) % 128 == 0 and (mt * decim) % 128 == 0
+    tile_out = mt * interp
+    row_adv = mt * decim
+    Lw = (mt - 1) * decim + kw
+    so = rows * tile_out
+    sup_in = rows * row_adv
+    assert P % CB == 0 and m_pad_out % so == 0, (P, m_pad_out, so)
+    assert x_base % 128 == 0 and x_base >= 0, x_base
+    assert head_pad % 128 == 0 and head_pad <= so, (head_pad, so)
+    n_super = m_pad_out // so
+    H = banded_poly_matrix(np.asarray(widened, np.float32),
+                           interp, decim, mt)
+    if use_roll:
+        Lwp = _roll_lwp(Lw)
+        Lw128 = ((Lw + 127) // 128) * 128
+        H = np.pad(H, ((0, Lw128 - Lw), (0, 0)))
+        n_read = ((sup_in + pad_k + Lwp + 256) // 128 + 1) * 128
+        kern = functools.partial(_plane_poly_roll_kernel, R=rows,
+                                 tile_out=tile_out, row_adv=row_adv,
+                                 Lwp=Lwp, pad_k=pad_k, hist=hist,
+                                 x_base=x_base, head_pad=head_pad,
+                                 n_read=n_read)
+    else:
+        n_read = sup_in + pad_k
+        kern = functools.partial(_plane_poly_kernel, R=rows,
+                                 tile_out=tile_out, row_adv=row_adv,
+                                 Lw=Lw, pad_k=pad_k, x_base=x_base,
+                                 head_pad=head_pad, n_read=n_read)
+    assert x_base + (n_super - 1) * sup_in + n_read <= Lp, \
+        (x_base, n_super, sup_in, n_read, Lp)
+    H = jnp.asarray(H)
+    cost = pl.CostEstimate(
+        flops=int(2 * H.shape[0] * tile_out * rows * P * n_super),
+        bytes_accessed=int(P * n_super * n_read * 4
+                           + P * (so + m_pad_out) * 4 + H.size * 4),
+        transcendentals=0)
+    out = pl.pallas_call(
+        kern,
+        grid=(P // CB, n_super + 1),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((H.shape[0], tile_out), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, head_pad), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CB, so), lambda c, i: (c, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P // CB, CB,
+                                        (n_super + 1) * so),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CB, n_read), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp.astype(jnp.float32), H, tail.astype(jnp.float32))
+    return out.reshape(P, (n_super + 1) * so)
+
+
+def _fused_mix_planes_kernel(x_hbm, g_ref, s0_ref, om_ref, base_ref,
+                             tail_ref, o_ref, wr, wi, acc_ref,
+                             sem_r, sem_i, *, K, D, pad_k, Lp, n_out,
+                             bs, C, head_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _head():
+        o_ref[...] = jnp.zeros(o_ref.shape, jnp.float32)
+        o_ref[:, n_out - head_pad:] = tail_ref[...]
+
+    @pl.when(i > 0)
+    def _body():
+        n2 = n_out * D
+        start = (i - 1) * n2
+        n_read = n2 + pad_k
+        cp_r = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, n_read)], wr.at[pl.ds(0, n_read)],
+            sem_r)
+        cp_i = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(Lp + start, n_read)], wi.at[pl.ds(0, n_read)],
+            sem_i)
+        cp_r.start()
+        cp_i.start()
+        cp_r.wait()
+        cp_i.wait()
+        off = pad_k - (K - 1)
+        twoK = 2 * K
+        acc_ref[...] = jnp.zeros((o_ref.shape[0], n2), jnp.float32)
+
+        def _accumulate(w_ref, part):
+            w2 = w_ref[...][None, :]
+
+            def body(k, carry):
+                sl = jax.lax.slice(pltpu.roll(w2, -(off + k), 1),
+                                   (0, 0), (1, n2))
+                sel = (jax.lax.broadcasted_iota(jnp.int32, (twoK, 1), 0)
+                       == part * K + k).astype(jnp.float32)
+                gk = jnp.dot(g_ref[...], sel,
+                             preferred_element_type=jnp.float32)
+                acc_ref[...] = acc_ref[...] + gk * sl
+                return carry
+
+            jax.lax.fori_loop(0, K, body, 0)
+
+        _accumulate(wr, 0)
+        _accumulate(wi, 1)
+        # decimate via the static selection matmul, then apply the
+        # per-channel NCO twiddle IN-KERNEL (saves a full read+write
+        # pass over the IF-rate array): ang = base[c, block] + om_d*jj
+        for b in range(n_out // bs):
+            ob = jnp.dot(acc_ref[:, b * bs * D:(b + 1) * bs * D],
+                         s0_ref[...],
+                         preferred_element_type=jnp.float32)  # [2C, bs]
+            jj = jax.lax.broadcasted_iota(jnp.int32, (C, bs),
+                                          1).astype(jnp.float32)
+            ang = base_ref[:, b:b + 1] + om_ref[...] * jj     # [C, bs]
+            cr = jnp.cos(ang)
+            si = jnp.sin(ang)
+            re = ob[:C]
+            im = ob[C:]
+            o_ref[0:C, b * bs:(b + 1) * bs] = re * cr - im * si
+            o_ref[C:2 * C, b * bs:(b + 1) * bs] = re * si + im * cr
+
+
+def fused_mix_decim_planes(xf: jnp.ndarray, g: jnp.ndarray, D: int,
+                           om_col: jnp.ndarray, base: jnp.ndarray,
+                           m_pad_out: int, head_pad: int,
+                           tail: jnp.ndarray, tile: int = 256,
+                           rows: int = 8,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Plane-protocol fused mix+decim stage with in-kernel twiddle.
+
+    xf: flat [2*Lp] float32 (re plane | im plane), data at column pad_k
+    of each plane.  g: [2C, 2K] packed channel taps (fused_frontend
+    layout).  om_col: [C, 1] per-channel decimated-rate omega; base:
+    [C, (n_super+1)*nb] per-(super-tile, bs-block) carrier phases
+    (column i*nb+b = phase at decimated index (i-1)*sup + b*bs; row 0
+    garbage).  Returns [2C, sup + m_pad_out] planes (re rows [0:C]).
+    """
+    twoC, twoK = g.shape
+    K = twoK // 2
+    C = twoC // 2
+    assert C % CB == 0, C
+    Lp = xf.shape[-1] // 2
+    pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+    sup = rows * tile
+    bs = 256
+    assert sup % bs == 0
+    nb = sup // bs
+    assert m_pad_out % sup == 0, (m_pad_out, sup)
+    n_super = m_pad_out // sup
+    assert base.shape == (C, (n_super + 1) * nb), (base.shape, n_super)
+    # Mosaic block last-dims must be 128-divisible (or full): stride the
+    # per-super-tile base phases out to 128-lane blocks
+    if nb != 128:
+        base = jnp.pad(base.reshape(C, n_super + 1, nb),
+                       ((0, 0), (0, 0), (0, 128 - nb))
+                       ).reshape(C, (n_super + 1) * 128)
+    assert m_pad_out * D + pad_k <= Lp, (m_pad_out, D, pad_k, Lp)
+    assert head_pad % 128 == 0 and head_pad <= sup, (head_pad, sup)
+    s0 = np.zeros((bs * D, bs), np.float32)
+    s0[np.arange(bs) * D, np.arange(bs)] = 1.0
+    kern = functools.partial(_fused_mix_planes_kernel, K=K, D=D,
+                             pad_k=pad_k, Lp=Lp, n_out=sup, bs=bs,
+                             C=C, head_pad=head_pad)
+    cost = pl.CostEstimate(
+        flops=int(n_super * (2 * twoK * twoC * sup * D
+                             + 2 * twoC * sup * D * bs)),
+        bytes_accessed=int(n_super * 2 * (sup * D + pad_k) * 4
+                           + (n_super + 1) * twoC * sup * 4
+                           + g.size * 4),
+        transcendentals=int(n_super * 2 * C * sup),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(n_super + 1,),
+        cost_estimate=cost,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((twoC, twoK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs * D, bs), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, head_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((twoC, sup), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((twoC, (n_super + 1) * sup),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((sup * D + pad_k,), jnp.float32),
+            pltpu.VMEM((sup * D + pad_k,), jnp.float32),
+            pltpu.VMEM((twoC, sup * D), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xf, g, jnp.asarray(s0), om_col.astype(jnp.float32),
+      base.astype(jnp.float32), tail.astype(jnp.float32))
+    return out
