@@ -43,21 +43,59 @@ class Deemphasis(Block):
     α = dt/(τ+dt), τ ∈ {22µs, 50µs, 75µs}; applied to mono or stereo audio
     (stereo as an extra leading batch axis).
     reference: core/src/dsp/filter/deephasis.h:14-101.
+
+    Lowering: at audio rates the pole r = 1-α decays below fp32
+    resolution within a few dozen samples (r ≈ 0.71 at 48 kHz/50 µs), so
+    the IIR is evaluated EXACTLY (to fp32) as a K-tap FIR over the
+    zero-extended block plus an r^(n+1)·y0 head correction — one MXU
+    pass instead of the associative scan's O(log T) full-array sweeps
+    (measured 56 → ~6 B/input-sample in the WFM-8 chain).  The carried
+    state stays the scalar y[-1], so checkpoints and the time-sharded
+    affine-scan rule (parallel/stream_shard.py) are unchanged.  Poles
+    too slow for a ≤512-tap horizon fall back to the scan.
     """
+
+    _FIR_KMAX = 512
 
     def __init__(self, tau: float, samplerate: float):
         dt = 1.0 / float(samplerate)
         self.alpha = float(dt / (tau + dt))
         self.tau = tau
         self.samplerate = samplerate
+        r = 1.0 - self.alpha
+        # horizon: r^K < 2^-27 (an lsb-level tail on fp32 audio)
+        K = int(np.ceil(-27.0 * np.log(2.0) / np.log(r))) if r > 0.0 else 1
+        if K <= self._FIR_KMAX:
+            self.fir_k = K
+            h = self.alpha * np.power(np.float64(r), np.arange(K))
+            # correlate() convention: out[i] = Σ_k ext[i+k]·taps[k]
+            self._taps = h[::-1].astype(np.float32)
+        else:
+            self.fir_k = 0
 
     def init_state(self, batch_shape=()):
         return jnp.zeros(batch_shape, jnp.float32)
 
+    def _head_pow(self, T: int) -> np.ndarray:
+        r = 1.0 - self.alpha
+        pw = np.zeros(T, np.float32)
+        n = min(self.fir_k, T)
+        pw[:n] = np.power(np.float64(r), np.arange(1, n + 1))
+        return pw
+
     def apply(self, params, state, x):
-        a = jnp.float32(1.0 - self.alpha)
-        b = x * jnp.float32(self.alpha)
-        y = linear_recurrence(a, b, state)
+        if not self.fir_k:
+            a = jnp.float32(1.0 - self.alpha)
+            b = x * jnp.float32(self.alpha)
+            y = linear_recurrence(a, b, state)
+            return y, y[..., -1]
+        from .fir import correlate
+        T = x.shape[-1]
+        K = self.fir_k
+        ext = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (K - 1,), x.dtype), x], axis=-1)
+        y = correlate(ext, self._taps)
+        y = y + jnp.asarray(self._head_pow(T)) * state[..., None]
         return y, y[..., -1]
 
 
