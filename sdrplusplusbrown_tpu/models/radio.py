@@ -99,7 +99,8 @@ def make_demod(demod_id: int, bandwidth: float, audio_sr: float = 48_000.0,
     if demod_id == DEMOD_WFM:
         return BroadcastFM(bandwidth / 2.0, if_rate, stereo=stereo,
                            low_pass=True, rds_out=rds,
-                           pll_mode=pll_mode), if_rate, True
+                           pll_mode=pll_mode,
+                           audio_rate=audio_sr), if_rate, True
     if demod_id == DEMOD_AM:
         return AMDemod(if_rate, bandwidth), if_rate, False
     if demod_id in (DEMOD_USB, DEMOD_LSB, DEMOD_DSB):

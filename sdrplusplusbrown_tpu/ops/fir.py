@@ -176,7 +176,12 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         if backend == "toeplitz":
             return _correlate_toeplitz(x, np.asarray(taps))
         if backend == "pallas":
-            from .pallas_fir import fir_apply_any
+            from .pallas_fir import fir_apply_any, real_pallas_tile
+            batch = int(np.prod(lead)) if lead else 1
+            t = real_pallas_tile(K, 1, m_out=W - (K - 1),
+                                 batch=2 * batch if x_c else batch)
+            if t is not None:
+                return fir_apply_any(x, np.asarray(taps), tile=t)
             return fir_apply_any(x, np.asarray(taps))
 
     # Mid-K stride-1 filters (512 < K-1 <= 1024, e.g. the WFM 19 kHz
@@ -187,16 +192,24 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
     # scoped budget.
     if stride == 1 and _FIR_BACKEND in ("auto", "pallas") \
             and jax.default_backend() not in ("cpu",) \
-            and _TOEPLITZ_TILE < K - 1 <= 1024 and W - (K - 1) >= 128:
+            and _TOEPLITZ_TILE < K - 1 and W - (K - 1) >= 128:
         batch = int(np.prod(lead)) if lead else 1
         if batch <= _AUTO_PALLAS_MAX_BATCH:
-            from .pallas_fir import fir_apply_any
-            if taps_c:
-                hr = np.real(np.asarray(taps))
-                hi = np.imag(np.asarray(taps))
-                return (fir_apply_any(x, hr, tile=1024)
-                        + 1j * fir_apply_any(x, hi, tile=1024))
-            return fir_apply_any(x, np.asarray(taps), tile=1024)
+            from .pallas_fir import fir_apply_any, real_pallas_tile
+            # channel-blocked kernel (batch >= 4 incl. complex planes):
+            # the window covers all K taps for ANY tile, so a small
+            # tile keeps the [tile+K-1, tile] matrix cheap.  Flat
+            # single-row kernels need K-1 <= tile <= 1024.
+            eff = 2 * batch if x_c else batch
+            t = real_pallas_tile(K, 1, m_out=W - (K - 1), batch=eff) \
+                if eff >= 4 else (1024 if K - 1 <= 1024 else None)
+            if t is not None:
+                if taps_c:
+                    hr = np.real(np.asarray(taps))
+                    hi = np.imag(np.asarray(taps))
+                    return (fir_apply_any(x, hr, tile=t)
+                            + 1j * fir_apply_any(x, hi, tile=t))
+                return fir_apply_any(x, np.asarray(taps), tile=t)
 
     # Large-K stride-1 filters (WFM pilot band-pass ~3.8k taps, CW/VOR
     # channel filters): FFT overlap-save — a few FFT passes instead of a
@@ -230,8 +243,12 @@ def correlate(x: jnp.ndarray, taps: jnp.ndarray, stride: int = 1) -> jnp.ndarray
         batch = int(np.prod(lead)) if lead else 1
         if jax.default_backend() not in ("cpu",) \
                 and batch <= _AUTO_PALLAS_MAX_BATCH_DECIM:
-            from .pallas_fir import fir_decim_apply_any
-            return fir_decim_apply_any(x, np.asarray(taps), stride)
+            from .pallas_fir import fir_decim_apply_any, real_pallas_tile
+            M = (W - (K - 1)) // stride
+            eff = 2 * batch if x_c else batch
+            t = real_pallas_tile(K, stride, m_out=M, batch=eff) or 256
+            return fir_decim_apply_any(x, np.asarray(taps), stride,
+                                       tile=t)
 
     if not x_c and not taps_c:
         xf = x.reshape((-1, 1, W)).astype(jnp.float32)

@@ -1,0 +1,135 @@
+"""Spectrum FFT as a single-pass pallas kernel (4-step matmul FFT).
+
+XLA's jnp.fft on TPU lowers a 65536-point FFT to many radix passes,
+each a full HBM round-trip — measured ~11.5 MB of traffic per 524 kB
+frame (22 passes) in the WFM-8 bench spectrum branch.  For power
+spectra the whole pipeline (window → FFT → |X|² → dB) is fused here
+into ONE kernel using the row-column (Cooley-Tukey 4-step)
+factorization N = N1·N2 with N1 = N2 = √N ≤ 512:
+
+    A[n1, n2] = x[n1·N2 + n2]              (free reshape, row-major)
+    B = F_N1 @ (W ∘ A)                     (window + DFT over n1)
+    C = B ∘ T_N^(k1·n2)                    (twiddle)
+    E[k2, k1] = Σ_n2 F_N2[k2,n2]·C[k1,n2]  (DFT over n2, transposed out)
+    X[k1 + N1·k2] = E[k2, k1]              (free reshape)
+
+The input is re/im PLANES [..., 2, N1, N2]: building them from the
+complex frames is ONE fused XLA pass that also absorbs the upstream
+reshaper slice (the window multiply moves in-kernel, so the previous
+separate window and split passes disappear).  All matrices live in
+VMEM as re/im planes (complex arithmetic as real MXU matmuls); per
+frame the only HBM traffic is the plane read and the f32 dB write.
+Do NOT route through ``.view(float32)`` — on TPU it lowers to a
+per-element gather (measured 927 B/input-sample).
+
+The dB conversion matches ops/spectrum.SpectrumFFT (reference
+iq_frontend.cpp:282): 10·log10(max(|X|²/N², floor)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: supported square factorizations: fft_size -> N1 (= N2)
+_SQUARE = {4096: 64, 16384: 128, 65536: 256, 262144: 512}
+
+
+def fft_pow_pallas_ok(fft_size: int) -> bool:
+    return (jax.default_backend() not in ("cpu",)
+            and fft_size in _SQUARE)
+
+
+@functools.lru_cache(maxsize=8)
+def _matrices(N1: int, N2: int):
+    k1 = np.arange(N1)
+    F1 = np.exp(-2j * np.pi * np.outer(k1, k1) / N1)
+    k2 = np.arange(N2)
+    F2 = np.exp(-2j * np.pi * np.outer(k2, k2) / N2)
+    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / (N1 * N2))
+    out = []
+    for M in (F1, tw, F2):
+        out.append(np.real(M).astype(np.float32))
+        out.append(np.imag(M).astype(np.float32))
+    return out
+
+
+def _fft_pow_kernel(xr_ref, xi_ref, w_ref, f1r, f1i, twr, twi, f2r, f2i,
+                    o_ref, *, inv_n2, floor, windowed):
+    ar = xr_ref[0]
+    ai = xi_ref[0]
+    if windowed:
+        ar = ar * w_ref[...]
+        ai = ai * w_ref[...]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    br = dot(f1r[...], ar) - dot(f1i[...], ai)
+    bi = dot(f1r[...], ai) + dot(f1i[...], ar)
+    cr = br * twr[...] - bi * twi[...]
+    ci = br * twi[...] + bi * twr[...]
+    # E[k2, k1] = Σ_n2 F2[k2, n2] · C[k1, n2]  (contract both on axis 1)
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    er = dg(f2r[...], cr) - dg(f2i[...], ci)
+    ei = dg(f2r[...], ci) + dg(f2i[...], cr)
+    p = (er * er + ei * ei) * inv_n2
+    o_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p, floor))
+
+
+def fft_power_db(x: jnp.ndarray, fft_size: int,
+                 floor_db: float = -300.0,
+                 window: np.ndarray | None = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """x: [..., F, fft_size] complex64 frames → [..., F, fft_size]
+    float32 dB power, natural FFT bin order.  ``window`` (length
+    fft_size, may embed the (−1)^i fftshift) is applied in-kernel."""
+    N1 = _SQUARE[fft_size]
+    N2 = fft_size // N1
+    lead = x.shape[:-1]
+    F = int(np.prod(lead)) if lead else 1
+    # TWO separate plane operands: complex64 is stored SoA on TPU, so
+    # real()/imag() are near-free views, while stack/concat into one
+    # array is a 4 MB relayout (measured) — never merge the planes
+    xr = jnp.real(x).reshape(F, N1, N2).astype(jnp.float32)
+    xi = jnp.imag(x).reshape(F, N1, N2).astype(jnp.float32)
+    mats = [jnp.asarray(m) for m in _matrices(N1, N2)]
+    f1r, f1i, twr, twi, f2r, f2i = mats
+    if window is not None:
+        w2 = jnp.asarray(np.asarray(window, np.float32)
+                         .reshape(N1, N2))
+    else:
+        w2 = jnp.ones((1, 1), jnp.float32)  # unused placeholder
+    kern = functools.partial(
+        _fft_pow_kernel, inv_n2=1.0 / float(fft_size) ** 2,
+        floor=10.0 ** (floor_db / 10.0), windowed=window is not None)
+
+    def _const(shape):
+        return pl.BlockSpec(shape, lambda f: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=int(F * 16 * N1 * N2 * max(N1, N2)),
+        bytes_accessed=int(F * 3 * fft_size * 4 + 7 * N1 * N2 * 4),
+        transcendentals=int(F * fft_size))
+    out = pl.pallas_call(
+        kern,
+        grid=(F,),
+        cost_estimate=cost,
+        in_specs=[pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2
+        + [_const(w2.shape),
+           _const((N1, N1)), _const((N1, N1)),
+           _const((N1, N2)), _const((N1, N2)),
+           _const((N2, N2)), _const((N2, N2))],
+        out_specs=pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, N1, N2), jnp.float32),
+        interpret=interpret,
+    )(xr, xi, w2, f1r, f1i, twr, twi, f2r, f2i)
+    # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
+    return out.reshape(lead + (fft_size,))

@@ -30,6 +30,41 @@ from jax.experimental.pallas import tpu as pltpu
 ALIGN = 1024
 
 
+def real_pallas_tile(K: int, D: int = 1, m_out: int | None = None,
+                     batch: int = 1, rows: int = 8,
+                     vmem_budget: int = 10 << 20) -> int | None:
+    """Pick the real-tap banded-kernel tile in {512, 256, 128}
+    minimizing estimated HBM traffic.  The [Lw, tile] tap matrix is a
+    FIXED per-call cost (it dwarfs the data at short audio-rate
+    blocks: tile 512 → 1.3 MB of H for a 150 kB deemphasis block),
+    while smaller tiles re-read the pad_k history more often — so the
+    optimum depends on (K, m_out, batch).  ``None`` if nothing fits.
+
+    The channel-blocked kernels (batch ≥ 4) have no K−1 ≤ tile
+    constraint (the window Lw = (tile−1)·D + K covers all taps);
+    the flat single-row kernel (batch < 4) requires K − 1 ≤ tile.
+    """
+    best, best_est = None, None
+    for t in (512, 256, 128):
+        Lw = (t - 1) * D + K
+        h_bytes = Lw * t * 4
+        if h_bytes > vmem_budget:
+            continue
+        if batch < 4 and K - 1 > t:
+            continue
+        if m_out is None:
+            est = h_bytes
+        else:
+            pad_k = ((K - 1 + ALIGN - 1) // ALIGN) * ALIGN
+            bp = ((batch + CB - 1) // CB) * CB if batch >= 4 else batch
+            n_super = (m_out + rows * t - 1) // (rows * t)
+            est = (h_bytes + bp * n_super * (rows * t * D + pad_k) * 4
+                   + bp * n_super * rows * t * 4)
+        if best_est is None or est < best_est:
+            best, best_est = t, est
+    return best
+
+
 def toeplitz_taps(taps: np.ndarray, tile: int) -> np.ndarray:
     K = len(taps)
     H = np.zeros((tile + K - 1, tile), np.float32)

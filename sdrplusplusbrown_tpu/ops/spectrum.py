@@ -83,9 +83,23 @@ class SpectrumFFT(Block):
         self.floor_db = float(floor_db)
 
     def apply(self, params, state, x):
+        pad = self.fft_size - self.nz_size
+        # TPU: fused 4-step matmul FFT + window + |X|² + dB in one
+        # pallas pass (ops/pallas_fft.py) — jnp.fft costs ~22 HBM
+        # round-trips here, and the outside window multiply two more
+        from .pallas_fft import fft_pow_pallas_ok, fft_power_db
+        if fft_pow_pallas_ok(self.fft_size) and jnp.iscomplexobj(x):
+            xp = x
+            if pad:
+                padding = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                xp = jnp.pad(xp, padding)
+            w_full = np.concatenate(
+                [self.window, np.zeros(pad, np.float32)]) if pad \
+                else self.window
+            return fft_power_db(xp, self.fft_size, self.floor_db,
+                                window=w_full), state
         w = jnp.asarray(self.window)
         xw = x * w
-        pad = self.fft_size - self.nz_size
         if pad:
             padding = [(0, 0)] * (xw.ndim - 1) + [(0, pad)]
             xw = jnp.pad(xw, padding)

@@ -44,14 +44,16 @@ from .demod import Quadrature
 from .pll import PLL, pilot_normalize
 from .delay import Delay
 from .xlator import FrequencyXlator
-from .resampler import RationalResampler, design_halfband_stage
+from .resampler import (RationalResampler, PolyphaseResampler,
+                        design_halfband_stage)
 
 
 class BroadcastFM(Block):
     def __init__(self, deviation: float, samplerate: float,
                  stereo: bool = True, low_pass: bool = True,
                  rds_out: bool = False, pll_mode: str = "normalize",
-                 mpx_decim: int = 4):
+                 mpx_decim: int = 4,
+                 audio_rate: float | None = None):
         self.samplerate = float(samplerate)
         self.stereo = stereo
         self.low_pass = low_pass
@@ -97,15 +99,42 @@ class BroadcastFM(Block):
         self.lpr_delay = Delay(d)
         self.lmr_delay = Delay(d)
         self.pilot_lag = Delay(1)  # normalize-mode stand-in for PLL lag
-        self.audio_taps = taps_mod.low_pass(15000.0, 4000.0, fsm)
-        self.audio_fir = RealFIR(self.audio_taps)  # applied to stacked L/R
+        # Audio low-pass: the 15 kHz LP is also a valid anti-alias for
+        # any audio rate >= 38 kHz, so when ``audio_rate`` is rationally
+        # related to the MPX rate the LP and the radio's AF resampler
+        # MERGE into one polyphase stage straight to the audio rate —
+        # one banded-matmul pass instead of three (15 kHz FIR +
+        # halfband + 96/125 polyphase: measured 48.8 + 65.7 vs ~20
+        # B/input-sample in the WFM-8 chain).
+        self.audio_fir = None
+        self.audio_poly = None
         self.in_multiple = self.mpx_decim
+        if (audio_rate and low_pass and audio_rate != fsm
+                and audio_rate >= 2.0 * 19000.0
+                and float(audio_rate).is_integer() and fsm.is_integer()):
+            from math import gcd
+            ai, fi = int(audio_rate), int(fsm)
+            g = gcd(ai, fi)
+            interp, decim = ai // g, fi // g
+            proto = taps_mod.low_pass(15000.0, 4000.0,
+                                      fsm * interp) * interp
+            self.audio_poly = PolyphaseResampler(interp, decim, proto)
+            self.in_multiple = self.mpx_decim * decim
+            self.out_samplerate = float(audio_rate)
+            self.ratio = Fraction(1, self.mpx_decim) \
+                * Fraction(interp, decim)
+        else:
+            if low_pass:
+                self.audio_taps = taps_mod.low_pass(15000.0, 4000.0, fsm)
+                self.audio_fir = RealFIR(self.audio_taps)  # stacked L/R
+            self.out_samplerate = fsm
+            self.ratio = Fraction(1, self.mpx_decim)
         if rds_out:
             self.rds_xlator = FrequencyXlator(-57000.0, fsm)
             self.rds_resamp = RationalResampler(fsm, 5000.0)
-            self.in_multiple = self.mpx_decim * self.rds_resamp.in_multiple
-        self.out_samplerate = fsm
-        self.ratio = Fraction(1, self.mpx_decim)
+            self.in_multiple = int(np.lcm(
+                self.in_multiple,
+                self.mpx_decim * self.rds_resamp.in_multiple))
         self.out_channels = 2
 
     def init_state(self, batch_shape=()):
@@ -118,12 +147,72 @@ class BroadcastFM(Block):
             "pilot_lag": self.pilot_lag.init_state(batch_shape, jnp.complex64),
             "lpr_delay": self.lpr_delay.init_state(batch_shape, jnp.float32),
             "lmr_delay": self.lmr_delay.init_state(batch_shape, jnp.complex64),
-            "audio_fir": self.audio_fir.init_state(batch_shape + (2,)),
         }
+        if self.stereo and self.pll_mode == "normalize":
+            # fused-kernel history (ops/pallas_wfm.py): last K MPX samples
+            st["mpx_hist"] = jnp.zeros(
+                batch_shape + (len(self.pilot_taps),), jnp.float32)
+        if self.audio_fir is not None:
+            st["audio_fir"] = self.audio_fir.init_state(batch_shape + (2,))
+        if self.audio_poly is not None:
+            st["audio_rs"] = self.audio_poly.init_state(
+                (2,) + batch_shape, jnp.float32)
         if self.rds_out:
             st["rds_xl"] = self.rds_xlator.init_state(batch_shape)
             st["rds_rs"] = self.rds_resamp.init_state(batch_shape)
         return st
+
+    def _stereo_section(self, state, st, mpx):
+        """MPX → (L, R) planes [2, ..., T] at the MPX rate.  Routes to
+        the fused pallas kernel (ops/pallas_wfm.py) when the shape and
+        backend allow; the XLA path is the reference-shaped fallback."""
+        from .pallas_wfm import wfm_stereo_ok, wfm_stereo_apply
+        K = len(self.pilot_taps)
+        d = self.lpr_delay.delay
+        use_kernel = (self.pll_mode == "normalize" and mpx.ndim == 2
+                      and wfm_stereo_ok(mpx.shape[0], mpx.shape[-1], K, d))
+        if use_kernel:
+            ext = jnp.concatenate([state["mpx_hist"], mpx], axis=-1)
+            lr2 = wfm_stereo_apply(ext, self.pilot_taps,
+                                   self.pilot_phase_corr, d)
+            st["mpx_hist"] = ext[..., ext.shape[-1] - K:]
+            # scan-path / delay states pass through untouched: switching
+            # backends mid-stream would cost a one-block seam, nothing else
+            return lr2
+        mpx_c = mpx.astype(jnp.complex64)
+        pilot, st["pilot_fir"] = self.pilot_fir.apply(
+            None, state["pilot_fir"], mpx_c)
+        if self.pll_mode == "scan":
+            vco, st["pll"] = self.pll.apply(None, state["pll"], pilot)
+        else:
+            vco = pilot_normalize(pilot)
+            vco, st["pilot_lag"] = self.pilot_lag.apply(
+                None, state["pilot_lag"], vco)
+        vco = vco * jnp.complex64(self.pilot_phase_corr)
+        lpr, st["lpr_delay"] = self.lpr_delay.apply(
+            None, state["lpr_delay"], mpx)
+        lmr_c, st["lmr_delay"] = self.lmr_delay.apply(
+            None, state["lmr_delay"], mpx_c)
+        # conjugate VCO squared downconverts the 38 kHz L−R subcarrier
+        vco2 = jnp.conj(vco)
+        lmr_c = lmr_c * vco2 * vco2
+        lmr = jnp.real(lmr_c) * 2.0
+        if "mpx_hist" in state:
+            hist = jnp.concatenate([state["mpx_hist"], mpx], axis=-1)
+            st["mpx_hist"] = hist[..., hist.shape[-1] - K:]
+        return jnp.stack([lpr + lmr, lpr - lmr], axis=0)  # [2, ..., T]
+
+    def _audio_out(self, state, st, lr2):
+        """[2, ..., T]@MPX-rate → [..., 2, T'] audio (poly/FIR/raw)."""
+        if self.audio_poly is not None:
+            lr2, st["audio_rs"] = self.audio_poly.apply(
+                None, state["audio_rs"], lr2)
+        elif self.audio_fir is not None:
+            lr = jnp.moveaxis(lr2, 0, -2)
+            lr, st["audio_fir"] = self.audio_fir.apply(
+                None, state["audio_fir"], lr)
+            return lr
+        return jnp.moveaxis(lr2, 0, -2)
 
     def apply(self, params, state, x):
         st = dict(state)
@@ -135,51 +224,19 @@ class BroadcastFM(Block):
         st["mpx_decim"] = mpx_states
 
         rds = None
-        if self.stereo:
+        if self.rds_out:
             mpx_c = mpx.astype(jnp.complex64)
-            pilot, st["pilot_fir"] = self.pilot_fir.apply(
-                None, state["pilot_fir"], mpx_c)
-            if self.pll_mode == "scan":
-                vco, st["pll"] = self.pll.apply(None, state["pll"], pilot)
-            else:
-                vco = pilot_normalize(pilot)
-                vco, st["pilot_lag"] = self.pilot_lag.apply(
-                    None, state["pilot_lag"], vco)
-            vco = vco * jnp.complex64(self.pilot_phase_corr)
-            lpr, st["lpr_delay"] = self.lpr_delay.apply(
-                None, state["lpr_delay"], mpx)
-            lmr_c, st["lmr_delay"] = self.lmr_delay.apply(
-                None, state["lmr_delay"], mpx_c)
-            # conjugate VCO squared downconverts the 38 kHz L−R subcarrier
-            vco2 = jnp.conj(vco)
-            lmr_c = lmr_c * vco2 * vco2
-            if self.rds_out:
-                rds_bb, st["rds_xl"] = self.rds_xlator.apply(
-                    None, state["rds_xl"], mpx_c)
-                rds, st["rds_rs"] = self.rds_resamp.apply(
-                    None, state["rds_rs"], rds_bb)
-            lmr = jnp.real(lmr_c) * 2.0
-            l = lpr + lmr
-            r = lpr - lmr
-            lr = jnp.stack([l, r], axis=-2)  # [..., 2, T]
-            if self.low_pass:
-                lr, st["audio_fir"] = self.audio_fir.apply(
-                    None, state["audio_fir"], lr)
+            rds_bb, st["rds_xl"] = self.rds_xlator.apply(
+                None, state["rds_xl"], mpx_c)
+            rds, st["rds_rs"] = self.rds_resamp.apply(
+                None, state["rds_rs"], rds_bb)
+        if self.stereo:
+            lr2 = self._stereo_section(state, st, mpx)
         else:
-            if self.rds_out:
-                mpx_c = mpx.astype(jnp.complex64)
-                rds_bb, st["rds_xl"] = self.rds_xlator.apply(
-                    None, state["rds_xl"], mpx_c)
-                rds, st["rds_rs"] = self.rds_resamp.apply(
-                    None, state["rds_rs"], rds_bb)
-            mono = mpx
-            if self.low_pass:
-                mono2 = jnp.stack([mono, mono], axis=-2)
-                mono2, st["audio_fir"] = self.audio_fir.apply(
-                    None, state["audio_fir"], mono2)
-                lr = mono2
-            else:
-                lr = jnp.stack([mono, mono], axis=-2)
+            lr2 = jnp.stack([mpx, mpx], axis=0)
+        lr = self._audio_out(state, st, lr2) if self.low_pass \
+            or self.audio_poly is not None \
+            else jnp.moveaxis(lr2, 0, -2)
         if self.rds_out:
             return (lr, rds), st
         return lr, st

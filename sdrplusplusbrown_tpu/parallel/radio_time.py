@@ -126,10 +126,14 @@ class ShardedRadioPipeline:
             carry["fmif"] = init_carry(r.fmif, (C,))
         d = r.demod
         if isinstance(d, BroadcastFM):
-            carry.update({
-                "quad": init_carry(d.quad, (C,)),
-                "audio_fir": init_carry(d.audio_fir, (C, 2), jnp.float32),
-            })
+            carry.update({"quad": init_carry(d.quad, (C,))})
+            if d.audio_fir is not None:
+                carry["audio_fir"] = init_carry(d.audio_fir, (C, 2),
+                                                jnp.float32)
+            if d.audio_poly is not None:
+                # channel-major so the dim-0 == C sharding rule applies
+                carry["audio_rs"] = init_carry(d.audio_poly, (C, 2),
+                                               jnp.float32)
             for i, s in enumerate(d.mpx_stages):
                 carry[f"mpx{i}"] = init_carry(s, (C,), jnp.float32)
             if d.stereo:
@@ -211,14 +215,20 @@ class ShardedRadioPipeline:
                     d.lmr_delay, mpx_c, ta, carry["lmr_delay"])
                 vco2 = jnp.conj(vco)
                 lmr = jnp.real(lmr_c * vco2 * vco2) * 2.0
-                lr = jnp.stack([lpr + lmr, lpr - lmr], axis=-2)
+                lr2 = jnp.stack([lpr + lmr, lpr - lmr], axis=0)
             else:
-                lr = jnp.stack([mpx, mpx], axis=-2)
-            if d.low_pass:
+                lr2 = jnp.stack([mpx, mpx], axis=0)
+            if d.audio_poly is not None:
+                ars = jnp.moveaxis(carry["audio_rs"], 1, 0)
+                lr2, ars = sharded_apply(d.audio_poly, lr2, ta, ars)
+                new["audio_rs"] = jnp.moveaxis(ars, 0, 1)
+                lr = jnp.moveaxis(lr2, 0, -2)
+            elif d.audio_fir is not None and d.low_pass:
+                lr = jnp.moveaxis(lr2, 0, -2)
                 lr, new["audio_fir"] = sharded_apply(
                     d.audio_fir, lr, ta, carry["audio_fir"])
             else:
-                new["audio_fir"] = carry["audio_fir"]
+                lr = jnp.moveaxis(lr2, 0, -2)
             y = lr
         else:
             for name, blk, _suffix, _dtype in self._demod_blocks():
