@@ -234,6 +234,10 @@ class Radio(Block):
             p["squelch"] = {"level": jnp.float32(lvl)}
         return p
 
+    def _if_chain_empty(self) -> bool:
+        return not (self.nb_enabled or self.squelch_enabled
+                    or self.fmif_enabled)
+
     def _post_vfo(self, params, state, st, y):
         """IF chain → demod → AF chain, shared by every front-end path."""
         if self.nb_enabled:
@@ -243,6 +247,9 @@ class Radio(Block):
         if self.fmif_enabled:
             y, st["fmif"] = self.fmif.apply(None, state["fmif"], y)
         y, st["demod"] = self.demod.apply(None, state["demod"], y)
+        return self._post_demod(state, st, y)
+
+    def _post_demod(self, state, st, y):
         rds = None
         if isinstance(y, tuple):
             y, rds = y
@@ -311,6 +318,15 @@ def apply_shared(self, params, state, x):
             f"be a multiple of in_multiple={self.in_multiple}")
     vs = self._build_vfo_shared()
     st = dict(state)
+    # plane handoff: when the IF chain is empty and the demod can eat
+    # re/im planes (WFM discriminator), skip the recombine-to-complex
+    # HBM pass after the plane-protocol front end
+    if self._if_chain_empty() and hasattr(self.demod, "apply_planes"):
+        planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
+                                     return_planes=True)
+        y, st["demod"] = self.demod.apply_planes(None, state["demod"],
+                                                 planes)
+        return self._post_demod(state, st, y)
     y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
     return self._post_vfo(params, state, st, y)
 

@@ -218,8 +218,11 @@ class SharedRxVFOBank(Block):
             cache[C] = build_plane_pipeline(self, C)
         return cache[C]
 
-    def apply(self, params, state, x):
-        """x: [T] shared wideband → ([C, T_out], state')."""
+    def apply(self, params, state, x, return_planes: bool = False):
+        """x: [T] shared wideband → ([C, T_out], state').  With
+        ``return_planes``: (([C,T_out] re, im) float32, state') — on the
+        plane-protocol path these are slices of the last kernel output
+        (no recombine pass); elsewhere near-free real/imag views."""
         if self.fused is not None:
             from ..ops.fir import get_fir_backend
             import jax as _jax
@@ -229,7 +232,8 @@ class SharedRxVFOBank(Block):
                     and "omega_dec_sup" in params["fused"]):
                 pipe = self._plane_pipe(C)
                 if pipe is not None:
-                    return pipe.apply(params["fused"], state, x)
+                    return pipe.apply(params["fused"], state, x,
+                                      return_planes=return_planes)
         st = dict(state)
         if self.fused is None:
             C = params["xl"]["omega"].shape[0]
@@ -248,4 +252,6 @@ class SharedRxVFOBank(Block):
             y, st[n] = b.apply(None, state[n], y)
         if self.filter_needed:
             y, st["fir"] = self.base.fir.apply(None, state["fir"], y)
+        if return_planes:
+            return (jnp.real(y), jnp.imag(y)), st
         return y, st

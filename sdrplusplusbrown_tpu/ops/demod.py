@@ -50,6 +50,22 @@ class Quadrature(Block):
                       jnp.arctan2(im, re)) * jnp.float32(self.inv_deviation)
         return y, x[..., -1:]
 
+    def apply_planes(self, state, xr, xi):
+        """Same discriminator on separate re/im planes (float32) — used
+        by the plane-protocol front end so the IF never materializes as
+        complex (one HBM pass saved).  State stays the complex carried
+        sample."""
+        er = jnp.concatenate([jnp.real(state), xr], axis=-1)
+        ei = jnp.concatenate([jnp.imag(state), xi], axis=-1)
+        # x[n]·conj(x[n−1]) expanded in real parts
+        re = er[..., 1:] * er[..., :-1] + ei[..., 1:] * ei[..., :-1]
+        im = ei[..., 1:] * er[..., :-1] - er[..., 1:] * ei[..., :-1]
+        y = jnp.where((re == 0.0) & (im == 0.0), 0.0,
+                      jnp.arctan2(im, re)) * jnp.float32(self.inv_deviation)
+        import jax
+        new_state = jax.lax.complex(xr[..., -1:], xi[..., -1:])
+        return y, new_state
+
 
 class AMEnvelope(Block):
     """|x| envelope detector (reference demod/am.h:101-133 uses

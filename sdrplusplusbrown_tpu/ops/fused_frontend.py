@@ -101,7 +101,7 @@ class SharedXlateDecimFIR(Block):
         use_pallas = (get_fir_backend() in ("auto", "pallas")
                       and jax.default_backend() not in ("cpu",)
                       and C <= _AUTO_PALLAS_MAX_BATCH_DECIM
-                      and K <= 128 and T // D >= 128)
+                      and K <= 320 and T // D >= 128)
         if use_pallas:
             # window-matrix kernel: the shared wideband is DMA'd once
             # per super-tile and all C channels come from one MXU matmul

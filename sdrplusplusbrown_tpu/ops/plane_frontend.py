@@ -63,7 +63,7 @@ class PlaneVFOPipeline:
         self.K0 = len(self.fused_taps)
         self.D0 = int(bank.fused.decim)
         self.pad_k0 = _pad_to(self.K0 - 1, ALIGN1D)
-        if self.K0 > 128:
+        if self.K0 > 320:
             return                          # fused kernel tap-loop bound
         from .pallas_fir import poly_pallas_ok
         stages: List[_Stage] = []
@@ -155,10 +155,14 @@ class PlaneVFOPipeline:
         }
 
     # -- the pipeline ----------------------------------------------------
-    def apply(self, params, state, x):
+    def apply(self, params, state, x, return_planes: bool = False):
         """params: SharedRxVFOBank params["fused"] (with extra_params
         fields); state: the bank's standard state dict; x: [T] c64.
-        Returns ([C, M_out] complex64, new bank state)."""
+        Returns ([C, M_out] complex64, new bank state) — or, with
+        ``return_planes``, (([C, M] re, [C, M] im) float32 slices of
+        the last kernel's output, new state): consumers that are
+        elementwise over re/im (the FM discriminator) skip the
+        recombine-to-complex HBM pass entirely (~27 B/in-sample)."""
         from .pallas_fir import (fused_mix_decim_planes,
                                  fir_decim_planes, poly_resample_planes)
         C = self.C
@@ -246,8 +250,12 @@ class PlaneVFOPipeline:
 
         # ---- output + state writeback --------------------------------
         M = m_valid[-1]
-        y = jax.lax.complex(cur[:C, prev_so:prev_so + M],
-                            cur[C:, prev_so:prev_so + M])
+        if return_planes:
+            y = (cur[:C, prev_so:prev_so + M],
+                 cur[C:, prev_so:prev_so + M])
+        else:
+            y = jax.lax.complex(cur[:C, prev_so:prev_so + M],
+                                cur[C:, prev_so:prev_so + M])
         new_phase = advance_phase(state["fused"]["phase"],
                                   params["omega"],
                                   params["omega_span"], T)

@@ -140,17 +140,19 @@ class PolyphaseResampler(Block):
         return out, new_state
 
 
-def design_halfband_stage(fs_in: float, protect: float) -> np.ndarray:
-    """Design one decimate-by-2 lowpass stage protecting [0, protect] Hz.
+def design_decim_stage(fs_in: float, decim: int,
+                       protect: float) -> np.ndarray:
+    """Design one decimate-by-``decim`` lowpass stage protecting
+    [0, protect] Hz.
 
     Aliasing into the protected band after decimation comes from
-    [fs_in/2 - protect, fs_in/2]; we place the stopband edge there and the
-    passband edge at ``protect`` (TPU-side replacement for the reference's
-    pre-baked tables, multirate/decim/plans.h).
+    [fs_in/decim - protect, fs_in/2]; we place the stopband edge there
+    and the passband edge at ``protect`` (TPU-side replacement for the
+    reference's pre-baked tables, multirate/decim/plans.h).
     """
     pass_edge = protect
-    stop_edge = fs_in / 2.0 - protect
-    assert stop_edge > pass_edge, (fs_in, protect)
+    stop_edge = fs_in / float(decim) - protect
+    assert stop_edge > pass_edge, (fs_in, decim, protect)
     # windowed-sinc with the 3.8 tap rule reaches ~-90 dB at cutoff + trans
     # (and is flat by cutoff - trans), so center the transition and use half
     # the available width on each side.
@@ -161,13 +163,26 @@ def design_halfband_stage(fs_in: float, protect: float) -> np.ndarray:
     return taps_mod.windowed_sinc_hz(count, cutoff, fs_in, norm=1.0)
 
 
-class PowerDecimator(Block):
-    """Power-of-2 decimation via cascaded halfband FIR stages.
+def design_halfband_stage(fs_in: float, protect: float) -> np.ndarray:
+    """Decimate-by-2 special case of :func:`design_decim_stage`."""
+    return design_decim_stage(fs_in, 2, protect)
 
-    reference: core/src/dsp/multirate/power_decimator.h (max ratio 2^13).
+
+class PowerDecimator(Block):
+    """Power-of-2 decimation via cascaded decimating FIR stages.
+
+    reference: core/src/dsp/multirate/power_decimator.h (max ratio 2^13)
+    — the reference cascades HALFBANDS, the CPU-optimal plan (fewest
+    taps·samples).  On TPU the chain is HBM-bound, so each intermediate
+    buffer costs a write+read regardless of tap count: stages decimate
+    by 4 where the tap budget allows (K ≤ ``MAX_STAGE_TAPS``), halving
+    the number of full-rate intermediates for the same ~90 dB band
+    protection.  The fold-the-mix-down front end (ops/fused_frontend)
+    then absorbs a ratio-4 predecimation in ONE kernel.
     """
 
     MAX_RATIO = 8192
+    MAX_STAGE_TAPS = 320
 
     def __init__(self, fs_in: float, ratio: int, protect_frac: float = 0.45):
         assert ratio >= 2 and (ratio & (ratio - 1)) == 0 and ratio <= self.MAX_RATIO
@@ -176,9 +191,23 @@ class PowerDecimator(Block):
         protect = protect_frac * fs_out
         stages: List[FIR] = []
         fs = fs_in
-        while fs > fs_out:
-            stages.append(FIR(design_halfband_stage(fs, protect), decim=2))
-            fs /= 2.0
+        rem = ratio
+        while rem > 1:
+            d = 4 if rem % 4 == 0 else 2
+            if d == 4:
+                # decim-4 only when the transition stays open and the
+                # tap count within budget; else fall back to a halfband
+                if fs / 4.0 - protect <= protect:
+                    d = 2
+                else:
+                    taps = design_decim_stage(fs, 4, protect)
+                    if len(taps) > self.MAX_STAGE_TAPS:
+                        d = 2
+            if d == 2:
+                taps = design_decim_stage(fs, 2, protect)
+            stages.append(FIR(taps, decim=d))
+            fs /= d
+            rem //= d
         self.stages = stages
         self.ratio = Fraction(1, ratio)
         self.in_multiple = ratio

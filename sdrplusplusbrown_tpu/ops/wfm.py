@@ -214,9 +214,22 @@ class BroadcastFM(Block):
             return lr
         return jnp.moveaxis(lr2, 0, -2)
 
+    def apply_planes(self, params, state, planes):
+        """Like apply(), but the IF arrives as (re, im) float32 planes
+        from the plane-protocol front end — the discriminator consumes
+        them directly (ops/demod.py Quadrature.apply_planes), so the
+        complex IF array never exists in HBM."""
+        st = dict(state)
+        xr, xi = planes
+        mpx, st["quad"] = self.quad.apply_planes(state["quad"], xr, xi)
+        return self._after_quad(params, state, st, mpx)
+
     def apply(self, params, state, x):
         st = dict(state)
         mpx, st["quad"] = self.quad.apply(None, state["quad"], x)
+        return self._after_quad(params, state, st, mpx)
+
+    def _after_quad(self, params, state, st, mpx):
         mpx_states = []
         for stage, sst in zip(self.mpx_stages, state["mpx_decim"]):
             mpx, nst = stage.apply(None, sst, mpx)

@@ -115,6 +115,13 @@ def run_mshv_decoder(cmd: List[str], audio: np.ndarray,
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+    # a failed or timed-out decoder must surface as an ERROR record even
+    # when the deadline expires before the poll loop observes the exit
+    # (reference ft8_decoder.h:222-228 reports every non-zero outcome)
+    if not finished and not any(r["type"] == "ERROR" for r in results):
+        msg = ("decoder exec failed" if proc.returncode not in (0, None)
+               else "decoder timeout")
+        results.append({"type": "ERROR", "message": msg})
     return results
 
 
