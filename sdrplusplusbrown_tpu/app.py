@@ -459,6 +459,18 @@ class SDRApp:
                 gain=int(src.get("gain", 0)))
             self.samplerate = self.source.samplerate
             self.source.start_stream(self.frequency)
+        elif stype == "hl2":
+            # Hermes Lite 2 TRX (reference source_modules/hl2_source) —
+            # also installs itself as the app transmitter below, the way
+            # the reference sets sigpath::transmitter (main.cpp).
+            from .io.hl2_source import HL2Source
+            self.source = HL2Source(
+                host=src.get("host", "localhost"),
+                port=int(src.get("port", 1024)),
+                samplerate=int(src.get("samplerate", 384_000)),
+                adc_gain=int(src.get("adcGain", 0)))
+            self.samplerate = self.source.samplerate
+            self.source.tune(self.frequency)
         elif stype == "sdrpp_server":
             # remote StreamServer (reference source_modules/sdrpp_server_source)
             from .server.stream_client import StreamClient
@@ -502,6 +514,9 @@ class SDRApp:
 
         # TX hardware (reference trx.h; loopback for tests/headless)
         self.transmitter = None
+        from .models.trx import Transmitter
+        if isinstance(self.source, Transmitter):
+            self.transmitter = self.source      # HL2: source IS the TRX
         with self.config.acquire(False) as conf:
             txc = conf.get("transmitter", {})
             if txc.get("type") == "loopback":

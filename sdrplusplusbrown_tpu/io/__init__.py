@@ -4,7 +4,8 @@ from .recorder import WavRecorder
 from .network_source import NetworkSource, RtlTcpSource
 from .network_sink import NetworkSink
 from .spyserver_source import SpyServerSource
+from .hl2_source import HL2Source
 
 __all__ = ["read_wav_iq", "write_wav", "parse_capture_filename",
            "FileSource", "WavRecorder", "NetworkSource", "RtlTcpSource",
-           "NetworkSink", "SpyServerSource"]
+           "NetworkSink", "SpyServerSource", "HL2Source"]
