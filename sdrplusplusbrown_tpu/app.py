@@ -459,6 +459,14 @@ class SDRApp:
                 gain=int(src.get("gain", 0)))
             self.samplerate = self.source.samplerate
             self.source.start_stream(self.frequency)
+        elif stype == "kiwisdr":
+            # remote KiwiSDR IQ (reference source_modules/kiwisdr_source)
+            from .io.kiwisdr_source import KiwiSDRSource
+            self.source = KiwiSDRSource(
+                host=src.get("host", "localhost"),
+                port=int(src.get("port", 8073)),
+                freq_hz=self.frequency)
+            self.samplerate = self.source.samplerate
         elif stype == "hl2":
             # Hermes Lite 2 TRX (reference source_modules/hl2_source) —
             # also installs itself as the app transmitter below, the way

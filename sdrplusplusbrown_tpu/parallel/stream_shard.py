@@ -121,7 +121,9 @@ def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0,
         b = jnp.where(nz, amp_in * r, 0.0)
         amp, final = sharded_linear_recurrence(a, b, carry, axis_name)
         excess = jnp.where(nz, amp_in / amp, 1.0)
-        gain = jnp.where(excess > block.default_level, 1.0 / excess, 1.0)
+        level = params["level"] if params \
+            else jnp.float32(block.default_level)
+        gain = jnp.where(excess > level, 1.0 / excess, 1.0)
         return x * gain.astype(jnp.float32), final
     if isinstance(block, FIR):
         return _halo_block(block, block.K - 1, x, axis_name, carry)

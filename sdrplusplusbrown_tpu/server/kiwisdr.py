@@ -89,20 +89,46 @@ class WSClient:
 
 
 class KiwiSDRClient:
-    """One remote KiwiSDR connection producing audio-level samples."""
+    """One remote KiwiSDR connection producing audio or IQ samples.
+
+    Two tune modes mirroring kiwisdr.h:185-205: ``usb`` (TUNE_REAL —
+    512 s16be mono samples per SND packet, 10-byte header including the
+    tag) and ``iq`` (TUNE_IQ — 512 s16be I/Q pairs, 20-byte header,
+    flags byte 0x08).
+    """
 
     def __init__(self, host: str, port: int, freq_khz: float = 14_100.0,
                  mode: str = "usb",
-                 on_audio: Optional[Callable] = None):
+                 on_audio: Optional[Callable] = None,
+                 on_iq: Optional[Callable] = None):
         self.host, self.port = host, int(port)
         self.freq_khz = float(freq_khz)
         self.mode = mode
         self.on_audio = on_audio
+        self.on_iq = on_iq
         self.status = "disconnected"
         self.packets = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._ws: Optional[WSClient] = None
+
+    def _mod_command(self) -> str:
+        """The SET mod=… line for the current mode/freq (kiwisdr.h:193-204)."""
+        if self.mode == "iq":
+            return (f"SET mod=iq low_cut=-7000 high_cut=7000 "
+                    f"freq={self.freq_khz:0.3f}")
+        return (f"SET mod={self.mode} low_cut=300 high_cut=2700 "
+                f"freq={self.freq_khz:0.3f}")
+
+    def tune(self, freq_hz: float):
+        """Retune the remote receiver (kiwisdr_source main.cpp:234-238)."""
+        self.freq_khz = float(freq_hz) / 1000.0
+        ws = self._ws
+        if ws is not None and self.status in ("connected", "receiving"):
+            try:
+                ws.send_text(self._mod_command())
+            except OSError:
+                pass
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -127,8 +153,7 @@ class KiwiSDRClient:
             ws.send_text("SET compression=0")
             ws.send_text("SET agc=0 hang=0 thresh=-100 slope=6 "
                          "decay=1000 manGain=50")
-            ws.send_text(f"SET mod={self.mode} low_cut=300 high_cut=2700 "
-                         f"freq={self.freq_khz:0.3f}")
+            ws.send_text(self._mod_command())
             self.status = "connected"
             last_keepalive = time.monotonic()
             while not self._stop.is_set():
@@ -136,15 +161,26 @@ class KiwiSDRClient:
                 if op == 8:
                     break
                 tag = payload[:3].decode(errors="replace")
-                if tag == "SND" and len(payload) >= 13:
-                    body = payload[3:]
-                    if len(body) == 1024 + 10:     # REAL data
-                        raw = np.frombuffer(body[10:], ">i2")
+                if tag == "SND" and len(payload) >= 10:
+                    # header sizes INCLUDE the 3-byte tag
+                    # (kiwisdr.h:97-99: REAL=10, IQ=20)
+                    if len(payload) == 1024 + 10:          # REAL data
+                        raw = np.frombuffer(payload[10:], ">i2")
                         audio = raw.astype(np.float32) / 32767.0
                         self.packets += 1
                         self.status = "receiving"
                         if self.on_audio:
                             self.on_audio(audio)
+                    elif (len(payload) == 2048 + 20
+                          and payload[3] == 0x08):         # IQ data
+                        raw = np.frombuffer(payload[20:], ">i2") \
+                            .astype(np.float32) / 32767.0
+                        iq = (raw[0::2] + 1j * raw[1::2]) \
+                            .astype(np.complex64)
+                        self.packets += 1
+                        self.status = "receiving"
+                        if self.on_iq:
+                            self.on_iq(iq)
                 if time.monotonic() - last_keepalive > 5.0:
                     ws.send_text("SET keepalive")
                     last_keepalive = time.monotonic()

@@ -140,7 +140,7 @@ def test_kiwisdr_client_against_fake_server(tmp_path):
             audio = (np.sin(np.linspace(0, 40 * np.pi, 512))
                      * 16000).astype(">i2")
             for i in range(6):
-                payload = b"SND" + bytes(10) + audio.tobytes()
+                payload = b"SND" + bytes(7) + audio.tobytes()
                 conn.send_binary(payload)
                 time.sleep(0.05)
             ready.set()
@@ -183,7 +183,7 @@ def test_websdr_view_module(tmp_path):
         def feeder():
             audio = (np.ones(512) * 8000).astype(">i2")
             for _ in range(4):
-                conn.send_binary(b"SND" + bytes(10) + audio.tobytes())
+                conn.send_binary(b"SND" + bytes(7) + audio.tobytes())
                 time.sleep(0.05)
         threading.Thread(target=feeder, daemon=True).start()
 
