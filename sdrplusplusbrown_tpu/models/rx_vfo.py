@@ -218,6 +218,18 @@ class SharedRxVFOBank(Block):
             cache[C] = build_plane_pipeline(self, C)
         return cache[C]
 
+    def _mono_pipe(self, C: int):
+        """Lazily-built monolithic front end (ops/mono_frontend.py) —
+        the whole decimation chain in ONE pallas kernel; None when the
+        chain shape can't use it (falls back to the plane pipeline)."""
+        cache = getattr(self, "_mono_cache", None)
+        if cache is None:
+            cache = self._mono_cache = {}
+        if C not in cache:
+            from ..ops.mono_frontend import build_mono_pipeline
+            cache[C] = build_mono_pipeline(self, C)
+        return cache[C]
+
     def apply(self, params, state, x, return_planes: bool = False):
         """x: [T] shared wideband → ([C, T_out], state').  With
         ``return_planes``: (([C,T_out] re, im) float32, state') — on the
@@ -230,6 +242,10 @@ class SharedRxVFOBank(Block):
             if (get_fir_backend() in ("auto", "pallas")
                     and _jax.default_backend() not in ("cpu",)
                     and "omega_dec_sup" in params["fused"]):
+                pipe = self._mono_pipe(C)
+                if pipe is not None:
+                    return pipe.apply(params["fused"], state, x,
+                                      return_planes=return_planes)
                 pipe = self._plane_pipe(C)
                 if pipe is not None:
                     return pipe.apply(params["fused"], state, x,

@@ -1,0 +1,581 @@
+"""Monolithic shared VFO front end: the WHOLE decimation chain in one
+pallas kernel, rolling inter-stage state in VMEM scratch.
+
+The plane-protocol pipeline (ops/plane_frontend.py) already removed the
+per-stage glue, but each stage still round-trips its output through
+HBM: measured ~190 B/in-sample for the WFM-8 front end where the
+irreducible traffic is the wideband read (~9 B) plus the final IF-rate
+write (~13 B).  This kernel chains every stage inside one grid:
+
+  grid = (n_super,), executed SEQUENTIALLY (dimension_semantics
+  "arbitrary"); VMEM scratch persists across steps, so each stage's
+  buffer carries its own overlap-save history from step i-1 to step i
+  (copied in-VMEM — the context never touches HBM).  Step i DMAs one
+  aligned wideband window, runs mix+decimate (+ in-kernel NCO twiddle),
+  then every chained decimator / polyphase / bandwidth-FIR stage as
+  banded matmuls between scratch buffers, and writes ONLY the final
+  IF-rate planes.
+
+Per-call HBM traffic: input planes once, output planes once, tap
+matrices once, plus a [2C, 512]-per-stage tail extract — everything
+else lives in VMEM.
+
+State compatibility: consumes and produces the standard
+SharedRxVFOBank state dict (fused tail/phase + per-stage complex
+tails), so the mono, plane-chained and per-stage paths are freely
+interchangeable (checkpoints, sharding rules, equality tests).
+
+reference behavior: channel/rx_vfo.h:89-121 (xlate -> rational
+resampler -> bandwidth FIR); the fusion algebra is documented in
+ops/fused_frontend.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import gcd
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .xlator import advance_phase, _TWO_PI
+
+ALIGN1D = 1024       # 1-D f32 plane DMA offset granularity
+BS = 256             # twiddle/selection block (matches plane pipeline)
+SUP_SPAN = 2048      # omega_dec_sup span baked into fused params
+MAX_ADVX = 1 << 18   # cap on full-rate samples per grid step
+MIN_ADVX = 8192      # amortize the per-step DMA
+
+
+def _rup(n: int, a: int) -> int:
+    return ((n + a - 1) // a) * a
+
+
+class _MonoStage:
+    """Static config for one chained stage (decim FIR or polyphase)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _solve_geometry(stages_raw, D0: int):
+    """Pick the per-grid-step output advance ``adv_f`` and per-stage
+    advances so that every stage's inner loop count is integral, every
+    scratch store offset is 128-aligned, the fused stage's decimated
+    advance is a BS multiple, and the full-rate input advance is
+    1024-aligned.  Returns (adv list INCLUDING adv0 at index 0, adv_x)
+    or None."""
+    for k in range(1, 4097):
+        adv_f = 128 * k
+        advs = [adv_f]
+        ok = True
+        for st in reversed(stages_raw):          # walk toward the input
+            a = advs[0]
+            if a % st["tile"]:
+                ok = False
+                break
+            if st["kind"] == "poly":
+                if a % st["interp"]:
+                    ok = False
+                    break
+                a = a * st["decim"] // st["interp"]
+            else:
+                a = a * st["D"]
+            if a % 128:
+                ok = False
+                break
+            advs.insert(0, a)
+        if not ok:
+            continue
+        adv0 = advs[0]
+        adv_x = adv0 * D0
+        if adv0 % BS or adv_x % ALIGN1D:
+            continue
+        if adv_x < MIN_ADVX:
+            continue
+        if adv_x > MAX_ADVX:
+            return None
+        return advs, adv_x
+    return None
+
+
+def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
+    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded."""
+    hist = tail_c.shape[-1]
+    p = jnp.concatenate([jnp.real(tail_c), jnp.imag(tail_c)],
+                        axis=0).astype(jnp.float32)
+    if hist < pad_k:
+        p = jnp.pad(p, ((0, 0), (pad_k - hist, 0)))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _mono_kernel(*refs, cfg):
+    """refs = [x_hbm, g, s0, om, base, tail_1..tail_n, H_1..H_n,
+               y_out, tails_out,
+               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i]."""
+    n = len(cfg["stages"])
+    it = iter(refs)
+    x_hbm = next(it)
+    g_ref = next(it)
+    s0_ref = next(it)
+    om_ref = next(it)
+    base_ref = next(it)
+    tail_refs = [next(it) for _ in range(n)]
+    h_refs = [next(it) for _ in range(n)]
+    o_ref = next(it)
+    tails_o = next(it)
+    wr = next(it)
+    wi = next(it)
+    if cfg["n_chunks"] > 1:
+        wcr = next(it)
+        wci = next(it)
+    acc = next(it)
+    bufs = [next(it) for _ in range(n)]
+    sem_r = next(it)
+    sem_i = next(it)
+
+    i = pl.program_id(0)
+    C = cfg["C"]
+    twoC = 2 * C
+    K0, D0 = cfg["K0"], cfg["D0"]
+    head0, adv_x = cfg["head0"], cfg["adv_x"]
+    adv0 = cfg["adv0"]
+    n_chunks = cfg["n_chunks"]
+    CH = adv0 // n_chunks                 # decimated outputs per chunk
+    CHX = CH * D0
+    nb = adv0 // BS
+    stages = cfg["stages"]
+    Lp = cfg["Lp"]
+
+    # ---- roll per-stage context (VMEM only) ---------------------------
+    for s, st in enumerate(stages):
+        hp = st.hist_pad
+
+        @pl.when(i == 0)
+        def _init(s=s, hp=hp):
+            bufs[s][:, :hp] = tail_refs[s][...]
+
+        @pl.when(i > 0)
+        def _roll(s=s, hp=hp, st=st):
+            bufs[s][:, :hp] = bufs[s][:, st.adv_in:st.adv_in + hp]
+
+    # ---- DMA the wideband window --------------------------------------
+    n_read = head0 + adv_x
+    cp_r = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * adv_x, n_read)], wr.at[pl.ds(0, n_read)],
+        sem_r)
+    cp_i = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(Lp + i * adv_x, n_read)], wi.at[pl.ds(0, n_read)],
+        sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+
+    # ---- stage 0: fused mix + decimate + twiddle ----------------------
+    off = head0 - (K0 - 1)
+    twoK = 2 * K0
+    hp1 = stages[0].hist_pad
+
+    for c in range(n_chunks):
+        if n_chunks > 1:
+            wc_len = head0 + CHX
+            wcr[pl.ds(0, wc_len)] = wr[pl.ds(c * CHX, wc_len)]
+            wci[pl.ds(0, wc_len)] = wi[pl.ds(c * CHX, wc_len)]
+        acc[...] = jnp.zeros((twoC, CHX), jnp.float32)
+
+        def _accumulate(plane, part):
+            w2 = plane[None, :]
+
+            def body(k, carry):
+                sl = jax.lax.slice(pltpu.roll(w2, -(off + k), 1),
+                                   (0, 0), (1, CHX))
+                sel = (jax.lax.broadcasted_iota(jnp.int32, (twoK, 1), 0)
+                       == part * K0 + k).astype(jnp.float32)
+                gk = jnp.dot(g_ref[...], sel,
+                             preferred_element_type=jnp.float32)
+                acc[...] = acc[...] + gk * sl
+                return carry
+
+            jax.lax.fori_loop(0, K0, body, 0)
+
+        if n_chunks > 1:
+            _accumulate(wcr[...], 0)
+            _accumulate(wci[...], 1)
+        else:
+            _accumulate(wr[...], 0)
+            _accumulate(wi[...], 1)
+
+        # decimate via the static selection matmul + NCO twiddle
+        for b in range(CH // BS):
+            ob = jnp.dot(acc[:, b * BS * D0:(b + 1) * BS * D0],
+                         s0_ref[...],
+                         preferred_element_type=jnp.float32)   # [2C, BS]
+            gb = c * (CH // BS) + b
+            jj = jax.lax.broadcasted_iota(jnp.int32, (C, BS),
+                                          1).astype(jnp.float32)
+            ang = base_ref[:, gb:gb + 1] + om_ref[...] * jj
+            cr = jnp.cos(ang)
+            si = jnp.sin(ang)
+            re = ob[:C]
+            im = ob[C:]
+            col = hp1 + gb * BS
+            bufs[0][0:C, col:col + BS] = re * cr - im * si
+            bufs[0][C:twoC, col:col + BS] = re * si + im * cr
+
+    # ---- chained stages -----------------------------------------------
+    for s, st in enumerate(stages):
+        dst = bufs[s + 1] if s + 1 < len(stages) else None
+        dst_hp = stages[s + 1].hist_pad if s + 1 < len(stages) else 0
+        for r in range(st.adv_out // st.tile):
+            win = bufs[s][:, st.win0 + r * st.row_adv:
+                          st.win0 + r * st.row_adv + st.Lw]
+            res = jnp.dot(win, h_refs[s][...],
+                          preferred_element_type=jnp.float32)
+            if dst is not None:
+                dst[:, dst_hp + r * st.tile:
+                    dst_hp + (r + 1) * st.tile] = res
+            else:
+                o_ref[:, r * st.tile:(r + 1) * st.tile] = res
+
+    # ---- next-call tail extraction ------------------------------------
+    for s, st in enumerate(stages):
+        @pl.when(i == st.i_tail)
+        def _tl(s=s, st=st):
+            tails_o[:, st.tail_off:st.tail_off + st.tail_w] = \
+                bufs[s][:, st.tail_al:st.tail_al + st.tail_w]
+
+
+# ---------------------------------------------------------------------------
+# pipeline wrapper
+# ---------------------------------------------------------------------------
+
+class MonoVFOPipeline:
+    """Built from a SharedRxVFOBank; ``supported`` is False when the
+    chain shape can't use the monolithic kernel (fallback: the chained
+    plane pipeline, then the per-stage kernels)."""
+
+    def __init__(self, bank, C: int, interpret: bool = False):
+        from .pallas_fir import toeplitz_taps_decim, banded_poly_matrix
+        self.C = int(C)
+        self.interpret = interpret
+        self.supported = False
+        if bank.fused is None or C % 8 != 0 or not (8 <= C <= 32):
+            return
+        self.fused_taps = np.asarray(bank.fused.taps, np.float64)
+        self.K0 = len(self.fused_taps)
+        self.D0 = int(bank.fused.decim)
+        if self.K0 > 320:
+            return
+        blocks = list(bank.rest_decim) + [b for _, b in bank.rest]
+        if bank.filter_needed:
+            blocks.append(bank.base.fir)
+        if not blocks:
+            return
+        raw = []
+        for blk in blocks:
+            if hasattr(blk, "interp"):
+                kw = blk.kernel.shape[1]
+                I, M = int(blk.interp), int(blk.decim)
+                mt = 128 // gcd(I, 128)
+                raw.append({"kind": "poly", "interp": I, "decim": M,
+                            "kw": kw, "mt": mt, "tile": mt * I,
+                            "hist": kw - M, "carry": blk.tpp - 1,
+                            "blk": blk})
+            else:
+                if getattr(blk, "_complex_taps", False):
+                    return
+                K = int(blk.K)
+                raw.append({"kind": "decim", "K": K, "D": int(blk.decim),
+                            "tile": 128, "hist": K - 1, "carry": K - 1,
+                            "blk": blk})
+        sol = _solve_geometry(raw, self.D0)
+        if sol is None:
+            return
+        advs, adv_x = sol
+        self.adv0, self.adv_x = advs[0], adv_x
+        self.adv_f = advs[-1]
+        stages: List[_MonoStage] = []
+        vmem = 0
+        for s, st in enumerate(raw):
+            adv_in, adv_out = advs[s], advs[s + 1]
+            hist_pad = _rup(max(st["carry"], st["hist"]), 128)
+            if st["kind"] == "poly":
+                H = banded_poly_matrix(
+                    np.asarray(st["blk"].kernel, np.float32),
+                    st["interp"], st["decim"], st["mt"])
+                row_adv = st["mt"] * st["decim"]
+                Lw = (st["mt"] - 1) * st["decim"] + st["kw"]
+            else:
+                H = toeplitz_taps_decim(
+                    np.asarray(st["blk"].taps, np.float32),
+                    st["tile"], st["D"])
+                row_adv = st["tile"] * st["D"]
+                Lw = (st["tile"] - 1) * st["D"] + st["K"]
+            tail_w = _rup(st["carry"] + 127, 128)
+            if hist_pad + adv_in < max(Lw, tail_w):
+                return
+            stages.append(_MonoStage(
+                kind=st["kind"], tile=st["tile"], adv_in=adv_in,
+                adv_out=adv_out, hist=st["hist"], carry=st["carry"],
+                hist_pad=hist_pad, row_adv=row_adv, Lw=Lw,
+                win0=hist_pad - st["hist"], H=H, tail_w=tail_w,
+                i_tail=0, tail_al=0, tail_off=0))
+            vmem += H.size * 4 + 2 * C * (hist_pad + adv_in) * 4
+        # stage-0 chunking bounds the full-rate accumulator
+        n_chunks = 1
+        for d in range(min(16, self.adv0 // BS), 0, -1):
+            if self.adv0 % (BS * d) == 0 and BS * d * self.D0 <= 16384:
+                n_chunks = self.adv0 // (BS * d)
+                break
+        self.n_chunks = n_chunks
+        vmem += (2 * (1024 + adv_x) * 4                    # wr/wi
+                 + 2 * C * (adv_x // n_chunks) * 4         # acc
+                 + BS * self.D0 * BS * 4                   # s0
+                 + 2 * C * self.adv_f * 4 * 2)             # out blocks
+        if vmem > 10 * (1 << 20):
+            return
+        off_t = 0
+        for st in stages:
+            st.tail_off = off_t
+            off_t += st.tail_w
+        self.tails_w_total = off_t
+        self.stages = stages
+        self.head0 = ALIGN1D
+        self._plan_cache = {}
+        self.supported = True
+
+    # -- per-block-length plan ------------------------------------------
+    def _plan(self, T: int):
+        plan = self._plan_cache.get(T)
+        if plan is not None:
+            return plan
+        # exact valid lengths (match the chained pipeline's shapes)
+        m = [T // self.D0]
+        for st in self.stages:
+            if st.kind == "poly":
+                assert m[-1] * st.adv_out % st.adv_in == 0, \
+                    (m[-1], st.adv_in, st.adv_out)
+                m.append(m[-1] * st.adv_out // st.adv_in)
+            else:
+                m.append(m[-1] // (st.adv_in // st.adv_out))
+        n_super = -(-m[-1] // self.adv_f)
+        Lp = _rup(n_super * self.adv_x + self.head0 + ALIGN1D, ALIGN1D)
+        # tail extraction spots: last `carry` VALID inputs of stage s
+        # live in buf_s around column hist_pad + m_in - i*adv_in
+        tails = []
+        for s, st in enumerate(self.stages):
+            m_in = m[s]
+            i_t = min((m_in - 1) // st.adv_in, n_super - 1)
+            end_local = st.hist_pad + m_in - i_t * st.adv_in
+            al = max(0, (end_local - st.carry) // 128 * 128)
+            al = min(al, st.hist_pad + st.adv_in - st.tail_w)
+            assert al >= 0 and al + st.tail_w >= end_local >= st.carry, \
+                (s, al, end_local, st.carry)
+            tails.append((i_t, al, end_local))
+        plan = {"m": m, "n_super": n_super, "Lp": Lp, "tails": tails}
+        self._plan_cache[T] = plan
+        return plan
+
+    # -- the call ---------------------------------------------------------
+    def apply(self, params, state, x, return_planes: bool = False):
+        C = self.C
+        T = x.shape[-1]
+        plan = self._plan(T)
+        n_super, Lp = plan["n_super"], plan["Lp"]
+        K0, D0, head0 = self.K0, self.D0, self.head0
+
+        ext = jnp.concatenate([state["fused"]["tail"], x])
+        off0 = head0 - (K0 - 1)
+        zf = jnp.zeros((off0,), jnp.float32)
+        zt = jnp.zeros((Lp - off0 - (T + K0 - 1),), jnp.float32)
+        xf = jnp.concatenate([zf, jnp.real(ext), zt,
+                              zf, jnp.imag(ext), zt])
+
+        # channel-modulated taps (runtime retune without recompile)
+        omega = params["omega"]
+        kk = jnp.arange(K0, dtype=jnp.float32)
+        ang = omega[:, None] * kk[None, :]
+        h = jnp.asarray(self.fused_taps, jnp.float32)[None, :]
+        gr = h * jnp.cos(ang)
+        gi = h * jnp.sin(ang)
+        g = jnp.concatenate(
+            [jnp.concatenate([gr, -gi], axis=1),
+             jnp.concatenate([gi, gr], axis=1)], axis=0)
+
+        # per-(step, BS-block) twiddle base phases
+        phase0 = jnp.mod(state["fused"]["phase"]
+                         - omega * jnp.float32(K0 - 1) + np.pi,
+                         _TWO_PI) - np.pi
+        a_sup, rem = divmod(self.adv0, SUP_SPAN)
+        b_bs = rem // BS
+        span_adv = (params["omega_dec_sup"] * a_sup
+                    + params["omega_dec_bs"] * b_bs)
+        nb = self.adv0 // BS
+        nb_pad = _rup(nb, 128)
+        ii = jnp.arange(n_super, dtype=jnp.float32)
+        bb = jnp.arange(nb, dtype=jnp.float32)
+        base = (phase0[:, None, None]
+                + span_adv[:, None, None] * ii[None, :, None]
+                + params["omega_dec_bs"][:, None, None]
+                * bb[None, None, :])
+        base = jnp.pad(base, ((0, 0), (0, 0), (0, nb_pad - nb))) \
+            .reshape(C, n_super * nb_pad)
+
+        s0 = np.zeros((BS * D0, BS), np.float32)
+        s0[np.arange(BS) * D0, np.arange(BS)] = 1.0
+
+        tails_c = self._stage_tails(state)
+        tail_ops = [_tail_planes(tails_c[s], st.hist_pad)
+                    for s, st in enumerate(self.stages)]
+        h_ops = [jnp.asarray(st.H) for st in self.stages]
+
+        n = len(self.stages)
+        twoC = 2 * C
+        cfg = {
+            "C": C, "K0": K0, "D0": D0, "head0": head0,
+            "adv_x": self.adv_x, "adv0": self.adv0,
+            "n_chunks": self.n_chunks, "Lp": Lp,
+            "stages": [
+                _MonoStage(**{**st.__dict__, "H": None,
+                              "i_tail": plan["tails"][s][0],
+                              "tail_al": plan["tails"][s][1]})
+                for s, st in enumerate(self.stages)],
+        }
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((twoC, 2 * K0), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS * D0, BS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, nb_pad), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        for st in self.stages:
+            in_specs.append(pl.BlockSpec((twoC, st.hist_pad),
+                                         lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for st in self.stages:
+            in_specs.append(pl.BlockSpec(st.H.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        out_specs = [
+            pl.BlockSpec((twoC, self.adv_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, self.tails_w_total), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
+            pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
+        ]
+        if self.n_chunks > 1:
+            chx = self.adv_x // self.n_chunks
+            scratch.append(pltpu.VMEM((head0 + chx,), jnp.float32))
+            scratch.append(pltpu.VMEM((head0 + chx,), jnp.float32))
+        scratch.append(pltpu.VMEM((twoC, self.adv_x // self.n_chunks),
+                                  jnp.float32))
+        for st in self.stages:
+            scratch.append(pltpu.VMEM((twoC, st.hist_pad + st.adv_in),
+                                      jnp.float32))
+        scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+
+        flops = n_super * (2 * 2 * K0 * twoC * self.adv_x
+                           + 2 * twoC * self.adv_x * BS)
+        for st in self.stages:
+            flops += n_super * 2 * st.Lw * st.adv_out * twoC
+        bytes_acc = (2 * Lp * 4 + twoC * n_super * self.adv_f * 4
+                     + twoC * self.tails_w_total * 4 + g.size * 4
+                     + s0.size * 4
+                     + sum(h.size * 4 for h in h_ops))
+        cost = pl.CostEstimate(flops=int(flops),
+                               bytes_accessed=int(bytes_acc),
+                               transcendentals=int(n_super * 2 * C
+                                                   * self.adv0))
+        out, tails_out = pl.pallas_call(
+            functools.partial(_mono_kernel, cfg=cfg),
+            grid=(n_super,),
+            cost_estimate=cost,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((twoC, self.tails_w_total),
+                                     jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(xf, g, jnp.asarray(s0), params["omega_dec"][:, None],
+          base.astype(jnp.float32), *tail_ops, *h_ops)
+
+        M = plan["m"][-1]
+        if return_planes:
+            y = (out[:C, :M], out[C:, :M])
+        else:
+            y = jax.lax.complex(out[:C, :M], out[C:, :M])
+
+        new_state = {k: v for k, v in state.items()}
+        new_phase = advance_phase(state["fused"]["phase"],
+                                  params["omega"],
+                                  params["omega_span"], T)
+        new_state["fused"] = {
+            "tail": ext[T:],
+            "phase": jnp.broadcast_to(new_phase, (C,)),
+        }
+        new_tails = []
+        for s, st in enumerate(self.stages):
+            _it, al, end_local = plan["tails"][s]
+            seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
+            lo = end_local - al - st.carry
+            tl = seg[:, lo:lo + st.carry]
+            new_tails.append(jax.lax.complex(tl[:C], tl[C:]))
+        self._write_tails(new_state, new_tails)
+        return y, new_state
+
+    # -- state plumbing (same layout as the plane pipeline) --------------
+    def _stage_tails(self, state) -> List[jnp.ndarray]:
+        tails = list(state.get("rest_decim", []))
+        for name in self._rest_names:
+            tails.append(state[name])
+        if self._has_fir:
+            tails.append(state["fir"])
+        return tails
+
+    def _write_tails(self, state, tails: List[jnp.ndarray]):
+        i = 0
+        n_rd = len(state.get("rest_decim", []))
+        if n_rd:
+            state["rest_decim"] = list(tails[:n_rd])
+            i = n_rd
+        for name in self._rest_names:
+            state[name] = tails[i]
+            i += 1
+        if self._has_fir:
+            state["fir"] = tails[i]
+
+
+def build_mono_pipeline(bank, C: int,
+                        interpret: bool = False
+                        ) -> Optional[MonoVFOPipeline]:
+    p = MonoVFOPipeline(bank, C, interpret=interpret)
+    if not p.supported:
+        return None
+    p._rest_names = [n for n, _ in bank.rest]
+    p._has_fir = bool(bank.filter_needed)
+    n_stage_tails = (len(bank.rest_decim) + len(bank.rest)
+                     + (1 if bank.filter_needed else 0))
+    if n_stage_tails != len(p.stages):
+        return None
+    return p
