@@ -1,0 +1,394 @@
+"""Fused post-channelizer front end: bin gather + fine NCO + halfband
+2:1 + bandwidth FIR (+ squelch magnitude sums) in ONE pallas kernel.
+
+The PFB channelizer (ops/channelizer.py) splits the band once, but the
+per-channel tail — gather the nearest bin, rotate by the residual
+offset, 2:1 anti-alias decimate, bandwidth FIR — costs ~680 HBM
+B/in-sample as chained XLA ops at C=128 (measured, scanner config):
+the [C, 2T/M] gathered array is 2.7× LARGER than the wideband and
+round-trips HBM once per stage.  Here all of it runs inside one
+sequential-grid kernel:
+
+  grid = (n_super,), dimension_semantics ("arbitrary",); the bins
+  planes arrive as a [2M, adv0]-column block per step, the gather is a
+  one-hot [C, M] MXU matmul (bin index is a runtime param — retune
+  never recompiles), the rotate uses per-(step, block) base phases
+  precomputed from float64 spans, and the two FIR stages are banded
+  matmuls whose overlap-save history rolls forward in VMEM scratch.
+  HBM sees the bins planes once, the IF planes once, the tap matrices,
+  and a [2C, ·] tail extract per stage.
+
+The squelch needs mean |y| over the WHOLE block before it can gate
+(reference: noise_reduction/squelch.h:55-69), which forces a second
+full pass in the chained path; the kernel instead accumulates per-
+channel |y| partial sums into a [C, 128] output for free, and the
+caller folds the gate into the demodulator's input pass
+(models/radio.py:apply_channelized).
+
+State compatibility: consumes/produces ChannelizedRxVFOBank's state
+dict entries ("xl" NCO phase, "d2"/"fir" complex tails), so fused and
+chained paths interchange freely.
+
+reference behavior: channel/rx_vfo.h:89-121 (xlate -> resample ->
+bandwidth FIR per channel); the PFB split is this repo's wide-bank
+redesign (docs/benchmarks.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .xlator import advance_phase, _TWO_PI
+
+BS = 128          # gather/rotate block (lane width)
+SPAN = 2048       # baked span for the base-phase table (bin-rate smp)
+MAX_VMEM = 10 * (1 << 20)
+
+
+def _rup(n: int, a: int) -> int:
+    return ((n + a - 1) // a) * a
+
+
+def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
+    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded."""
+    hist = tail_c.shape[-1]
+    p = jnp.concatenate([jnp.real(tail_c), jnp.imag(tail_c)],
+                        axis=0).astype(jnp.float32)
+    if hist < pad_k:
+        p = jnp.pad(p, ((0, 0), (pad_k - hist, 0)))
+    return p
+
+
+class _Stage:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _chan_kernel(*refs, cfg):
+    """refs = [bins, onehot, om, base, tail_1..n, H_1..n,
+               y_out, tails_out, sq_out, buf_1..n, acc]"""
+    n = len(cfg["stages"])
+    it = iter(refs)
+    bins_ref = next(it)
+    oh_ref = next(it)
+    om_ref = next(it)
+    base_ref = next(it)
+    tail_refs = [next(it) for _ in range(n)]
+    h_refs = [next(it) for _ in range(n)]
+    o_ref = next(it)
+    tails_o = next(it)
+    sq_o = next(it)
+    bufs = [next(it) for _ in range(n)]
+    acc = next(it)
+
+    i = pl.program_id(0)
+    C = cfg["C"]
+    M = cfg["M"]
+    twoC = 2 * C
+    adv0 = cfg["adv0"]
+    adv_f = cfg["adv_f"]
+    m_out = cfg["m_out"]
+    n_super = cfg["n_super"]
+    stages = cfg["stages"]
+
+    # ---- roll per-stage overlap-save context (VMEM only) ---------------
+    for s, st in enumerate(stages):
+        hp = st.hist_pad
+
+        @pl.when(i == 0)
+        def _init(s=s, hp=hp):
+            bufs[s][:, :hp] = tail_refs[s][...]
+
+        @pl.when(i > 0)
+        def _roll(s=s, hp=hp, st=st):
+            bufs[s][:, :hp] = bufs[s][:, st.adv_in:st.adv_in + hp]
+
+    @pl.when(i == 0)
+    def _zero_acc():
+        acc[...] = jnp.zeros((C, BS), jnp.float32)
+
+    # ---- gather + rotate into stage-0 input -----------------------------
+    hp0 = stages[0].hist_pad
+    for b in range(adv0 // BS):
+        br = bins_ref[0:M, b * BS:(b + 1) * BS]
+        bi = bins_ref[M:2 * M, b * BS:(b + 1) * BS]
+        re = jnp.dot(oh_ref[...], br, preferred_element_type=jnp.float32)
+        im = jnp.dot(oh_ref[...], bi, preferred_element_type=jnp.float32)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (C, BS),
+                                      1).astype(jnp.float32)
+        ang = base_ref[:, b:b + 1] + om_ref[...] * jj
+        cr = jnp.cos(ang)
+        si = jnp.sin(ang)
+        col = hp0 + b * BS
+        bufs[0][0:C, col:col + BS] = re * cr - im * si
+        bufs[0][C:twoC, col:col + BS] = re * si + im * cr
+
+    # ---- chained FIR stages (banded matmuls) ----------------------------
+    for s, st in enumerate(stages):
+        dst = bufs[s + 1] if s + 1 < n else None
+        dst_hp = stages[s + 1].hist_pad if s + 1 < n else 0
+        for r in range(st.adv_out // 128):
+            win = bufs[s][:, st.win0 + r * st.row_adv:
+                          st.win0 + r * st.row_adv + st.Lw]
+            res = jnp.dot(win, h_refs[s][...],
+                          preferred_element_type=jnp.float32)
+            if dst is not None:
+                dst[:, dst_hp + r * 128:dst_hp + (r + 1) * 128] = res
+            else:
+                o_ref[:, r * 128:(r + 1) * 128] = res
+                # squelch partials: Σ|y| over VALID outputs only (the
+                # padded tail of the last step is garbage)
+                gidx = (i * adv_f + r * 128
+                        + jax.lax.broadcasted_iota(jnp.int32, (C, BS), 1))
+                mag = jnp.sqrt(res[:C] * res[:C] + res[C:] * res[C:])
+                acc[...] = acc[...] + jnp.where(gidx < m_out, mag, 0.0)
+
+    # ---- next-call tail extraction + squelch sums ------------------------
+    for s, st in enumerate(stages):
+        @pl.when(i == st.i_tail)
+        def _tl(s=s, st=st):
+            tails_o[:, st.tail_off:st.tail_off + st.tail_w] = \
+                bufs[s][:, st.tail_al:st.tail_al + st.tail_w]
+
+    @pl.when(i == n_super - 1)
+    def _sq():
+        sq_o[...] = acc[...]
+
+
+class ChanPostPipeline:
+    """Built from a ChannelizedRxVFOBank; ``supported`` is False when
+    the geometry can't use the kernel (fallback: the chained XLA path)."""
+
+    def __init__(self, bank, C: int, interpret: bool = False):
+        from .pallas_fir import toeplitz_taps_decim
+        self.C = int(C)
+        self.M = int(bank.M)
+        self.interpret = interpret
+        self.supported = False
+        if C % 8 or C < 8 or self.M % 4:
+            return
+        blocks = [("d2", bank.decim2, 2)]
+        if bank.filter_needed:
+            blocks.append(("fir", bank.fir, 1))
+        raw = []
+        for name, blk, D in blocks:
+            if getattr(blk, "_complex_taps", False):
+                return
+            K = int(blk.K)
+            if K > 2048:
+                return
+            raw.append({"name": name, "K": K, "D": int(blk.decim),
+                        "taps": np.asarray(blk.taps, np.float32)})
+            assert int(blk.decim) == D
+        # geometry: final advance adv_f = 128k; walk back through decims
+        best = None
+        for k in (4, 8, 2, 16, 1):
+            adv_f = 128 * k
+            advs = [adv_f]
+            for st in reversed(raw):
+                advs.insert(0, advs[0] * st["D"])
+            adv0 = advs[0]
+            if adv0 % BS:
+                continue
+            vmem = 2 * self.M * adv0 * 4 + self.C * BS * 4
+            stages = []
+            ok = True
+            for s, st in enumerate(raw):
+                hist = st["K"] - 1
+                hp = _rup(hist, 128)
+                Lw = (128 - 1) * st["D"] + st["K"]
+                tail_w = _rup(hist + 127, 128)
+                if hp + advs[s] < max(Lw, tail_w):
+                    ok = False
+                    break
+                H = toeplitz_taps_decim(st["taps"], 128, st["D"])
+                stages.append(_Stage(
+                    name=st["name"], adv_in=advs[s], adv_out=advs[s + 1],
+                    hist=hist, hist_pad=hp, row_adv=128 * st["D"], Lw=Lw,
+                    win0=hp - hist, H=H, tail_w=tail_w,
+                    i_tail=0, tail_al=0, tail_off=0))
+                vmem += (H.size * 4 + 2 * self.C * (hp + advs[s]) * 4
+                         + 2 * self.C * hp * 4)
+            if not ok:
+                continue
+            vmem += 2 * self.C * adv_f * 4 * 2
+            if vmem > MAX_VMEM:
+                continue
+            best = (advs, stages)
+            break
+        if best is None:
+            return
+        self.advs, self.stages = best
+        self.adv0, self.adv_f = self.advs[0], self.advs[-1]
+        off = 0
+        for st in self.stages:
+            st.tail_off = off
+            off += st.tail_w
+        self.tails_w_total = off
+        self._plan_cache = {}
+        self.supported = True
+
+    def _plan(self, Tb: int):
+        plan = self._plan_cache.get(Tb)
+        if plan is not None:
+            return plan
+        m = [Tb]
+        for st in self.stages:
+            m.append(m[-1] // (st.adv_in // st.adv_out))
+        n_super = -(-m[-1] // self.adv_f)
+        Tb_pad = n_super * self.adv0
+        tails = []
+        for s, st in enumerate(self.stages):
+            m_in = m[s]
+            i_t = min((m_in - 1) // st.adv_in, n_super - 1)
+            end_local = st.hist_pad + m_in - i_t * st.adv_in
+            al = max(0, (end_local - st.hist) // 128 * 128)
+            al = min(al, st.hist_pad + st.adv_in - st.tail_w)
+            assert al >= 0 and al + st.tail_w >= end_local >= st.hist, \
+                (s, al, end_local, st.hist)
+            tails.append((i_t, al, end_local))
+        plan = {"m": m, "n_super": n_super, "Tb_pad": Tb_pad,
+                "tails": tails}
+        self._plan_cache[Tb] = plan
+        return plan
+
+    def apply(self, params, state, bins_planes, return_planes=False):
+        """bins_planes: (yr, yi) [M, Tb] float32 from
+        OversampledChannelizer.apply_planes.  Returns
+        ((y | (yr, yi)), sq_sums [C], state')."""
+        C, M = self.C, self.M
+        yr, yi = bins_planes
+        Tb = yr.shape[-1]
+        plan = self._plan(Tb)
+        n_super, Tb_pad = plan["n_super"], plan["Tb_pad"]
+        m_out = plan["m"][-1]
+
+        bins = jnp.concatenate([yr, yi], axis=0)
+        if Tb_pad > Tb:
+            bins = jnp.pad(bins, ((0, 0), (0, Tb_pad - Tb)))
+
+        onehot = jax.nn.one_hot(params["bin"], M, dtype=jnp.float32)
+
+        # per-(step, BS-block) base phases from exact mod-2π spans
+        om = params["xl"]["omega"]
+        phase0 = state["xl"]
+        a_sup, rem = divmod(self.adv0, SPAN)
+        b_bs = rem // BS
+        span_adv = params["xl_sup"] * a_sup + params["xl_bs"] * b_bs
+        nb = self.adv0 // BS
+        nb_pad = _rup(nb, 128)
+        ii = jnp.arange(n_super, dtype=jnp.float32)
+        bb = jnp.arange(nb, dtype=jnp.float32)
+        base = (phase0[:, None, None]
+                + span_adv[:, None, None] * ii[None, :, None]
+                + params["xl_bs"][:, None, None] * bb[None, None, :])
+        base = jnp.pad(base, ((0, 0), (0, 0), (0, nb_pad - nb))) \
+            .reshape(C, n_super * nb_pad)
+
+        tail_ops = [_tail_planes(state[st.name], st.hist_pad)
+                    for st in self.stages]
+        h_ops = [jnp.asarray(st.H) for st in self.stages]
+
+        n = len(self.stages)
+        twoC = 2 * C
+        cfg = {
+            "C": C, "M": M, "adv0": self.adv0, "adv_f": self.adv_f,
+            "m_out": m_out, "n_super": n_super,
+            "stages": [
+                _Stage(**{**st.__dict__, "H": None,
+                          "i_tail": plan["tails"][s][0],
+                          "tail_al": plan["tails"][s][1]})
+                for s, st in enumerate(self.stages)],
+        }
+        in_specs = [
+            pl.BlockSpec((2 * M, self.adv0), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, nb_pad), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        for st in self.stages:
+            in_specs.append(pl.BlockSpec((twoC, st.hist_pad),
+                                         lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for st in self.stages:
+            in_specs.append(pl.BlockSpec(st.H.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        out_specs = [
+            pl.BlockSpec((twoC, self.adv_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, self.tails_w_total), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, BS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [pltpu.VMEM((twoC, st.hist_pad + st.adv_in), jnp.float32)
+                   for st in self.stages]
+        scratch.append(pltpu.VMEM((C, BS), jnp.float32))
+
+        flops = n_super * (2 * 2 * C * M * self.adv0      # gather matmuls
+                           + 10 * C * self.adv0)          # rotate
+        for st in self.stages:
+            flops += n_super * 2 * st.Lw * st.adv_out * twoC
+        bytes_acc = (2 * M * Tb_pad * 4
+                     + twoC * n_super * self.adv_f * 4
+                     + twoC * self.tails_w_total * 4
+                     + C * M * 4 + base.size * 4
+                     + sum(h.size * 4 for h in h_ops))
+        cost = pl.CostEstimate(flops=int(flops),
+                               bytes_accessed=int(bytes_acc),
+                               transcendentals=int(n_super * 2 * C
+                                                   * self.adv0))
+        out, tails_out, sq = pl.pallas_call(
+            functools.partial(_chan_kernel, cfg=cfg),
+            grid=(n_super,),
+            cost_estimate=cost,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((twoC, self.tails_w_total),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((C, BS), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(bins, onehot, om[:, None], base.astype(jnp.float32),
+          *tail_ops, *h_ops)
+
+        if return_planes:
+            y = (out[:C, :m_out], out[C:, :m_out])
+        else:
+            y = jax.lax.complex(out[:C, :m_out], out[C:, :m_out])
+        sq_sums = jnp.sum(sq, axis=-1)
+
+        new_state = dict(state)
+        new_state["xl"] = advance_phase(state["xl"], om,
+                                        params["xl"]["omega_span"], Tb)
+        for s, st in enumerate(self.stages):
+            _it, al, end_local = plan["tails"][s]
+            seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
+            lo = end_local - al - st.hist
+            tl = seg[:, lo:lo + st.hist]
+            new_state[st.name] = jax.lax.complex(tl[:C], tl[C:])
+        return y, sq_sums, new_state
+
+
+def build_chan_pipeline(bank, C: int,
+                        interpret: bool = False
+                        ) -> Optional[ChanPostPipeline]:
+    p = ChanPostPipeline(bank, C, interpret=interpret)
+    return p if p.supported else None

@@ -151,24 +151,104 @@ class OversampledChannelizer(Block):
         return y, {"tail_a": tail_a, "tail_b": tail_b,
                    "delay": x[..., T - half:]}
 
+    def _dft_mats(self):
+        """DFT-as-matmul matrices, the odd-pass (−1)^m twiddle folded in.
+
+        FFT(roll(v, M/2))_m = (−1)^m·FFT(v)_m, so the delayed pass needs
+        no branch roll — just sign-flipped rows.  Kept as separate
+        cos/sin f32 matrices so the whole channelizer works on re/im
+        planes without ever materializing complex64 (M ≤ 64 → a [M, M]
+        matmul per frame block is MXU noise next to the HBM traffic).
+        """
+        mats = getattr(self, "_dft_cache", None)
+        if mats is None:
+            M = self.M
+            ang = 2.0 * np.pi * np.outer(np.arange(M), np.arange(M)) / M
+            cosm = np.cos(ang)
+            sinm = np.sin(ang)
+            sgn = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)[:, None]
+            mats = self._dft_cache = tuple(
+                jnp.asarray(m, jnp.float32)
+                for m in (cosm, sinm, cosm * sgn, sinm * sgn))
+        return mats
+
+    def _cs_pass_planes(self, tail, x):
+        """_cs_pass emitting separate (re, im) float32 planes."""
+        T = x.shape[-1]
+        k = T // self.M
+        xp = jnp.moveaxis(x.reshape(x.shape[:-1] + (k, self.M)), -1, -2)
+        tail = tail.astype(x.dtype) if tail.dtype != x.dtype else tail
+        ext = jnp.concatenate([tail, xp], axis=-1)
+        b = jnp.asarray(self.branches, jnp.float32)
+        tpp = self.tpp
+        er = jnp.real(ext).astype(jnp.float32)
+        ei = jnp.imag(ext).astype(jnp.float32)
+        bb = b.reshape((1,) * (ext.ndim - 2) + b.shape)
+        vr = jnp.zeros(ext.shape[:-1] + (k,), jnp.float32)
+        vi = jnp.zeros_like(vr)
+        for i in range(tpp):
+            g = bb[..., i:i + 1]
+            vr = vr + _sl(er, i, k) * g
+            vi = vi + _sl(ei, i, k) * g
+        return vr, vi, ext[..., ext.shape[-1] - (tpp - 1):]
+
+    def apply_planes(self, state, x):
+        """x [..., T] → ((yr, yi) [..., M, 2T/M] float32, state') — same
+        bins as apply() (DFT computed as a cos/sin matmul instead of
+        jnp.fft, ~1e-6 relative) with the complex64 output never
+        materialized; the fused post-channelizer kernel
+        (ops/chan_frontend.py) eats these planes directly."""
+        T = x.shape[-1]
+        assert T % self.M == 0, (T, self.M)
+        half = self.M // 2
+        var, vai, tail_a = self._cs_pass_planes(state["tail_a"], x)
+        xd = jnp.concatenate(
+            [state["delay"].astype(x.dtype), x[..., :T - half]], axis=-1)
+        vbr, vbi, tail_b = self._cs_pass_planes(state["tail_b"], xd)
+        cosm, sinm, cosb, sinb = self._dft_mats()
+        # (vr+j·vi)·e^{−jθ} summed: re = C·vr + S·vi, im = C·vi − S·vr
+        yar = cosm @ var + sinm @ vai
+        yai = cosm @ vai - sinm @ var
+        ybr = cosb @ vbr + sinb @ vbi
+        ybi = cosb @ vbi - sinb @ vbr
+        # odd (delayed) frames sit half a hop EARLIER: interleave [B, A]
+        k = yar.shape[-1]
+        yr = jnp.stack([ybr, yar], axis=-1).reshape(
+            yar.shape[:-2] + (self.M, 2 * k))
+        yi = jnp.stack([ybi, yai], axis=-1).reshape(
+            yar.shape[:-2] + (self.M, 2 * k))
+        return (yr, yi), {"tail_a": tail_a, "tail_b": tail_b,
+                          "delay": x[..., T - half:]}
+
 
 def _branch_fir(ext: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
     """Per-branch real-tap FIR on complex data.
 
     ext: [..., M, k + tpp - 1] complex; branches: [M, tpp] float32.
     Returns [..., M, k].
+
+    Lowering note: per-branch taps are a grouped conv with M groups of
+    one channel each — the pathological case for XLA's TPU conv (each
+    group padded to full lanes; measured 169 B/in-sample at M=48 where
+    the streams are ~32).  With tpp small (≤ a few dozen) the
+    tap-shifted sum below fuses into one pass over ``ext`` instead.
     """
     M, tpp = branches.shape
-    lead = ext.shape[:-2]
-    W = ext.shape[-1]
-    # features = branches (grouped conv, one group per branch), stack re/im
-    # into the batch dim.
-    xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=0)
-    xf = xf.reshape((-1, M, W)).astype(jnp.float32)      # [N*2, M, W]
-    ker = branches[:, None, :]                           # [M, 1, tpp]
-    dn = jax.lax.ConvDimensionNumbers((0, 1, 2), (0, 1, 2), (0, 1, 2))
-    y = jax.lax.conv_general_dilated(
-        xf, ker, (1,), "VALID", dimension_numbers=dn,
-        feature_group_count=M, preferred_element_type=jnp.float32)
-    y = y.reshape((2,) + lead + (M, y.shape[-1]))
-    return jax.lax.complex(y[0], y[1])
+    k = ext.shape[-1] - (tpp - 1)
+    er = jnp.real(ext).astype(jnp.float32)
+    ei = jnp.imag(ext).astype(jnp.float32)
+    b = branches.reshape((1,) * (ext.ndim - 2) + (M, tpp))
+    yr = jnp.zeros(ext.shape[:-1] + (k,), jnp.float32)
+    yi = jnp.zeros_like(yr)
+    # y[.., m, t] = Σ_i b[m, i] · ext[.., m, t + i] — XLA conv is
+    # cross-correlation (kernel unflipped), so window index i pairs
+    # tap i, matching the previous grouped-conv lowering exactly.
+    for i in range(tpp):
+        g = b[..., i:i + 1]
+        yr = yr + _sl(er, i, k) * g
+        yi = yi + _sl(ei, i, k) * g
+    return jax.lax.complex(yr, yi)
+
+
+def _sl(a: jnp.ndarray, i: int, k: int) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(a, i, i + k, axis=-1)
