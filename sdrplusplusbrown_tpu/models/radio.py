@@ -367,17 +367,56 @@ def init_state_channelized(self, C: int):
     return st
 
 
-def apply_channelized(self, params, state, x):
+def apply_channelized(self, params, state, x, _force_fused=None):
     """x: [T] SHARED wideband → per-channel audio via the 2×-oversampled
     PFB front end (ChannelizedRxVFOBank) — O(C)-free at the full input
     rate, the wide-bank/scanner path.  Signal-equivalent (not bit-near)
-    to apply(): different anti-alias filters."""
+    to apply(): different anti-alias filters.
+
+    On TPU the post-channelizer tail (gather/NCO/decim2/bandwidth FIR)
+    runs as ONE pallas kernel (ops/chan_frontend.py) with the squelch's
+    whole-block |y| mean accumulated in-kernel and the gate folded into
+    the demodulator's input pass — same outputs as the chained path
+    (squelch zeroes the IF before demod, reference squelch.h:55-69)."""
     if x.shape[-1] % self.in_multiple:
         raise ValueError(
             f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
             f"be a multiple of in_multiple={self.in_multiple}")
     vb = self._build_vfo_channelized()
     st = dict(state)
+    use_fused = _force_fused
+    if use_fused is None:
+        from ..ops.fir import get_fir_backend
+        use_fused = (get_fir_backend() in ("auto", "pallas")
+                     and jax.default_backend() not in ("cpu",))
+    if use_fused and not self.nb_enabled and not self.fmif_enabled:
+        plane_demod = hasattr(self.demod, "apply_planes")
+        res = vb.apply_fused(params["vfo"], state["vfo"], x,
+                             return_planes=plane_demod,
+                             interpret=bool(_force_fused))
+        if res is not None:
+            y, sq_sums, st["vfo"] = res
+            gate = None
+            if self.squelch_enabled:
+                n_if = (y[0] if plane_demod else y).shape[-1]
+                mean_amp = sq_sums / jnp.float32(n_if)
+                level = (params.get("squelch") or
+                         {"level": jnp.float32(
+                             self.squelch.default_level)})["level"]
+                power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
+                gate = (power_db >= level).astype(jnp.float32)[:, None]
+            if plane_demod:
+                xr, xi = y
+                if gate is not None:
+                    xr = xr * gate
+                    xi = xi * gate
+                y, st["demod"] = self.demod.apply_planes(
+                    None, state["demod"], (xr, xi))
+            else:
+                if gate is not None:
+                    y = y * gate
+                y, st["demod"] = self.demod.apply(None, state["demod"], y)
+            return self._post_demod(state, st, y)
     y, st["vfo"] = vb.apply(params["vfo"], state["vfo"], x)
     return self._post_vfo(params, state, st, y)
 

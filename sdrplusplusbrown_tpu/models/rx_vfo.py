@@ -131,8 +131,17 @@ class ChannelizedRxVFOBank(Block):
         k = np.round(f / self.out_samplerate)
         delta = f - k * self.out_samplerate
         idx = np.mod(k.astype(np.int64), self.M).astype(np.int32)
+        # exact mod-2π spans for the fused kernel's base-phase table
+        # (ops/chan_frontend.py); harmless extras on the chained path
+        from ..ops.xlator import _TWO_PI
+        from ..ops.chan_frontend import BS as _CBS, SPAN as _CSPAN
+        omega = -delta * (_TWO_PI / (2.0 * self.out_samplerate))
         return {"bin": jnp.asarray(idx),
-                "xl": nco_params(-delta, 2.0 * self.out_samplerate)}
+                "xl": nco_params(-delta, 2.0 * self.out_samplerate),
+                "xl_bs": jnp.asarray(np.mod(omega * _CBS, _TWO_PI),
+                                     jnp.float32),
+                "xl_sup": jnp.asarray(np.mod(omega * _CSPAN, _TWO_PI),
+                                      jnp.float32)}
 
     def init_state(self, C: int):
         st = {"chz": self.chz.init_state(),
@@ -152,6 +161,39 @@ class ChannelizedRxVFOBank(Block):
         if self.filter_needed:
             y, st["fir"] = self.fir.apply(None, state["fir"], y)
         return y, st
+
+    def _chan_pipe(self, C: int, interpret: bool = False):
+        """Lazily-built fused post-channelizer kernel
+        (ops/chan_frontend.py); None when the geometry is unsupported."""
+        cache = getattr(self, "_chan_cache", None)
+        if cache is None:
+            cache = self._chan_cache = {}
+        key = (C, interpret)
+        if key not in cache:
+            from ..ops.chan_frontend import build_chan_pipeline
+            cache[key] = build_chan_pipeline(self, C, interpret=interpret)
+        return cache[key]
+
+    def apply_fused(self, params, state, x, return_planes: bool = False,
+                    interpret: bool = False):
+        """x: [T] wideband → ((y | (yr, yi)), sq_sums [C], state') via
+        the one-kernel post-channelizer path, or None when unsupported
+        (caller falls back to apply()).  sq_sums = Σ|y| per channel
+        over the block — the squelch's whole-block mean, computed for
+        free inside the kernel."""
+        C = int(params["bin"].shape[0])
+        pipe = self._chan_pipe(C, interpret=interpret)
+        if pipe is None or "xl_sup" not in params:
+            return None
+        st = dict(state)
+        # tuple planes + in-pipe concat/pad measured CHEAPER than the
+        # single stacked+padded emit (XLA fuses the concat better than
+        # the [2,M,k,2] stack-reshape): 694.6 vs 770 B/in-sample whole
+        # chain at C=128
+        planes, st["chz"] = self.chz.apply_planes(state["chz"], x)
+        y, sq_sums, st2 = pipe.apply(params, st, planes,
+                                     return_planes=return_planes)
+        return y, sq_sums, st2
 
 
 class SharedRxVFOBank(Block):

@@ -259,20 +259,29 @@ class ChanPostPipeline:
         self._plan_cache[Tb] = plan
         return plan
 
-    def apply(self, params, state, bins_planes, return_planes=False):
-        """bins_planes: (yr, yi) [M, Tb] float32 from
-        OversampledChannelizer.apply_planes.  Returns
+    def apply(self, params, state, bins_planes, return_planes=False,
+              Tb: int | None = None):
+        """bins_planes: (yr, yi) [M, Tb] float32 planes from
+        OversampledChannelizer.apply_planes, or the already-stacked
+        padded [2M, Tb_pad] array it emits with ``pad_to`` (then pass
+        the valid width as ``Tb``).  Returns
         ((y | (yr, yi)), sq_sums [C], state')."""
         C, M = self.C, self.M
-        yr, yi = bins_planes
-        Tb = yr.shape[-1]
-        plan = self._plan(Tb)
+        if isinstance(bins_planes, tuple):
+            yr, yi = bins_planes
+            Tb = yr.shape[-1]
+            plan = self._plan(Tb)
+            bins = jnp.concatenate([yr, yi], axis=0)
+            if plan["Tb_pad"] > Tb:
+                bins = jnp.pad(bins, ((0, 0), (0, plan["Tb_pad"] - Tb)))
+        else:
+            assert Tb is not None
+            plan = self._plan(Tb)
+            bins = bins_planes
+            assert bins.shape == (2 * M, plan["Tb_pad"]), \
+                (bins.shape, plan["Tb_pad"])
         n_super, Tb_pad = plan["n_super"], plan["Tb_pad"]
         m_out = plan["m"][-1]
-
-        bins = jnp.concatenate([yr, yi], axis=0)
-        if Tb_pad > Tb:
-            bins = jnp.pad(bins, ((0, 0), (0, Tb_pad - Tb)))
 
         onehot = jax.nn.one_hot(params["bin"], M, dtype=jnp.float32)
 

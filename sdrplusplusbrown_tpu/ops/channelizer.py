@@ -167,10 +167,12 @@ class OversampledChannelizer(Block):
             cosm = np.cos(ang)
             sinm = np.sin(ang)
             sgn = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)[:, None]
+            # cache NUMPY, convert per use: caching jnp arrays created
+            # inside a trace leaks tracers across jit boundaries
             mats = self._dft_cache = tuple(
-                jnp.asarray(m, jnp.float32)
+                np.asarray(m, np.float32)
                 for m in (cosm, sinm, cosm * sgn, sinm * sgn))
-        return mats
+        return tuple(jnp.asarray(m) for m in mats)
 
     def _cs_pass_planes(self, tail, x):
         """_cs_pass emitting separate (re, im) float32 planes."""
@@ -192,12 +194,17 @@ class OversampledChannelizer(Block):
             vi = vi + _sl(ei, i, k) * g
         return vr, vi, ext[..., ext.shape[-1] - (tpp - 1):]
 
-    def apply_planes(self, state, x):
+    def apply_planes(self, state, x, pad_to: int | None = None):
         """x [..., T] → ((yr, yi) [..., M, 2T/M] float32, state') — same
         bins as apply() (DFT computed as a cos/sin matmul instead of
         jnp.fft, ~1e-6 relative) with the complex64 output never
         materialized; the fused post-channelizer kernel
-        (ops/chan_frontend.py) eats these planes directly."""
+        (ops/chan_frontend.py) eats these planes directly.
+
+        With ``pad_to``: returns a SINGLE [..., 2M, pad_to] array (re
+        rows stacked over im rows, zero-padded columns) — the exact
+        kernel input layout, so the interleave, the re/im stack and the
+        padding all land in one fused write instead of three passes."""
         T = x.shape[-1]
         assert T % self.M == 0, (T, self.M)
         half = self.M // 2
@@ -211,14 +218,25 @@ class OversampledChannelizer(Block):
         yai = cosm @ vai - sinm @ var
         ybr = cosb @ vbr + sinb @ vbi
         ybi = cosb @ vbi - sinb @ vbr
+        new_state = {"tail_a": tail_a, "tail_b": tail_b,
+                     "delay": x[..., T - half:]}
         # odd (delayed) frames sit half a hop EARLIER: interleave [B, A]
         k = yar.shape[-1]
-        yr = jnp.stack([ybr, yar], axis=-1).reshape(
-            yar.shape[:-2] + (self.M, 2 * k))
-        yi = jnp.stack([ybi, yai], axis=-1).reshape(
-            yar.shape[:-2] + (self.M, 2 * k))
-        return (yr, yi), {"tail_a": tail_a, "tail_b": tail_b,
-                          "delay": x[..., T - half:]}
+        lead = yar.shape[:-2]
+        if pad_to is None:
+            yr = jnp.stack([ybr, yar], axis=-1).reshape(
+                lead + (self.M, 2 * k))
+            yi = jnp.stack([ybi, yai], axis=-1).reshape(
+                lead + (self.M, 2 * k))
+            return (yr, yi), new_state
+        assert pad_to >= 2 * k
+        # [..., 2(re/im), M, k, 2(B/A)] → [..., 2M, 2k]: re rows on top
+        bins = jnp.stack([jnp.stack([ybr, yar], axis=-1),
+                          jnp.stack([ybi, yai], axis=-1)],
+                         axis=-4).reshape(lead + (2 * self.M, 2 * k))
+        bins = jnp.pad(bins, ((0, 0),) * (bins.ndim - 1)
+                       + ((0, pad_to - 2 * k),))
+        return bins, new_state
 
 
 def _branch_fir(ext: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:

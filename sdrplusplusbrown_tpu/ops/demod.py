@@ -137,6 +137,16 @@ class FMDemod(Block):
             y, fs = self.fir.apply(None, fs, y)
         return y, {"quad": qs, "fir": fs}
 
+    def apply_planes(self, params, state, planes):
+        """Same demod on (re, im) float32 planes — the IF never
+        materializes as complex64 (pairs with the fused front ends)."""
+        xr, xi = planes
+        y, qs = self.quad.apply_planes(state["quad"], xr, xi)
+        fs = state["fir"]
+        if self.filtering:
+            y, fs = self.fir.apply(None, fs, y)
+        return y, {"quad": qs, "fir": fs}
+
 
 class AMDemod(Block):
     """AM demodulator: [carrier AGC] → envelope → DC block → [audio AGC] →

@@ -1,0 +1,139 @@
+"""Fused post-channelizer kernel (ops/chan_frontend.py) equality tests.
+
+Oracle: the chained ChannelizedRxVFOBank path (gather → FrequencyXlator
+→ decim2 → bandwidth FIR as separate XLA ops) — the fused kernel must
+match it to float32 accumulation noise (>70 dB), including streaming
+state across calls, runtime retunes, and the squelch whole-block sums.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_NFM
+from sdrplusplusbrown_tpu.models.rx_vfo import ChannelizedRxVFOBank
+
+FS = 2_400_000.0
+C = 16
+
+
+def _bank():
+    return ChannelizedRxVFOBank(FS, 50_000.0, 12_500.0)
+
+
+def _wideband(rng, T):
+    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
+         ).astype(np.complex64) * 0.1
+    n = np.arange(T)
+    # a few strong carriers so channels have structure
+    for f in (-700e3, -150e3, 333e3, 901e3):
+        x = x + 0.4 * np.exp(2j * np.pi * f * n / FS).astype(np.complex64)
+    return x
+
+
+def _offsets():
+    return np.linspace(-1.0e6, 1.0e6, C) + 917.0
+
+
+def _snr(ref, got):
+    err = np.asarray(ref) - np.asarray(got)
+    return 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                         / max(np.mean(np.abs(err) ** 2), 1e-30))
+
+
+def test_fused_equality_and_squelch_sums(rng):
+    vb = _bank()
+    params = vb.make_params(_offsets())
+    T = 48 * 2500
+    x = jnp.asarray(_wideband(rng, T))
+
+    st1 = vb.init_state(C)
+    y1, st1 = vb.apply(params, st1, x)
+
+    st2 = vb.init_state(C)
+    res = vb.apply_fused(params, st2, x, interpret=True)
+    assert res is not None, "kernel should support this geometry"
+    y2, sq, st2 = res
+
+    snr = _snr(np.asarray(y1), np.asarray(y2))
+    assert snr > 70, snr
+    np.testing.assert_allclose(
+        np.asarray(sq), np.sum(np.abs(np.asarray(y2)), axis=-1),
+        rtol=1e-4, atol=1e-3)
+
+
+def test_fused_streaming_state(rng):
+    vb = _bank()
+    params = vb.make_params(_offsets())
+    T = 48 * 2000
+    x = _wideband(rng, 2 * T)
+
+    st1 = vb.init_state(C)
+    y1, st1 = vb.apply(params, st1, jnp.asarray(x))
+
+    st2 = vb.init_state(C)
+    ya, _, st2 = vb.apply_fused(params, st2, jnp.asarray(x[:T]),
+                                interpret=True)
+    yb, _, st2 = vb.apply_fused(params, st2, jnp.asarray(x[T:]),
+                                interpret=True)
+    y2 = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=-1)
+    snr = _snr(np.asarray(y1), y2)
+    assert snr > 70, snr
+
+
+def test_fused_runtime_retune(rng):
+    vb = _bank()
+    T = 48 * 2000
+    x = _wideband(rng, 2 * T)
+    offs2 = _offsets() + 13_100.0
+
+    st1 = vb.init_state(C)
+    _, st1 = vb.apply(vb.make_params(_offsets()), st1, jnp.asarray(x[:T]))
+    y1, st1 = vb.apply(vb.make_params(offs2), st1, jnp.asarray(x[T:]))
+
+    st2 = vb.init_state(C)
+    _, _, st2 = vb.apply_fused(vb.make_params(_offsets()), st2,
+                               jnp.asarray(x[:T]), interpret=True)
+    y2, _, st2 = vb.apply_fused(vb.make_params(offs2), st2,
+                                jnp.asarray(x[T:]), interpret=True)
+    # retune discontinuity: both paths carry the SAME xl phase rule, so
+    # outputs still match exactly
+    snr = _snr(np.asarray(y1), np.asarray(y2))
+    assert snr > 70, snr
+
+
+@pytest.mark.slow
+def test_radio_channelized_fused_matches_chained(rng):
+    radio = Radio(FS, DEMOD_NFM, squelch_enabled=True,
+                  pll_mode="normalize")
+    g = radio.in_multiple
+    T = ((48 * 2500 + g - 1) // g) * g
+    n = np.arange(T)
+    offs = _offsets()
+    # one loud NFM carrier on channel 0 (above squelch), silence
+    # elsewhere (below)
+    audio = 0.8 * np.sin(2 * np.pi * 1000 * n / FS)
+    phase = 2 * np.pi * np.cumsum(2500 * audio) / FS
+    x = (0.7 * np.exp(1j * (2 * np.pi * offs[0] * n / FS + phase))
+         + 1e-3 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+    params = radio.make_params_channelized(offs, squelch_level=-30.0)
+
+    st1 = radio.init_state_channelized(C)
+    y1, st1 = radio.apply_channelized(params, st1, jnp.asarray(x),
+                                      _force_fused=False)
+
+    st2 = radio.init_state_channelized(C)
+    y2, st2 = radio.apply_channelized(params, st2, jnp.asarray(x),
+                                      _force_fused=True)
+
+    a1, a2 = np.asarray(y1), np.asarray(y2)
+    assert a1.shape == a2.shape
+    # same channels squelched in both paths
+    open1 = np.abs(a1).max(axis=(-2, -1)) > 1e-6
+    open2 = np.abs(a2).max(axis=(-2, -1)) > 1e-6
+    np.testing.assert_array_equal(open1, open2)
+    assert open1[0] and not open1[C - 1]  # carrier channel open only
+    snr = _snr(a1[open1], a2[open1])
+    assert snr > 60, snr
