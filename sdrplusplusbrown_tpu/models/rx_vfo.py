@@ -186,6 +186,18 @@ class ChannelizedRxVFOBank(Block):
         if pipe is None or "xl_sup" not in params:
             return None
         st = dict(state)
+        Tb = 2 * x.shape[-1] // self.M
+        pad_to = pipe._plan(Tb)["Tb_pad"]
+        pz = self._pallas_chz(interpret)
+        if pz is not None and pad_to % pz.NF == 0:
+            # whole channelizer as ONE kernel emitting the exact bins
+            # layout the post-channelizer kernel eats (the padded tail
+            # holds garbage frames — chan_frontend masks/trims them)
+            bins, st["chz"] = pz.apply(state["chz"], x, pad_to)
+            y, sq_sums, st2 = pipe.apply(params, st, bins,
+                                         return_planes=return_planes,
+                                         Tb=Tb)
+            return y, sq_sums, st2
         # tuple planes + in-pipe concat/pad measured CHEAPER than the
         # single stacked+padded emit (XLA fuses the concat better than
         # the [2,M,k,2] stack-reshape): 694.6 vs 770 B/in-sample whole
@@ -194,6 +206,16 @@ class ChannelizedRxVFOBank(Block):
         y, sq_sums, st2 = pipe.apply(params, st, planes,
                                      return_planes=return_planes)
         return y, sq_sums, st2
+
+    def _pallas_chz(self, interpret: bool = False):
+        cache = getattr(self, "_pchz_cache", None)
+        if cache is None:
+            cache = self._pchz_cache = {}
+        if interpret not in cache:
+            from ..ops.pallas_channelizer import build_pallas_channelizer
+            cache[interpret] = build_pallas_channelizer(
+                self.chz, interpret=interpret)
+        return cache[interpret]
 
 
 class SharedRxVFOBank(Block):

@@ -1,0 +1,221 @@
+"""Pallas 2×-oversampled PFB channelizer: wideband planes → bins planes
+in ONE kernel pass.
+
+The XLA lowering of OversampledChannelizer costs ~380 HBM B/in-sample
+at M=48 (measured): the polyphase decompose is a [k, M]→[M, k]
+transpose (59 B/smp each, two passes), the branch FIR and DFT matmuls
+each round-trip HBM, and the A/B frame interleave is one more pass.
+This kernel exploits the closed form (verified to 1.4e-7 against the
+chained path):
+
+    bins[m, F] = σ_m^{F+1} · Σ_ℓ G[m, ℓ] · x[F·h − K0 + h + ℓ]
+
+with h = M/2, K0 = tpp·M, G[m, ℓ] = proto[ℓ]·e^{−2πimℓ/M} and
+σ_m = (−1)^m on even (delayed-pass) frames — i.e. every output frame
+is ONE window dot with a STATIC complex matrix, windows advancing h
+per frame.  Feeding the MXU without forbidden unaligned slices:
+
+  * outside, the wideband planes are laid out hop-major: one
+    [2h, T/h] array whose COLUMN F is hop F (re rows over im rows) —
+    one XLA transpose pass, far cheaper than the chained path's per-
+    stage round-trips (Mosaic DMA can only slice HBM arrays along
+    128-aligned lane tiles, so the [T/h, h] row layout is unusable);
+  * the kernel DMAs a 128-aligned column block, then for each of the
+    ntpp = 2·tpp window shifts d takes cols d..d+NF via pltpu.roll
+    (lane roll + aligned slice — Mosaic forbids unaligned lane
+    slices) and contracts rows with the static [2M, h] tap slab:
+    bins += G_d @ cols — an ordinary MXU matmul per (shift, plane).
+
+HBM per call: hop-major planes once in, bins planes once out, taps
+once.  Output width is caller-chosen (padded), matching exactly what
+the fused post-channelizer kernel (ops/chan_frontend.py) wants to
+eat; the padded tail holds garbage frames the consumer masks/trims.
+
+State: consumes/produces the standard OversampledChannelizer state
+dict (tail_a/tail_b/delay) via exact layout conversion of the last
+K0−h wideband samples, so pallas and XLA channelizers interchange
+freely mid-stream.
+
+reference behavior: the reference runs one RxVFO per channel
+(channel/rx_vfo.h:89-121); the PFB split is this repo's wide-bank
+redesign (docs/benchmarks.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_VMEM = 10 * (1 << 20)
+HALO = 128          # DMA window extension (≥ ntpp−1, lane-aligned)
+
+
+def _rup(n: int, a: int) -> int:
+    return ((n + a - 1) // a) * a
+
+
+def _chz_kernel(x_hbm, gre_ref, gim_ref, sgn_ref, o_ref, hop, sem,
+                *, NF, ntpp, h, M):
+    i = pl.program_id(0)
+    W = NF + HALO
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(i * NF, W)], hop.at[...], sem)
+    cp.start()
+    cp.wait()
+
+    # window shift d: hop cols d..d+NF — lane roll + aligned slice
+    twoM = 2 * M
+    acc = jnp.zeros((twoM, NF), jnp.float32)
+    for d in range(ntpp):
+        cols = jax.lax.slice(pltpu.roll(hop[...], W - d, 1),
+                             (0, 0), (2 * h, NF))
+        acc = acc + jax.lax.dot_general(
+            gre_ref[d * twoM:(d + 1) * twoM, :], cols[:h, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            gim_ref[d * twoM:(d + 1) * twoM, :], cols[h:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # delayed-pass (−1)^m sign on even global frames (NF even → local)
+    par = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1) % 2
+    o_ref[...] = acc * jnp.where(par == 1, 1.0, sgn_ref[...])
+
+
+class PallasChannelizer:
+    """Built from an OversampledChannelizer; ``supported`` False when
+    the geometry can't use the kernel."""
+
+    def __init__(self, chz, interpret: bool = False):
+        self.chz = chz
+        self.interpret = interpret
+        self.M = M = int(chz.M)
+        self.h = h = M // 2
+        self.tpp = tpp = int(chz.tpp)
+        self.K0 = K0 = tpp * M
+        self.supported = False
+        if M % 8 or tpp < 2:
+            return
+        # modulated prototype in natural order: G[m, ℓ] = proto[ℓ]·e^{−jθ}
+        pn = np.zeros(K0)
+        br = np.asarray(chz.branches, np.float64)     # [M, tpp]
+        for p in range(M):
+            pn[np.arange(tpp) * M + p] = br[p]
+        ell = np.arange(K0)
+        ang = -2.0 * np.pi * np.outer(np.arange(M), ell) / M
+        gr = (pn[None, :] * np.cos(ang)).astype(np.float32)
+        gi = (pn[None, :] * np.sin(ang)).astype(np.float32)
+        # per-shift slabs: GRe_d multiplies the re rows of the window,
+        # GIm_d the im rows; contraction is over the h in-hop samples
+        self.ntpp = ntpp = 2 * tpp              # hops per K0 window
+        gre = np.zeros((ntpp * 2 * M, h), np.float32)
+        gim = np.zeros((ntpp * 2 * M, h), np.float32)
+        for d in range(ntpp):
+            grd = gr[:, d * h:(d + 1) * h]
+            gid = gi[:, d * h:(d + 1) * h]
+            gre[d * 2 * M:d * 2 * M + M] = grd
+            gre[d * 2 * M + M:(d + 1) * 2 * M] = gid
+            gim[d * 2 * M:d * 2 * M + M] = -gid
+            gim[d * 2 * M + M:(d + 1) * 2 * M] = grd
+        self.GRe, self.GIm = gre, gim
+        sg = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)
+        self.sgn = np.concatenate([sg, sg]).astype(np.float32)[:, None]
+        self.NF = NF = 256
+        if ntpp - 1 > HALO:
+            return
+        vmem = (gre.size * 8 + 2 * M * NF * 4 * 2
+                + 2 * h * (NF + HALO) * 4)
+        if vmem > MAX_VMEM:
+            return
+        self.supported = True
+
+    # ---- state layout conversions (tiny arrays) -------------------------
+    def _state_to_xw(self, state):
+        """chz state dict → last K0−h wideband samples (complex)."""
+        tpp, M = self.tpp, self.M
+        tb = jnp.swapaxes(state["tail_b"], -1, -2).reshape(
+            state["tail_b"].shape[:-2] + ((tpp - 1) * M,))
+        return jnp.concatenate([tb, state["delay"]], axis=-1)
+
+    def _xw_to_state(self, xw):
+        tpp, M, h = self.tpp, self.M, self.h
+        n = (tpp - 1) * M
+        tail_b = jnp.swapaxes(
+            xw[..., :n].reshape(xw.shape[:-1] + (tpp - 1, M)), -1, -2)
+        tail_a = jnp.swapaxes(
+            xw[..., h:h + n].reshape(xw.shape[:-1] + (tpp - 1, M)), -1, -2)
+        return {"tail_a": tail_a, "tail_b": tail_b,
+                "delay": xw[..., n:n + h]}
+
+    def apply(self, state, x, width_out: int):
+        """x [T] complex wideband → (bins [2M, width_out] f32 planes
+        (re rows over im rows, zero-padded columns), state').
+        width_out must be ≥ 2T/M and a multiple of NF."""
+        M, h, K0, NF = self.M, self.h, self.K0, self.NF
+        T = x.shape[-1]
+        assert T % M == 0, (T, M)
+        Tb = 2 * T // M
+        assert width_out >= Tb and width_out % NF == 0, (width_out, Tb, NF)
+        n_super = width_out // NF
+
+        xw = self._state_to_xw(state)
+        ext = jnp.concatenate([xw, x])
+        # hop-major layout: column F = hop F (h samples), re over im
+        cols = (n_super - 1) * NF + NF + HALO
+        pad = cols * h - ext.shape[-1]
+        xr = jnp.real(ext)
+        xi = jnp.imag(ext)
+        if pad > 0:
+            xr = jnp.pad(xr, (0, pad))
+            xi = jnp.pad(xi, (0, pad))
+        xf = jnp.concatenate([
+            xr.reshape(cols, h).T, xi.reshape(cols, h).T], axis=0)
+
+        cfg = dict(NF=NF, ntpp=self.ntpp, h=h, M=M)
+        bins = pl.pallas_call(
+            functools.partial(_chz_kernel, **cfg),
+            grid=(n_super,),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * 2 * M * 2 * K0 * width_out),
+                bytes_accessed=int(2 * h * cols * 4
+                                   + 2 * M * width_out * 4
+                                   + self.GRe.size * 8),
+                transcendentals=0),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(self.GRe.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self.GIm.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * M, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((2 * M, NF), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2 * M, width_out),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2 * h, NF + HALO), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(xf, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
+          jnp.asarray(self.sgn))
+
+        new_state = self._xw_to_state(ext[..., ext.shape[-1] - (K0 - h):])
+        return bins, new_state
+
+
+def build_pallas_channelizer(chz, interpret: bool = False
+                             ) -> Optional[PallasChannelizer]:
+    p = PallasChannelizer(chz, interpret=interpret)
+    return p if p.supported else None

@@ -103,6 +103,36 @@ def test_fused_runtime_retune(rng):
     assert snr > 70, snr
 
 
+def test_pallas_channelizer_equality(rng):
+    """ops/pallas_channelizer.py vs the XLA OversampledChannelizer,
+    streaming across two calls and with mid-stream state interchange."""
+    from sdrplusplusbrown_tpu.ops.pallas_channelizer import (
+        build_pallas_channelizer)
+    vb = _bank()
+    chz = vb.chz
+    pz = build_pallas_channelizer(chz, interpret=True)
+    assert pz is not None
+    T = 48 * 2000
+    x = _wideband(rng, 2 * T)
+
+    st1 = chz.init_state()
+    y1a, st1 = chz.apply(None, st1, jnp.asarray(x[:T]))
+    y1b, st1 = chz.apply(None, st1, jnp.asarray(x[T:]))
+    y1 = np.concatenate([np.asarray(y1a), np.asarray(y1b)], -1)
+
+    Tb = 2 * T // chz.M
+    W = (Tb + pz.NF - 1) // pz.NF * pz.NF
+    st2 = chz.init_state()
+    b2a, st2 = pz.apply(st2, jnp.asarray(x[:T]), W)
+    # state dicts interchange mid-stream: run the SECOND half chained
+    y2b, _ = chz.apply(None, st2, jnp.asarray(x[T:]))
+    y2a = (np.asarray(b2a)[:chz.M, :Tb]
+           + 1j * np.asarray(b2a)[chz.M:, :Tb])
+    y2 = np.concatenate([y2a, np.asarray(y2b)], -1)
+    snr = _snr(y1, y2)
+    assert snr > 90, snr
+
+
 @pytest.mark.slow
 def test_radio_channelized_fused_matches_chained(rng):
     radio = Radio(FS, DEMOD_NFM, squelch_enabled=True,
