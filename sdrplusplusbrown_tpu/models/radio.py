@@ -391,20 +391,38 @@ def apply_channelized(self, params, state, x, _force_fused=None):
                      and jax.default_backend() not in ("cpu",))
     if use_fused and not self.nb_enabled and not self.fmif_enabled:
         plane_demod = hasattr(self.demod, "apply_planes")
+        C = int(params["vfo"]["bin"].shape[0])
+        pipe2 = (self._fm_audio_pipe(C, bool(_force_fused))
+                 if plane_demod else None)
         res = vb.apply_fused(params["vfo"], state["vfo"], x,
                              return_planes=plane_demod,
-                             interpret=bool(_force_fused))
+                             interpret=bool(_force_fused),
+                             raw=pipe2 is not None)
         if res is not None:
             y, sq_sums, st["vfo"] = res
+            n_if = (y[1] if pipe2 is not None
+                    else (y[0] if plane_demod else y).shape[-1])
             gate = None
             if self.squelch_enabled:
-                n_if = (y[0] if plane_demod else y).shape[-1]
                 mean_amp = sq_sums / jnp.float32(n_if)
                 level = (params.get("squelch") or
                          {"level": jnp.float32(
                              self.squelch.default_level)})["level"]
                 power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
                 gate = (power_db >= level).astype(jnp.float32)[:, None]
+            if pipe2 is not None:
+                # whole audio tail (gate → quad → audio FIR → AF
+                # resampler) as ONE kernel (ops/demod_kernel.py) fed the
+                # raw stacked IF buffer — no concat/trim pass
+                iq_raw, m_if = y
+                audio, st["demod"], ast = pipe2.apply(
+                    gate[:, 0] if gate is not None else None,
+                    state["demod"],
+                    state.get("af_resamp") or {},
+                    iq_raw, m_if)
+                if self.af_resamp is not None:
+                    st["af_resamp"] = ast
+                return jnp.stack([audio, audio], axis=-2), st
             if plane_demod:
                 xr, xi = y
                 if gate is not None:
@@ -421,6 +439,26 @@ def apply_channelized(self, params, state, x, _force_fused=None):
     return self._post_vfo(params, state, st, y)
 
 
+def _fm_audio_pipe(self, C: int, interpret: bool = False):
+    """Lazily-built fused demod+audio kernel (ops/demod_kernel.py);
+    None when this demod config can't use it."""
+    cache = getattr(self, "_fm_audio_cache", None)
+    if cache is None:
+        cache = self._fm_audio_cache = {}
+    key = (C, interpret)
+    if key not in cache:
+        from ..ops.demod import FMDemod
+        from ..ops.demod_kernel import build_fm_audio_pipeline
+        if (isinstance(self.demod, FMDemod) and self.deemp is None
+                and not self.demod_stereo):
+            cache[key] = build_fm_audio_pipeline(
+                self.demod, self.af_resamp, C, interpret=interpret)
+        else:
+            cache[key] = None
+    return cache[key]
+
+
+Radio._fm_audio_pipe = _fm_audio_pipe
 Radio._build_vfo_shared = _build_vfo_shared
 Radio.make_params_shared = make_params_shared
 Radio.init_state_shared = init_state_shared

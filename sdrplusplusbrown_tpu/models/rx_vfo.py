@@ -175,7 +175,7 @@ class ChannelizedRxVFOBank(Block):
         return cache[key]
 
     def apply_fused(self, params, state, x, return_planes: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, raw: bool = False):
         """x: [T] wideband → ((y | (yr, yi)), sq_sums [C], state') via
         the one-kernel post-channelizer path, or None when unsupported
         (caller falls back to apply()).  sq_sums = Σ|y| per channel
@@ -196,7 +196,7 @@ class ChannelizedRxVFOBank(Block):
             bins, st["chz"] = pz.apply(state["chz"], x, pad_to)
             y, sq_sums, st2 = pipe.apply(params, st, bins,
                                          return_planes=return_planes,
-                                         Tb=Tb)
+                                         Tb=Tb, raw=raw)
             return y, sq_sums, st2
         # tuple planes + in-pipe concat/pad measured CHEAPER than the
         # single stacked+padded emit (XLA fuses the concat better than
@@ -204,7 +204,7 @@ class ChannelizedRxVFOBank(Block):
         # chain at C=128
         planes, st["chz"] = self.chz.apply_planes(state["chz"], x)
         y, sq_sums, st2 = pipe.apply(params, st, planes,
-                                     return_planes=return_planes)
+                                     return_planes=return_planes, raw=raw)
         return y, sq_sums, st2
 
     def _pallas_chz(self, interpret: bool = False):

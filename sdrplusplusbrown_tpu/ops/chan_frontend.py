@@ -260,7 +260,7 @@ class ChanPostPipeline:
         return plan
 
     def apply(self, params, state, bins_planes, return_planes=False,
-              Tb: int | None = None):
+              Tb: int | None = None, raw: bool = False):
         """bins_planes: (yr, yi) [M, Tb] float32 planes from
         OversampledChannelizer.apply_planes, or the already-stacked
         padded [2M, Tb_pad] array it emits with ``pad_to`` (then pass
@@ -378,7 +378,11 @@ class ChanPostPipeline:
         )(bins, onehot, om[:, None], base.astype(jnp.float32),
           *tail_ops, *h_ops)
 
-        if return_planes:
+        if raw:
+            # untrimmed [2C, n_super·adv_f] stacked planes + valid width
+            # — feeds ops/demod_kernel.py without a concat/trim pass
+            y = (out, m_out)
+        elif return_planes:
             y = (out[:C, :m_out], out[C:, :m_out])
         else:
             y = jax.lax.complex(out[:C, :m_out], out[C:, :m_out])

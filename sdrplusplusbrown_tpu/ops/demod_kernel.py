@@ -1,0 +1,402 @@
+"""Fused FM demod + audio chain kernel: squelch gate → quadrature
+discriminator → audio lowpass FIR → AF polyphase resampler in ONE
+pallas pass over the IF planes.
+
+After the front-end kernels (ops/chan_frontend.py), the per-channel
+audio tail still costs ~165 HBM B/in-sample as chained XLA ops at
+C=128 (measured: demod 80.5 + af_resamp 54.3 + stereo stack 30.7) —
+each stage round-trips the [C, T_if] arrays.  This kernel reads the
+IF planes once and writes 48 kHz audio once:
+
+  * the squelch gate (whole-block |y| mean computed by the front-end
+    kernel) multiplies the IF as it enters VMEM — identical to the
+    reference's gate-zeroes-IF-before-demod semantics
+    (noise_reduction/squelch.h:55-69), including the gated carried
+    sample;
+  * the discriminator angle(x[n]·conj(x[n−1])) uses a lane-roll for
+    the one-sample history and a degree-17 odd minimax polynomial for
+    atan2 (Mosaic has no atan primitive; max error 2.4e-7 rad vs the
+    XLA atan2, i.e. −130 dB — the reference itself ships a fast_atan2,
+    core/src/dsp/math/fast_atan2.h).  A zeroed (squelched) input
+    yields exact silence, matching ops/demod.py:Quadrature;
+  * the audio FIR and the 24/25 AF polyphase are banded matmuls with
+    VMEM rolling overlap-save state (same machinery as the front-end
+    kernels).
+
+State compatibility: consumes/produces Radio's state["demod"]
+({"quad","fir"}) and state["af_resamp"] ({"resamp"}) entries, so the
+kernel and the chained FMDemod.apply_planes + RationalResampler path
+interchange freely.
+
+reference behavior: demod/quadrature.h:39-46, demod/fm.h:25-80,
+multirate/rational_resampler.h:128-173.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import gcd
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_VMEM = 15 * (1 << 20)   # scoped-VMEM hard limit is 16 MB
+
+# atan(z) = z·P(z²) on [0,1], degree-8 P (Chebyshev-node lstsq fit,
+# max err 6.3e-9; full atan2 construction 2.4e-7 in float32)
+_ATAN_C = (0.9999999055480192, -0.33332657866595233, 0.19986537719204336,
+           -0.1416433501814265, 0.10507325890466393, -0.072479633550002,
+           0.039899708900995264, -0.014458788993819372,
+           0.0024682698535998596)
+
+
+def _atan2_poly(im, re):
+    a = jnp.abs(im)
+    b = jnp.abs(re)
+    mx = jnp.maximum(a, b)
+    # guard ONLY exact zero: a floor like max(mx, 1e-30) distorts the
+    # ratio for tiny-but-normal products (FM transients reach ~1e-32,
+    # still inside float32's normal range)
+    z = jnp.minimum(a, b) / jnp.where(mx == 0.0, 1.0, mx)
+    z2 = z * z
+    p = jnp.full_like(z, _ATAN_C[8])
+    for k in range(7, -1, -1):
+        p = p * z2 + jnp.float32(_ATAN_C[k])
+    t = z * p
+    t = jnp.where(a > b, jnp.float32(np.pi / 2) - t, t)
+    t = jnp.where(re < 0, jnp.float32(np.pi) - t, t)
+    t = jnp.where(im < 0, -t, t)
+    return jnp.where((re == 0.0) & (im == 0.0), 0.0, t)
+
+
+def _rup(n: int, a: int) -> int:
+    return ((n + a - 1) // a) * a
+
+
+def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
+                  hf_ref, hp_ref, o_ref, qtail_o, tails_o, qcarry, buff,
+                  bufp, *, cfg):
+    i = pl.program_id(0)
+    C = cfg["C"]
+    twoC = 2 * C
+    adv = cfg["adv_if"]
+    adv_aud = cfg["adv_aud"]
+
+    # ---- roll histories -------------------------------------------------
+    @pl.when(i == 0)
+    def _init():
+        qcarry[...] = qtail_ref[...]
+        buff[:, :cfg["hpF"]] = ftail_ref[...]
+        bufp[:, :cfg["hpP"]] = ptail_ref[...]
+
+    @pl.when(i > 0)
+    def _roll():
+        buff[:, :cfg["hpF"]] = buff[:, adv:adv + cfg["hpF"]]
+        bufp[:, :cfg["hpP"]] = bufp[:, adv:adv + cfg["hpP"]]
+
+    # ---- gated IF in (straight off the input block — a [2C, adv]
+    # staging buffer would blow the 16 MB scoped-VMEM limit at C=128)
+    # the last block may read past the IF array (pallas pads out-of-
+    # bounds input blocks with unspecified values — NaN under interpret)
+    # and NaN×0 would poison the banded matmuls: mask invalid columns
+    gcol = (i * adv
+            + jax.lax.broadcasted_iota(jnp.int32, (twoC, adv), 1))
+    cur = jnp.where(gcol < cfg["m_if"], if_ref[...] * gate_ref[...], 0.0)
+
+    # ---- quadrature: lane-roll for the 1-sample history; the cross-
+    # block sample sits at col 127 of qcarry (one-hot matmul extract —
+    # unaligned lane slices are forbidden)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+          == 127).astype(jnp.float32)
+    prev0 = jnp.dot(qcarry[...], oh,
+                    preferred_element_type=jnp.float32)     # [2C, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (twoC, adv), 1)
+    prev = jnp.where(lane == 0, prev0, pltpu.roll(cur, 1, 1))
+    er = cur[0:C, :]
+    ei = cur[C:twoC, :]
+    erp = prev[0:C, :]
+    eip = prev[C:twoC, :]
+    re = er * erp + ei * eip
+    im = ei * erp - er * eip
+    y = _atan2_poly(im, re) * jnp.float32(cfg["inv_dev"])
+    buff[:, cfg["hpF"]:] = y
+    qcarry[...] = jax.lax.slice(cur, (0, adv - 128), (twoC, adv))
+
+    # ---- audio FIR (banded matmul) --------------------------------------
+    w0 = cfg["hpF"] - cfg["histF"]
+    for r in range(adv // 128):
+        win = buff[:, w0 + r * 128:w0 + r * 128 + cfg["LwF"]]
+        bufp[:, cfg["hpP"] + r * 128:cfg["hpP"] + (r + 1) * 128] = \
+            jnp.dot(win, hf_ref[...], preferred_element_type=jnp.float32)
+
+    # ---- AF polyphase (banded matmul) -----------------------------------
+    if cfg["has_poly"]:
+        w1 = cfg["hpP"] - cfg["histP"]
+        for r in range(adv_aud // cfg["tileP"]):
+            win = bufp[:, w1 + r * cfg["rowP"]:
+                       w1 + r * cfg["rowP"] + cfg["LwP"]]
+            o_ref[:, r * cfg["tileP"]:(r + 1) * cfg["tileP"]] = \
+                jnp.dot(win, hp_ref[...],
+                        preferred_element_type=jnp.float32)
+    else:
+        o_ref[...] = bufp[:, cfg["hpP"]:cfg["hpP"] + adv_aud]
+
+    # ---- next-call tails ------------------------------------------------
+    @pl.when(i == cfg["iq_t"])
+    def _tq():
+        qtail_o[...] = jax.lax.slice(cur, (0, cfg["alq"]),
+                                     (twoC, cfg["alq"] + 128))
+
+    @pl.when(i == cfg["if_t"])
+    def _tf():
+        tails_o[:, :cfg["tfw"]] = buff[:, cfg["alf"]:cfg["alf"] + cfg["tfw"]]
+
+    @pl.when(i == cfg["ip_t"])
+    def _tp():
+        tails_o[:, cfg["tfw"]:cfg["tfw"] + cfg["tpw"]] = \
+            bufp[:, cfg["alp"]:cfg["alp"] + cfg["tpw"]]
+
+
+class FMAudioPipeline:
+    """Built from a Radio's FMDemod + AF RationalResampler;
+    ``supported`` is False when the geometry can't use the kernel."""
+
+    def __init__(self, demod, af_resamp, C: int, interpret: bool = False):
+        from .pallas_fir import toeplitz_taps_decim, banded_poly_matrix
+        self.C = int(C)
+        self.interpret = interpret
+        self.supported = False
+        if C % 8 or C < 8:
+            return
+        if not getattr(demod, "filtering", False):
+            return
+        fir = demod.fir
+        if getattr(fir, "_complex_taps", False) or fir.decim != 1:
+            return
+        self.inv_dev = float(demod.quad.inv_deviation)
+        self.Kf = int(fir.K)
+        poly = None
+        if af_resamp is not None:
+            nb = af_resamp.chain.named_blocks
+            if len(nb) != 1 or nb[0][0] != "resamp":
+                return
+            poly = nb[0][1]
+        self.poly = poly
+        if poly is not None:
+            I, M = int(poly.interp), int(poly.decim)
+            mt = 128 // gcd(I, 128)
+            tileP = mt * I
+            # adv_aud = j·lcm(tileP,128); adv_if = adv_aud·M/I integral,
+            # 128-mult and rowP-mult
+            lcmA = tileP * 128 // gcd(tileP, 128)
+            sol = None
+            for j in range(1, 65):
+                adv_aud = j * lcmA
+                if (adv_aud * M) % I:
+                    continue
+                adv_if = adv_aud * M // I
+                if adv_if % 128 or adv_if % (mt * M):
+                    continue
+                sol = (adv_if, adv_aud)
+                break
+            if sol is None:
+                return
+            self.adv_if, self.adv_aud = sol
+            kw = poly.kernel.shape[1]
+            self.histP = poly.tpp - 1
+            self.Hp = banded_poly_matrix(
+                np.asarray(poly.kernel, np.float32), I, M, mt)
+            self.rowP = mt * M
+            self.LwP = (mt - 1) * M + kw
+            self.tileP = tileP
+            self.ratio_i, self.ratio_m = I, M
+        else:
+            self.adv_if = self.adv_aud = 3072
+            self.histP = 0
+            self.Hp = np.zeros((1, 1), np.float32)
+            self.rowP = self.LwP = self.tileP = 128
+            self.ratio_i = self.ratio_m = 1
+        self.histF = self.Kf - 1
+        self.hpF = _rup(max(self.histF, 1), 128)
+        self.hpP = _rup(max(self.histP, 1), 128)
+        self.Hf = toeplitz_taps_decim(np.asarray(fir.taps, np.float32),
+                                      128, 1)
+        self.LwF = 127 + self.Kf
+        if self.hpF + self.adv_if < max(self.LwF, self.histF + 255):
+            return
+        if self.poly is not None and \
+                self.hpP + self.adv_if < max(self.LwP, self.histP + 255):
+            return
+        C2 = 2 * self.C
+        vmem = 4 * (C2 * 128                       # quad carry
+                    + self.C * (self.hpF + self.adv_if)
+                    + self.C * (self.hpP + self.adv_if)
+                    + C2 * self.adv_if * 2         # in block (dbl-buf)
+                    + self.C * self.adv_aud * 2    # out block (dbl-buf)
+                    + self.Hf.size + self.Hp.size)
+        if vmem > MAX_VMEM:
+            return
+        self.tfw = _rup(self.histF + 127, 128)
+        self.tpw = _rup(self.histP + 127, 128)
+        self._plan_cache = {}
+        self.supported = True
+
+    def _plan(self, m_if: int):
+        plan = self._plan_cache.get(m_if)
+        if plan is not None:
+            return plan
+        m_aud = m_if * self.ratio_i // self.ratio_m
+        n_super = -(-m_aud // self.adv_aud)
+
+        def tail(m_in, adv_in, hist, hp, tw):
+            i_t = min((m_in - 1) // adv_in, n_super - 1)
+            end = hp + m_in - i_t * adv_in
+            al = max(0, (end - hist) // 128 * 128)
+            al = min(al, hp + adv_in - tw)
+            assert al >= 0 and al + tw >= end >= hist, (al, end, hist)
+            return i_t, al, end
+
+        # quad tail: col m_if−1 of the (masked, gated) input block at
+        # step iq_t, sliced at a 128-aligned offset
+        iq_t = min((m_if - 1) // self.adv_if, n_super - 1)
+        loc = (m_if - 1) - iq_t * self.adv_if
+        alq = min(loc // 128 * 128, self.adv_if - 128)
+        plan = {"m_aud": m_aud, "n_super": n_super,
+                "q": (iq_t, alq, loc - alq),
+                "f": tail(m_if, self.adv_if, self.histF, self.hpF,
+                          self.tfw),
+                "p": tail(m_if, self.adv_if, self.histP, self.hpP,
+                          self.tpw)}
+        self._plan_cache[m_if] = plan
+        return plan
+
+    def apply(self, gate, dstate, astate, planes, m_if: int):
+        """planes: (xr, xi) [C, ≥m_if] float32 IF — or the raw stacked
+        [2C, ≥m_if] buffer straight from the front-end kernel (no
+        concat pass); gate [C] float32 or None.  Returns
+        (audio [C, m_aud], new_demod_state, new_af_state)."""
+        C = self.C
+        plan = self._plan(m_if)
+        n_super = plan["n_super"]
+        m_aud = plan["m_aud"]
+
+        iq = (jnp.concatenate(planes, axis=0) if isinstance(planes, tuple)
+              else planes)
+        gate2 = (jnp.ones((2 * C, 1), jnp.float32) if gate is None
+                 else jnp.concatenate([gate, gate], axis=0)[:, None])
+
+        q = dstate["quad"]  # [C, 1] complex
+        qtail = jnp.zeros((2 * C, 128), jnp.float32)
+        qtail = qtail.at[:C, 127].set(jnp.real(q[:, 0]))
+        qtail = qtail.at[C:, 127].set(jnp.imag(q[:, 0]))
+
+        def pad_tail(t, hp):
+            t = jnp.real(t).astype(jnp.float32) if t.dtype != jnp.float32 \
+                else t
+            return jnp.pad(t, ((0, 0), (hp - t.shape[-1], 0)))
+
+        ftail = pad_tail(dstate["fir"], self.hpF)
+        if self.poly is not None:
+            ptail = pad_tail(astate["resamp"], self.hpP)
+        else:
+            ptail = jnp.zeros((C, self.hpP), jnp.float32)
+
+        cfg = {
+            "C": C, "adv_if": self.adv_if, "adv_aud": self.adv_aud,
+            "m_if": m_if,
+            "inv_dev": self.inv_dev, "hpF": self.hpF, "hpP": self.hpP,
+            "histF": self.histF, "histP": self.histP, "LwF": self.LwF,
+            "LwP": self.LwP, "rowP": self.rowP, "tileP": self.tileP,
+            "has_poly": self.poly is not None, "tfw": self.tfw,
+            "tpw": self.tpw,
+            "iq_t": plan["q"][0], "alq": plan["q"][1],
+            "if_t": plan["f"][0], "alf": plan["f"][1],
+            "ip_t": plan["p"][0], "alp": plan["p"][1],
+        }
+        twoC = 2 * C
+        in_specs = [
+            pl.BlockSpec((twoC, self.adv_if), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, self.hpF), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, self.hpP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(self.Hf.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(self.Hp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((C, self.adv_aud), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, self.tfw + self.tpw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        flops = n_super * (30 * C * self.adv_if
+                           + 2 * self.LwF * self.adv_if * C
+                           + 2 * self.LwP * self.adv_aud * C)
+        bytes_acc = (twoC * m_if * 4 + C * n_super * self.adv_aud * 4
+                     + (self.Hf.size + self.Hp.size) * 4
+                     + twoC * 256 * 4 + C * (self.tfw + self.tpw) * 4)
+        audio, qtails, tails = pl.pallas_call(
+            functools.partial(_demod_kernel, cfg=cfg),
+            grid=(n_super,),
+            cost_estimate=pl.CostEstimate(
+                flops=int(flops), bytes_accessed=int(bytes_acc),
+                transcendentals=0),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((C, n_super * self.adv_aud),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((twoC, 128), jnp.float32),
+                jax.ShapeDtypeStruct((C, self.tfw + self.tpw),
+                                     jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((twoC, 128), jnp.float32),
+                pltpu.VMEM((C, self.hpF + self.adv_if), jnp.float32),
+                pltpu.VMEM((C, self.hpP + self.adv_if), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(iq, gate2, qtail, ftail, ptail, jnp.asarray(self.Hf),
+          jnp.asarray(self.Hp))
+
+        y = audio[:, :m_aud]
+
+        _iq, _alq, qcol = plan["q"]
+        new_q = jax.lax.complex(qtails[:C, qcol], qtails[C:, qcol])[:, None]
+        _if, alf, endf = plan["f"]
+        lof = endf - alf - self.histF
+        new_f = tails[:, lof:lof + self.histF]
+        new_dstate = {"quad": new_q, "fir": new_f}
+        if self.poly is not None:
+            _ip, alp, endp = plan["p"]
+            lop = endp - alp - self.histP
+            new_astate = {"resamp": tails[:, self.tfw + lop:
+                                          self.tfw + lop + self.histP]}
+        else:
+            new_astate = astate
+        return y, new_dstate, new_astate
+
+
+def build_fm_audio_pipeline(demod, af_resamp, C: int,
+                            interpret: bool = False
+                            ) -> Optional[FMAudioPipeline]:
+    try:
+        p = FMAudioPipeline(demod, af_resamp, C, interpret=interpret)
+    except Exception:
+        return None
+    return p if p.supported else None
