@@ -258,17 +258,18 @@ def bench_multimode():
                          jnp.asarray(x), T, K=8)
 
 
-def bench_scanner128():
-    """Wide-bank monitoring: 128 NFM channels on one 2.4 MS/s wideband
+def bench_scanner128(C=128):
+    """Wide-bank monitoring: C NFM channels on one 2.4 MS/s wideband
     via the 2x-oversampled PFB channelized front end (the reference runs
     one RxVFO thread per channel, core/src/dsp/channel/rx_vfo.h:89-121;
     measured crossover vs the fused front end in
-    scripts/channelized_roofline.py)."""
+    scripts/channelized_roofline.py).  On TPU the whole path runs as
+    three pallas kernels (PFB, post-channelizer, demod+audio); banks
+    wider than ~128 chunk the demod kernel (scoped-VMEM cap)."""
     import jax.numpy as jnp
     from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_NFM
 
     fs = 2_400_000.0
-    C = 128
     radio = Radio(fs, DEMOD_NFM, squelch_enabled=True,
                   pll_mode="normalize")
     g = radio.in_multiple
@@ -319,6 +320,7 @@ def main():
             "channelizer64_10msps_fft": bench_channelizer(),
             "multimode8_2p4msps": bench_multimode(),
             "scanner128_nfm_2p4msps": bench_scanner128(),
+            "scanner256_nfm_2p4msps": bench_scanner128(C=256),
         }
     print(json.dumps(out))
 

@@ -413,13 +413,20 @@ def apply_channelized(self, params, state, x, _force_fused=None):
             if pipe2 is not None:
                 # whole audio tail (gate → quad → audio FIR → AF
                 # resampler) as ONE kernel (ops/demod_kernel.py) fed the
-                # raw stacked IF buffer — no concat/trim pass
+                # raw stacked IF buffer — no concat/trim pass.  Banks
+                # wider than the pipe (scoped-VMEM cap ~128 ch/launch)
+                # run in channel chunks.
+                from ..ops.demod_kernel import apply_chunked
                 iq_raw, m_if = y
-                audio, st["demod"], ast = pipe2.apply(
-                    gate[:, 0] if gate is not None else None,
-                    state["demod"],
-                    state.get("af_resamp") or {},
-                    iq_raw, m_if)
+                gvec = gate[:, 0] if gate is not None else None
+                if pipe2.C == C:
+                    audio, st["demod"], ast = pipe2.apply(
+                        gvec, state["demod"],
+                        state.get("af_resamp") or {}, iq_raw, m_if)
+                else:
+                    audio, st["demod"], ast = apply_chunked(
+                        pipe2, gvec, state["demod"],
+                        state.get("af_resamp") or {}, iq_raw, m_if, C)
                 if self.af_resamp is not None:
                     st["af_resamp"] = ast
                 return jnp.stack([audio, audio], axis=-2), st
@@ -451,8 +458,19 @@ def _fm_audio_pipe(self, C: int, interpret: bool = False):
         from ..ops.demod_kernel import build_fm_audio_pipeline
         if (isinstance(self.demod, FMDemod) and self.deemp is None
                 and not self.demod_stereo):
-            cache[key] = build_fm_audio_pipeline(
+            p = build_fm_audio_pipeline(
                 self.demod, self.af_resamp, C, interpret=interpret)
+            if p is None:
+                # wide banks: largest chunk size that fits the kernel's
+                # scoped-VMEM budget and divides C
+                for ck in (128, 64, 32, 16, 8):
+                    if C % ck == 0 and ck < C:
+                        p = build_fm_audio_pipeline(
+                            self.demod, self.af_resamp, ck,
+                            interpret=interpret)
+                        if p is not None:
+                            break
+            cache[key] = p
         else:
             cache[key] = None
     return cache[key]

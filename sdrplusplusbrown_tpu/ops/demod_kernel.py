@@ -392,6 +392,38 @@ class FMAudioPipeline:
         return y, new_dstate, new_astate
 
 
+def apply_chunked(pipe: FMAudioPipeline, gate, dstate, astate, iq_raw,
+                  m_if: int, C: int):
+    """Run a pipe built for Ck = pipe.C channels over C = n·Ck channels
+    (the 16 MB scoped-VMEM limit caps one kernel launch at ~128
+    channels; channels are independent, so wide banks chunk).
+    iq_raw: the raw [2C, W] stacked IF buffer.  Gate/state slices are
+    contiguous row ranges — no gathers."""
+    Ck = pipe.C
+    assert C % Ck == 0, (C, Ck)
+    auds, qs, fs, ps = [], [], [], []
+    for c0 in range(0, C, Ck):
+        xr = iq_raw[c0:c0 + Ck]
+        xi = iq_raw[C + c0:C + c0 + Ck]
+        d = {"quad": dstate["quad"][c0:c0 + Ck],
+             "fir": dstate["fir"][c0:c0 + Ck]}
+        a = ({"resamp": astate["resamp"][c0:c0 + Ck]}
+             if pipe.poly is not None else {})
+        g = None if gate is None else gate[c0:c0 + Ck]
+        y, nd, na = pipe.apply(g, d, a, (xr, xi), m_if)
+        auds.append(y)
+        qs.append(nd["quad"])
+        fs.append(nd["fir"])
+        if pipe.poly is not None:
+            ps.append(na["resamp"])
+    audio = jnp.concatenate(auds, axis=0)
+    new_d = {"quad": jnp.concatenate(qs, axis=0),
+             "fir": jnp.concatenate(fs, axis=0)}
+    new_a = ({"resamp": jnp.concatenate(ps, axis=0)}
+             if pipe.poly is not None else astate)
+    return audio, new_d, new_a
+
+
 def build_fm_audio_pipeline(demod, af_resamp, C: int,
                             interpret: bool = False
                             ) -> Optional[FMAudioPipeline]:

@@ -133,6 +133,35 @@ def test_pallas_channelizer_equality(rng):
     assert snr > 90, snr
 
 
+def test_fm_audio_chunked_equality(rng):
+    """apply_chunked over 16-channel kernel launches == one 32-channel
+    launch (wide banks chunk around the scoped-VMEM cap)."""
+    from sdrplusplusbrown_tpu.ops.demod_kernel import (
+        build_fm_audio_pipeline, apply_chunked)
+    radio = Radio(FS, DEMOD_NFM, pll_mode="normalize")
+    Cw, m_if = 32, 2500
+    p32 = build_fm_audio_pipeline(radio.demod, radio.af_resamp, Cw,
+                                  interpret=True)
+    p16 = build_fm_audio_pipeline(radio.demod, radio.af_resamp, 16,
+                                  interpret=True)
+    assert p32 is not None and p16 is not None
+    xr = jnp.asarray(rng.standard_normal((Cw, m_if)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((Cw, m_if)).astype(np.float32))
+    gate = jnp.asarray((rng.random(Cw) > 0.5).astype(np.float32))
+    d = radio.demod.init_state((Cw,))
+    a = radio.af_resamp.init_state((Cw,))
+    y1, d1, a1 = p32.apply(gate, d, a, (xr, xi), m_if)
+    iq_raw = jnp.concatenate([xr, xi], axis=0)
+    y2, d2, a2 = apply_chunked(p16, gate, d, a, iq_raw, m_if, Cw)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1["fir"]), np.asarray(d2["fir"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1["resamp"]),
+                               np.asarray(a2["resamp"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_radio_channelized_fused_matches_chained(rng):
     radio = Radio(FS, DEMOD_NFM, squelch_enabled=True,
