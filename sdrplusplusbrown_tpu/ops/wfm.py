@@ -214,13 +214,42 @@ class BroadcastFM(Block):
             return lr
         return jnp.moveaxis(lr2, 0, -2)
 
-    def apply_planes(self, params, state, planes):
+    def _wfm_pipe(self, C: int, interpret: bool = False):
+        """Lazily-built whole-demod kernel (ops/wfm_kernel.py): quad +
+        MPX halfbands + stereo section in one pallas pass.  None when
+        the config can't use it (scan PLL, RDS, mono)."""
+        cache = getattr(self, "_wfm_pipe_cache", None)
+        if cache is None:
+            cache = self._wfm_pipe_cache = {}
+        key = (C, interpret)
+        if key not in cache:
+            from .wfm_kernel import build_wfm_pipeline
+            cache[key] = build_wfm_pipeline(self, C, interpret=interpret)
+        return cache[key]
+
+    def apply_planes(self, params, state, planes, _force_kernel=None):
         """Like apply(), but the IF arrives as (re, im) float32 planes
         from the plane-protocol front end — the discriminator consumes
         them directly (ops/demod.py Quadrature.apply_planes), so the
-        complex IF array never exists in HBM."""
-        st = dict(state)
+        complex IF array never exists in HBM.  On TPU the whole demod
+        (quad + halfbands + stereo) runs as one kernel when supported."""
         xr, xi = planes
+        use_kernel = _force_kernel
+        if use_kernel is None:
+            import jax as _jax
+            from .fir import get_fir_backend
+            use_kernel = (get_fir_backend() in ("auto", "pallas")
+                          and _jax.default_backend() not in ("cpu",)
+                          and xr.ndim == 2)
+        if use_kernel and xr.ndim == 2 and not self.rds_out:
+            pipe = self._wfm_pipe(xr.shape[0], bool(_force_kernel))
+            if pipe is not None:
+                st = dict(state)
+                lr2, st2 = pipe.apply(state, planes, xr.shape[-1])
+                st.update(st2)
+                lr = self._audio_out(state, st, lr2)
+                return lr, st
+        st = dict(state)
         mpx, st["quad"] = self.quad.apply_planes(state["quad"], xr, xi)
         return self._after_quad(params, state, st, mpx)
 

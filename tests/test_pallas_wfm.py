@@ -104,3 +104,56 @@ def test_audio_poly_merge_rates():
     y, st = dem.apply(None, st, x)
     assert y.shape[:-1] == (C, 2)
     assert y.shape[-1] * 125000 * dem.mpx_decim == T * 48000
+
+
+def test_wfm_whole_demod_kernel_equality(rng):
+    """ops/wfm_kernel.py (quad + halfbands + stereo in one kernel) vs
+    the chained apply_planes path, streaming across two calls."""
+    import jax.numpy as jnp
+    from sdrplusplusbrown_tpu.ops.wfm import BroadcastFM
+
+    FSI = 500_000.0
+    C, Tb = 8, 25_000
+    dem = BroadcastFM(75_000.0, FSI, stereo=True, audio_rate=48_000.0,
+                      pll_mode="normalize")
+    assert dem._wfm_pipe(C, True) is not None
+
+    # synthetic stereo FM at IF rate: per-channel tone in L only
+    n = np.arange(2 * Tb)
+    x = np.zeros((C, 2 * Tb), np.complex64)
+    for c in range(C):
+        tone = np.sin(2 * np.pi * (700.0 + 150.0 * c) * n / FSI)
+        pilot = 0.1 * np.sin(2 * np.pi * 19_000.0 * n / FSI)
+        sub = -np.cos(2 * np.pi * 38_000.0 * n / FSI)
+        mpx = 0.45 * tone + 0.45 * tone * sub + pilot
+        phase = 2 * np.pi * 75_000.0 * np.cumsum(mpx) / FSI
+        x[c] = np.exp(1j * phase)
+    x += 1e-3 * (rng.standard_normal(x.shape)
+                 + 1j * rng.standard_normal(x.shape))
+    xr = jnp.asarray(np.real(x).astype(np.float32))
+    xi = jnp.asarray(np.imag(x).astype(np.float32))
+
+    st1 = dem.init_state((C,))
+    y1a, st1 = dem.apply_planes(None, st1, (xr[:, :Tb], xi[:, :Tb]),
+                                _force_kernel=False)
+    y1b, st1 = dem.apply_planes(None, st1, (xr[:, Tb:], xi[:, Tb:]),
+                                _force_kernel=False)
+    y1 = np.concatenate([np.asarray(y1a), np.asarray(y1b)], -1)
+
+    st2 = dem.init_state((C,))
+    y2a, st2 = dem.apply_planes(None, st2, (xr[:, :Tb], xi[:, :Tb]),
+                                _force_kernel=True)
+    y2b, st2 = dem.apply_planes(None, st2, (xr[:, Tb:], xi[:, Tb:]),
+                                _force_kernel=True)
+    y2 = np.concatenate([np.asarray(y2a), np.asarray(y2b)], -1)
+
+    assert y1.shape == y2.shape == (C, 2, 2 * Tb * 48 // 125 // 4)
+    err = y1 - y2
+    snr = 10 * np.log10(np.mean(y1 ** 2)
+                        / max(np.mean(err ** 2), 1e-30))
+    assert snr > 70, snr
+    # and the kernel path actually decodes stereo: tone lands in L
+    sk = y2.shape[-1] // 2
+    pl_ = np.mean(y2[0, 0, sk:] ** 2)
+    pr_ = np.mean(y2[0, 1, sk:] ** 2)
+    assert pl_ > 50 * pr_, (pl_, pr_)
