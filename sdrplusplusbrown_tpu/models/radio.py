@@ -324,6 +324,29 @@ def apply_shared(self, params, state, x):
     if self._if_chain_empty() and hasattr(self.demod, "apply_planes"):
         planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
                                      return_planes=True)
+        from ..ops.fir import get_fir_backend
+        use_kernel = (get_fir_backend() in ("auto", "pallas")
+                      and jax.default_backend() not in ("cpu",))
+        pipe2 = (self._fm_audio_pipe(planes[0].shape[0])
+                 if use_kernel and planes[0].ndim == 2 else None)
+        if pipe2 is not None:
+            # NFM audio tail (quad + audio FIR + AF resampler) as one
+            # kernel (ops/demod_kernel.py), same as the channelized path
+            from ..ops.demod_kernel import apply_chunked
+            C = planes[0].shape[0]
+            m_if = planes[0].shape[-1]
+            if pipe2.C == C:
+                audio, st["demod"], ast = pipe2.apply(
+                    None, state["demod"],
+                    state.get("af_resamp") or {}, planes, m_if)
+            else:
+                iq_raw = jnp.concatenate(planes, axis=0)
+                audio, st["demod"], ast = apply_chunked(
+                    pipe2, None, state["demod"],
+                    state.get("af_resamp") or {}, iq_raw, m_if, C)
+            if self.af_resamp is not None:
+                st["af_resamp"] = ast
+            return jnp.stack([audio, audio], axis=-2), st
         y, st["demod"] = self.demod.apply_planes(None, state["demod"],
                                                  planes)
         return self._post_demod(state, st, y)
@@ -463,7 +486,7 @@ def _fm_audio_pipe(self, C: int, interpret: bool = False):
             if p is None:
                 # wide banks: largest chunk size that fits the kernel's
                 # scoped-VMEM budget and divides C
-                for ck in (128, 64, 32, 16, 8):
+                for ck in (128, 64, 32, 16, 8, 4):
                     if C % ck == 0 and ck < C:
                         p = build_fm_audio_pipeline(
                             self.demod, self.af_resamp, ck,

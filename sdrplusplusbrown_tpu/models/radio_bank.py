@@ -75,18 +75,33 @@ class RadioBank:
             *[r.in_multiple for r in self.radios.values()]) \
             if self.radios else 1
 
+    def _padded_c(self, d: int) -> int:
+        """Groups of 1-3 channels pad to 4: the monolithic front-end
+        kernel needs 2C rows to tile the 8-sublane granule, and the
+        padded channels ride along for free (the kernels are HBM-bound
+        and already padded to 8 rows internally).  Outputs are sliced
+        back to the real count in apply()."""
+        C = len(self.groups[d])
+        return 4 if (not self.channelized[d] and C < 4) else C
+
     def init_state(self):
         return {d: (r.init_state_channelized(len(self.groups[d]))
                     if self.channelized[d]
-                    else r.init_state_shared(len(self.groups[d])))
+                    else r.init_state_shared(self._padded_c(d)))
                 for d, r in self.radios.items()}
 
     def make_params(self):
         out = {}
         for d, r in self.radios.items():
             offs = np.array([v.offset_hz for v in self.groups[d]])
-            out[d] = (r.make_params_channelized(offs) if self.channelized[d]
-                      else r.make_params_shared(offs))
+            if self.channelized[d]:
+                out[d] = r.make_params_channelized(offs)
+            else:
+                cp = self._padded_c(d)
+                if cp > len(offs):
+                    offs = np.concatenate(
+                        [offs, np.repeat(offs[-1:], cp - len(offs))])
+                out[d] = r.make_params_shared(offs)
         return out
 
     def apply(self, params, state, x):
@@ -103,6 +118,11 @@ class RadioBank:
                     params[d], state[d], x)
             else:
                 y, new_state[d] = radio.apply_shared(params[d], state[d], x)
+                C_real = len(self.groups[d])
+                if (y.shape[0] if not isinstance(y, tuple)
+                        else y[0].shape[0]) > C_real:
+                    y = (y[0][:C_real], y[1][:C_real]) \
+                        if isinstance(y, tuple) else y[:C_real]
             outs[d] = y
         return outs, new_state
 

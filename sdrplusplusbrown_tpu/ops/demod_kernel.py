@@ -170,7 +170,7 @@ class FMAudioPipeline:
         self.C = int(C)
         self.interpret = interpret
         self.supported = False
-        if C % 8 or C < 8:
+        if C % 4 or C < 4:   # 2C rows must tile the 8-sublane granule
             return
         if not getattr(demod, "filtering", False):
             return

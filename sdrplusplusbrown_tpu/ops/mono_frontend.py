@@ -268,7 +268,7 @@ class MonoVFOPipeline:
         self.C = int(C)
         self.interpret = interpret
         self.supported = False
-        if bank.fused is None or C % 8 != 0 or not (8 <= C <= 32):
+        if bank.fused is None or C % 4 != 0 or not (4 <= C <= 32):
             return
         self.fused_taps = np.asarray(bank.fused.taps, np.float64)
         self.K0 = len(self.fused_taps)

@@ -196,3 +196,25 @@ def test_radio_channelized_fused_matches_chained(rng):
     assert open1[0] and not open1[C - 1]  # carrier channel open only
     snr = _snr(a1[open1], a2[open1])
     assert snr > 60, snr
+
+
+def test_fm_audio_kernel_c4(rng):
+    """C=4 (multimode NFM group size) through the demod kernel equals
+    the chained FMDemod+resampler tail."""
+    from sdrplusplusbrown_tpu.ops.demod_kernel import (
+        build_fm_audio_pipeline)
+    radio = Radio(FS, DEMOD_NFM, pll_mode="normalize")
+    C4, m_if = 4, 5000
+    pipe = build_fm_audio_pipeline(radio.demod, radio.af_resamp, C4,
+                                   interpret=True)
+    assert pipe is not None
+    xr = jnp.asarray(rng.standard_normal((C4, m_if)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((C4, m_if)).astype(np.float32))
+    d = radio.demod.init_state((C4,))
+    a = radio.af_resamp.init_state((C4,))
+    y1, _ = radio.demod.apply_planes(None, d, (xr, xi))
+    y1, _ = radio.af_resamp.apply(None, a, y1)
+    y2, _, _ = pipe.apply(None, d, a, (xr, xi), m_if)
+    err = np.abs(np.asarray(y1) - np.asarray(y2))
+    den = float(np.abs(np.asarray(y1)).max())
+    assert err.max() / den < 1e-5, err.max() / den

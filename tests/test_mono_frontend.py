@@ -109,3 +109,15 @@ def test_mono_geometry_solver_shapes():
         assert pipe is not None, demod
         assert pipe.adv_x % 1024 == 0
         assert pipe.adv0 % 256 == 0
+
+
+@pytest.mark.slow
+def test_mono_nfm_c4_equality():
+    """C=4 — the multimode bank's NFM group size (2C=8 rows still tile
+    the 8-sublane granule)."""
+    _run_equality(DEMOD_NFM, C=4, n_calls=2)
+
+
+@pytest.mark.slow
+def test_mono_am_c4_equality():
+    _run_equality(DEMOD_AM, C=4, n_calls=2)
