@@ -30,12 +30,45 @@ FT8_WINDOW_S = 15.0
 FT8_RATE = 12_000.0     # MSHV decoder input rate
 
 
+def is_signal_strength(tok: str) -> bool:
+    """symbolic.cpp:7-14 — ``+NN``/``-NN`` report token."""
+    return (len(tok) >= 2 and tok[0] in "+-"
+            and all(c.isdigit() for c in tok[1:]))
+
+
+def is_locator(tok: str) -> bool:
+    """symbolic.cpp:16-22 — 4-char Maidenhead square."""
+    return (len(tok) == 4 and tok[0].isupper() and tok[1].isupper()
+            and tok[0].isalpha() and tok[1].isalpha()
+            and tok[2].isdigit() and tok[3].isdigit())
+
+
+def extract_callsign_ft8(message: str) -> str:
+    """Pull the sender's callsign out of a standard FT8 message
+    (symbolic.cpp:25-46): ``... CALL LOC`` / ``... CALL RR73|RRR|73`` /
+    ``DX CALL [R]±NN`` / ``CQ CALL``."""
+    parts = message.split()
+    if not parts:
+        return ""
+    last = parts[-1]
+    if len(parts) > 1 and (last in ("RR73", "RRR", "73")
+                           or is_locator(last)):
+        return parts[-2]
+    if len(last) > 2 and ((last[0] == "R" and is_signal_strength(last[1:]))
+                          or is_signal_strength(last)):
+        return parts[-2] if len(parts) > 1 else ""
+    if len(parts) == 2 and parts[0] == "CQ":
+        return parts[1]
+    return ""
+
+
 class FT8DecoderModule(ModuleInstance):
     def __init__(self, name: str, app, stream: str = "Radio",
                  decoder_cmd: Optional[List[str]] = None,
                  decoder_style: str = "pipe", mode: str = "FT8",
                  window_seconds: Optional[float] = None,
-                 max_workers: int = 4):
+                 max_workers: int = 4, my_grid: str = "",
+                 cty=None):
         super().__init__(name)
         self.app = app
         self.stream = stream
@@ -56,6 +89,10 @@ class FT8DecoderModule(ModuleInstance):
             # FT8 transmits in 15 s cycles, FT4 in 7.5 s cycles
             window_seconds = 7.5 if mode == "FT4" else FT8_WINDOW_S
         self.window_seconds = float(window_seconds)
+        #: own Maidenhead grid → decode distance column
+        #: (main.cpp:983 gridToLatLng(lastLocation))
+        self.my_grid = my_grid
+        self.cty = cty      # utils.cty.CTY, or None to skip lookups
         # UTC cycle alignment: drop samples until the next window
         # boundary so windows line up with FT8 transmit periods
         # (approximate to pipeline latency; reference aligns the same way)
@@ -125,13 +162,36 @@ class FT8DecoderModule(ModuleInstance):
         return [f"TONE {p * samplerate / len(window):.1f}Hz"
                 for p in peaks[:16]]
 
+    def _annotate(self, rec: dict):
+        """Attach callsign/DXCC/continent/distance like the reference
+        decode table (main.cpp:1232-1272). Hashed ``<call>`` tokens are
+        not looked up (the reference drops those rows from its table;
+        we keep the decode un-annotated)."""
+        call = extract_callsign_ft8(rec.get("text", ""))
+        if not call or "<" in call:
+            return
+        rec["callsign"] = call
+        if self.cty is None:
+            return
+        from ..utils.cty import bearing_distance, grid_to_latlng
+        cs = self.cty.find_callsign(call)
+        if cs.dxccname:
+            rec["dxcc"] = cs.dxccname
+            rec["continent"] = cs.continent
+        mypos = grid_to_latlng(self.my_grid) if self.my_grid else None
+        if mypos is not None and mypos.is_valid() and cs.ll.is_valid():
+            rec["distance_km"] = round(
+                bearing_distance(mypos, cs.ll).distance, 1)
+
     def _on_result(self, lines, t0: int):
         for line in lines:
             if isinstance(line, dict):      # mshv record
-                self.decodes.append({"t0": t0 / FT8_RATE, **line,
-                                     "text": line.get("message", "")})
-                continue
-            self.decodes.append({"t0": t0 / FT8_RATE, "text": str(line)})
+                rec = {"t0": t0 / FT8_RATE, **line,
+                       "text": line.get("message", "")}
+            else:
+                rec = {"t0": t0 / FT8_RATE, "text": str(line)}
+            self._annotate(rec)
+            self.decodes.append(rec)
         self.decodes = self.decodes[-200:]
         if lines:
             flog.info("ft8[{}]: {} decodes @ {}s", self.name, len(lines),
@@ -150,4 +210,12 @@ class FT8DecoderModule(ModuleInstance):
         if cmd == "clear":
             self.decodes = []
             return {"status": "ok"}
+        if cmd == "set_grid":
+            self.my_grid = args.strip()
+            return {"status": "ok", "grid": self.my_grid}
+        if cmd == "load_cty":
+            from ..utils.cty import load_all_cty
+            self.cty = load_all_cty(args.strip())
+            return {"status": "ok",
+                    "entities": len(self.cty.dxcc)}
         return super().handle_debug_command(cmd, args)
