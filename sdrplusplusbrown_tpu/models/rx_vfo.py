@@ -115,8 +115,15 @@ class ChannelizedRxVFOBank(Block):
                                   in_samplerate)
         self.chz = OversampledChannelizer(in_samplerate, M, proto)
         self.fine = FrequencyXlator(0.0, 2.0 * out_samplerate)
+        # 2:1 anti-alias: components at out_sr ± bw/2 fold into the
+        # channel passband after decimation, so the stopband must start
+        # by out_sr − bw/2 — transition (out_sr − bw)/2, NOT out_sr − bw
+        # (which put the stopband edge past Nyquist and let ~50 kHz-
+        # offset carriers alias into the audio band at −20 dB, tripping
+        # the squelch on neighbouring channels)
         self.decim2 = FIR(taps_mod.low_pass(out_samplerate / 2.0,
-                                            out_samplerate - bandwidth,
+                                            (out_samplerate - bandwidth)
+                                            / 2.0,
                                             2.0 * out_samplerate), decim=2)
         self.filter_needed = bandwidth != out_samplerate
         if self.filter_needed:

@@ -15,21 +15,29 @@ with h = M/2, K0 = tpp·M, G[m, ℓ] = proto[ℓ]·e^{−2πimℓ/M} and
 is ONE window dot with a STATIC complex matrix, windows advancing h
 per frame.  Feeding the MXU without forbidden unaligned slices:
 
-  * outside, the wideband planes are laid out hop-major: one
-    [2h, T/h] array whose COLUMN F is hop F (re rows over im rows) —
-    one XLA transpose pass, far cheaper than the chained path's per-
-    stage round-trips (Mosaic DMA can only slice HBM arrays along
-    128-aligned lane tiles, so the [T/h, h] row layout is unusable);
-  * the kernel DMAs a 128-aligned column block, then for each of the
-    ntpp = 2·tpp window shifts d takes cols d..d+NF via pltpu.roll
-    (lane roll + aligned slice — Mosaic forbids unaligned lane
-    slices) and contracts rows with the static [2M, h] tap slab:
-    bins += G_d @ cols — an ordinary MXU matmul per (shift, plane).
+  * outside, each wideband plane is laid out COLUMN-PAIR-major: one
+    [M, CL] array per plane whose column c carries hops 2c and 2c+1
+    (2h = M samples) — one XLA transpose pass per plane whose source
+    is [CL, M] (minor dim M, vs the [CL, h] of the previous hop-major
+    layout whose h-wide minor dim tile-padded the lanes 128/h-fold:
+    measured 154 → 78 HBM B/in-sample of glue at the scanner config);
+  * output frames are 2-way interleaved across the column axis
+    (frame F = 2c + r), so the kernel builds two parity accumulators:
+    for parity r and window shift d the operand is the hop-(r+d)%2
+    row block lane-rolled by (r+d)//2 (Mosaic forbids unaligned lane
+    slices; roll + aligned slice), contracted with the static
+    [2M, h] tap slabs: acc_r += GRe_d @ re_rows + GIm_d @ im_rows —
+    an ordinary MXU matmul per (shift, parity, plane);
+  * the two accumulators are un-interleaved into the frame-major
+    output by one-hot iota matmuls built in-kernel (no HBM traffic;
+    Mosaic has no strided lane writes), with the delayed-pass (−1)^m
+    sign folded into the even-parity accumulator.
 
-HBM per call: hop-major planes once in, bins planes once out, taps
-once.  Output width is caller-chosen (padded), matching exactly what
-the fused post-channelizer kernel (ops/chan_frontend.py) wants to
-eat; the padded tail holds garbage frames the consumer masks/trims.
+HBM per call: the [M, CL] pair-major planes once in, bins planes once
+out, taps once.  Output width is caller-chosen (padded), matching
+exactly what the fused post-channelizer kernel (ops/chan_frontend.py)
+wants to eat; the padded tail holds garbage frames the consumer
+masks/trims.
 
 State: consumes/produces the standard OversampledChannelizer state
 dict (tail_a/tail_b/delay) via exact layout conversion of the last
@@ -53,40 +61,66 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_VMEM = 10 * (1 << 20)
-HALO = 128          # DMA window extension (≥ ntpp−1, lane-aligned)
 
 
 def _rup(n: int, a: int) -> int:
     return ((n + a - 1) // a) * a
 
 
-def _chz_kernel(x_hbm, gre_ref, gim_ref, sgn_ref, o_ref, hop, sem,
-                *, NF, ntpp, h, M):
+def _chz_kernel(ar_hbm, ai_hbm, gre_ref, gim_ref, sgn_ref, o_ref,
+                blkr, blki, semr, semi, *, NF, ntpp, h, M):
     i = pl.program_id(0)
-    W = NF + HALO
-    cp = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(i * NF, W)], hop.at[...], sem)
-    cp.start()
-    cp.wait()
+    HL = NF // 2        # lanes (column pairs) per super-step
+    cpr = pltpu.make_async_copy(
+        ar_hbm.at[:, pl.ds(i * HL, 2 * HL)], blkr.at[...], semr)
+    cpi = pltpu.make_async_copy(
+        ai_hbm.at[:, pl.ds(i * HL, 2 * HL)], blki.at[...], semi)
+    cpr.start()
+    cpi.start()
+    cpr.wait()
+    cpi.wait()
 
-    # window shift d: hop cols d..d+NF — lane roll + aligned slice
     twoM = 2 * M
-    acc = jnp.zeros((twoM, NF), jnp.float32)
-    for d in range(ntpp):
-        cols = jax.lax.slice(pltpu.roll(hop[...], W - d, 1),
-                             (0, 0), (2 * h, NF))
-        acc = acc + jax.lax.dot_general(
-            gre_ref[d * twoM:(d + 1) * twoM, :], cols[:h, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            gim_ref[d * twoM:(d + 1) * twoM, :], cols[h:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # frame F = i·NF + 2c + r: parity-r accumulator over window shifts
+    # d; shift d reads hop F+d = column c+(r+d)//2, hop parity (r+d)%2
+    accs = []
+    for r in range(2):
+        acc = jnp.zeros((twoM, HL), jnp.float32)
+        for d in range(ntpp):
+            j = (r + d) % 2
+            s = (r + d) // 2
+            opsr = jax.lax.slice(
+                pltpu.roll(blkr[j * h:(j + 1) * h, :], 2 * HL - s, 1),
+                (0, 0), (h, HL))
+            opsi = jax.lax.slice(
+                pltpu.roll(blki[j * h:(j + 1) * h, :], 2 * HL - s, 1),
+                (0, 0), (h, HL))
+            acc = acc + jax.lax.dot_general(
+                gre_ref[d * twoM:(d + 1) * twoM, :], opsr,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                gim_ref[d * twoM:(d + 1) * twoM, :], opsi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        accs.append(acc)
 
-    # delayed-pass (−1)^m sign on even global frames (NF even → local)
-    par = jax.lax.broadcasted_iota(jnp.int32, (1, NF), 1) % 2
-    o_ref[...] = acc * jnp.where(par == 1, 1.0, sgn_ref[...])
+    # delayed-pass (−1)^m sign on even global frames (NF even → parity
+    # r == global parity); un-interleave via one-hot iota matmuls
+    # (Mosaic has no strided lane writes)
+    a0 = accs[0] * sgn_ref[...]
+    a1 = accs[1]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (HL, NF), 0)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (HL, NF), 1)
+    u0 = (fidx == 2 * cidx).astype(jnp.float32)
+    u1 = (fidx == 2 * cidx + 1).astype(jnp.float32)
+    o_ref[...] = (
+        jax.lax.dot_general(a0, u0,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(a1, u1,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
 
 
 class PallasChannelizer:
@@ -101,7 +135,7 @@ class PallasChannelizer:
         self.tpp = tpp = int(chz.tpp)
         self.K0 = K0 = tpp * M
         self.supported = False
-        if M % 8 or tpp < 2:
+        if h % 8 or tpp < 2:
             return
         # modulated prototype in natural order: G[m, ℓ] = proto[ℓ]·e^{−jθ}
         pn = np.zeros(K0)
@@ -128,10 +162,12 @@ class PallasChannelizer:
         sg = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)
         self.sgn = np.concatenate([sg, sg]).astype(np.float32)[:, None]
         self.NF = NF = 256
-        if ntpp - 1 > HALO:
+        if ntpp // 2 > NF // 2:                 # lane shift must fit blk
             return
-        vmem = (gre.size * 8 + 2 * M * NF * 4 * 2
-                + 2 * h * (NF + HALO) * 4)
+        vmem = (gre.size * 8                     # taps
+                + 2 * M * NF * 4 * 2             # acc pair + out
+                + 2 * h * NF * 4                 # plane blocks
+                + 2 * (NF // 2) * NF * 4)        # iota one-hots
         if vmem > MAX_VMEM:
             return
         self.supported = True
@@ -164,31 +200,30 @@ class PallasChannelizer:
         Tb = 2 * T // M
         assert width_out >= Tb and width_out % NF == 0, (width_out, Tb, NF)
         n_super = width_out // NF
+        HL = NF // 2
 
         xw = self._state_to_xw(state)
         ext = jnp.concatenate([xw, x])
-        # hop-major layout: column F = hop F (h samples), re over im
-        cols = (n_super - 1) * NF + NF + HALO
-        pad = cols * h - ext.shape[-1]
-        xr = jnp.real(ext)
-        xi = jnp.imag(ext)
-        if pad > 0:
-            xr = jnp.pad(xr, (0, pad))
-            xi = jnp.pad(xi, (0, pad))
-        xf = jnp.concatenate([
-            xr.reshape(cols, h).T, xi.reshape(cols, h).T], axis=0)
+        # column-pair-major planes: column c = hops 2c,2c+1 (M samples)
+        CL = (n_super + 1) * HL
+        pad = CL * M - ext.shape[-1]
+        extp = jnp.pad(ext, (0, pad)) if pad > 0 else ext
+        ar = jnp.real(extp).reshape(CL, M).T          # [M, CL]
+        ai = jnp.imag(extp).reshape(CL, M).T
 
         cfg = dict(NF=NF, ntpp=self.ntpp, h=h, M=M)
         bins = pl.pallas_call(
             functools.partial(_chz_kernel, **cfg),
             grid=(n_super,),
             cost_estimate=pl.CostEstimate(
-                flops=int(2 * 2 * M * 2 * K0 * width_out),
-                bytes_accessed=int(2 * h * cols * 4
+                flops=int(2 * 2 * M * 2 * K0 * width_out
+                          + 2 * 2 * M * HL * NF * n_super * 2),
+                bytes_accessed=int(2 * M * CL * 4
                                    + 2 * M * width_out * 4
                                    + self.GRe.size * 8),
                 transcendentals=0),
             in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(self.GRe.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -202,13 +237,15 @@ class PallasChannelizer:
             out_shape=jax.ShapeDtypeStruct((2 * M, width_out),
                                            jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2 * h, NF + HALO), jnp.float32),
+                pltpu.VMEM((M, NF), jnp.float32),
+                pltpu.VMEM((M, NF), jnp.float32),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xf, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
+        )(ar, ai, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
           jnp.asarray(self.sgn))
 
         new_state = self._xw_to_state(ext[..., ext.shape[-1] - (K0 - h):])

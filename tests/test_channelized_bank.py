@@ -176,3 +176,35 @@ def test_channelized_rejects_bad_ratio():
         ChannelizedRxVFOBank(FS, 500_000.0, 150e3)   # ratio 4.8
     with pytest.raises(ValueError):
         ChannelizedRxVFOBank(FS, 50_000.0, 50_000.0)  # no transition room
+
+
+def test_offchannel_alias_rejection(rng):
+    """A strong carrier ~out_sr away from a channel's center must not
+    open that channel's squelch: components at out_sr ± bw/2 fold into
+    the channel passband after the 2:1 decimation, so decim2's stopband
+    must start by out_sr − bw/2 (regression: transition out_sr − bw put
+    the stopband edge past Nyquist and ±50 kHz-offset carriers aliased
+    in at −20 dB, tripping neighbouring squelches).  Both the chained
+    and the fused (pallas, interpret) paths must gate identically."""
+    radio = Radio(FS, DEMOD_NFM, squelch_enabled=True,
+                  pll_mode="normalize")
+    g = radio.in_multiple
+    T = ((240_000 + g - 1) // g) * g
+    C = 128
+    offs = np.linspace(-1.1e6, 1.1e6, C) + 917.0
+    n = np.arange(2 * T)
+    m = 0.6 * np.sin(2 * np.pi * 800.0 * n / FS)
+    ph = 2 * np.pi * 2.5e3 * np.cumsum(m) / FS
+    x = (0.5 * np.exp(1j * (2 * np.pi * offs[17] * n / FS + ph))
+         ).astype(np.complex64)
+    params = radio.make_params_channelized(offs, squelch_level=-30.0)
+    for force in (False, True):
+        st = radio.init_state_channelized(C)
+        _, st = radio.apply_channelized(params, st, jnp.asarray(x[:T]),
+                                        _force_fused=force or None)
+        audio, _ = radio.apply_channelized(params, st, jnp.asarray(x[T:]),
+                                           _force_fused=force or None)
+        pw = np.mean(np.asarray(audio)[:, 0] ** 2, axis=-1)
+        active = set(np.nonzero(pw > 1e-8)[0].tolist())
+        assert active == {17}, (force, sorted(active))
+        assert pw[17] > 1e-3
