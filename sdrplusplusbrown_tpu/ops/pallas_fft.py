@@ -89,15 +89,35 @@ def fft_power_db(x: jnp.ndarray, fft_size: int,
     """x: [..., F, fft_size] complex64 frames → [..., F, fft_size]
     float32 dB power, natural FFT bin order.  ``window`` (length
     fft_size, may embed the (−1)^i fftshift) is applied in-kernel."""
-    N1 = _SQUARE[fft_size]
-    N2 = fft_size // N1
     lead = x.shape[:-1]
-    F = int(np.prod(lead)) if lead else 1
     # TWO separate plane operands: complex64 is stored SoA on TPU, so
     # real()/imag() are near-free views, while stack/concat into one
     # array is a 4 MB relayout (measured) — never merge the planes
-    xr = jnp.real(x).reshape(F, N1, N2).astype(jnp.float32)
-    xi = jnp.imag(x).reshape(F, N1, N2).astype(jnp.float32)
+    return fft_power_db_planes(
+        jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32),
+        fft_size, floor_db, window=window,
+        interpret=interpret).reshape(lead + (fft_size,))
+
+
+def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
+                        floor_db: float = -300.0,
+                        window: np.ndarray | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Plane-input variant: xr/xi [..., F, fft_size] float32 →
+    [..., F, fft_size] dB power.  Callers that already hold (or can
+    cheaply slice) re/im planes use this directly so the frame framing
+    (reshaper keep/skip slice) fuses into the ONE plane-extraction pass
+    feeding the kernel instead of materializing complex frames first
+    (measured 24.8 → ~9 HBM B/in-sample at the bench spectrum branch)."""
+    N1 = _SQUARE[fft_size]
+    N2 = fft_size // N1
+    if xr.shape[-2:] == (N1, N2):       # caller pre-tiled (fused slice)
+        lead = xr.shape[:-2]
+    else:
+        lead = xr.shape[:-1]
+    F = int(np.prod(lead)) if lead else 1
+    xr = xr.reshape(F, N1, N2)
+    xi = xi.reshape(F, N1, N2)
     mats = [jnp.asarray(m) for m in _matrices(N1, N2)]
     f1r, f1i, twr, twi, f2r, f2i = mats
     if window is not None:
@@ -133,3 +153,36 @@ def fft_power_db(x: jnp.ndarray, fft_size: int,
     )(xr, xi, w2, f1r, f1i, twr, twi, f2r, f2i)
     # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
     return out.reshape(lead + (fft_size,))
+
+
+def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
+                     fft_size: int, floor_db: float,
+                     window: np.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused reshaper + windowed power FFT: wideband complex x
+    [..., T] (T a multiple of ``interval``) → [..., T//interval,
+    fft_size] dB spectra.  The keep/skip framing slice, the re/im
+    split and the zero-pad all land in one XLA pass per plane feeding
+    fft_power_db_planes."""
+    T = x.shape[-1]
+    n = T // interval
+    lead = x.shape[:-1]
+    pad = fft_size - keep
+    N1 = _SQUARE[fft_size]
+    N2 = fft_size // N1
+
+    def planes(p):
+        fr = p.reshape(lead + (n, interval))[..., :keep]
+        if pad:
+            fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, pad)])
+        # emit [.., N1, N2] directly: the keep/skip slice and the
+        # 2-D retiling fuse into ONE copy (a flat [F, fft] operand
+        # would be re-tiled by a SECOND relayout inside the kernel
+        # call — measured +27 B/in-sample at the bench config)
+        return fr.reshape(lead + (n, N1, N2)).astype(jnp.float32)
+
+    w_full = (np.concatenate([window, np.zeros(pad, np.float32)])
+              if pad else window)
+    return fft_power_db_planes(planes(jnp.real(x)), planes(jnp.imag(x)),
+                               fft_size, floor_db, window=w_full,
+                               interpret=interpret)

@@ -124,6 +124,15 @@ class SpectrumPath(Block):
         self.in_multiple = self.reshaper.in_multiple
 
     def apply(self, params, state, x):
+        # TPU: the keep/skip framing slice fuses into the pallas FFT's
+        # plane extraction (one pass instead of materialized complex
+        # frames + a second split pass — ops/pallas_fft.py)
+        from .pallas_fft import fft_pow_pallas_ok, spectrum_path_db
+        if fft_pow_pallas_ok(self.fft_size) and jnp.iscomplexobj(x):
+            db = spectrum_path_db(x, self.reshaper.keep,
+                                  self.reshaper.interval, self.fft_size,
+                                  self.fft.floor_db, self.fft.window)
+            return db, state
         frames, _ = self.reshaper.apply(None, None, x)
         db, _ = self.fft.apply(None, None, frames)
         return db, state
