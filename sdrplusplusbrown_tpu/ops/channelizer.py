@@ -124,6 +124,30 @@ class OversampledChannelizer(Block):
                 "delay": jnp.zeros(batch_shape + (self.M // 2,),
                                    jnp.complex64)}
 
+    @property
+    def halo_len(self) -> int:
+        """Input samples that fully determine the streaming state: the
+        state after apply(x) is a pure function of x's last ``halo_len``
+        samples — the time-sharding rule (parallel/chan_time.py)."""
+        return (self.tpp - 1) * self.M + self.M // 2
+
+    def state_from_tail(self, x_tail: jnp.ndarray) -> dict:
+        """Reconstruct the streaming state from the last ``halo_len``
+        raw input samples (shape [..., halo_len]); equals the state
+        apply() would have produced after consuming a block ending in
+        exactly these samples."""
+        M, tpp = self.M, self.tpp
+        h = self.halo_len
+        assert x_tail.shape[-1] == h, (x_tail.shape, h)
+        lead = x_tail.shape[:-1]
+        n = (tpp - 1) * M
+        x_tail = x_tail.astype(jnp.complex64)
+        dec = lambda seg: jnp.moveaxis(
+            seg.reshape(lead + (tpp - 1, M)), -1, -2)
+        return {"tail_a": dec(x_tail[..., M // 2:]),
+                "tail_b": dec(x_tail[..., :n]),
+                "delay": x_tail[..., h - M // 2:]}
+
     def _cs_pass(self, tail, x):
         """Critically-sampled branch FIR (pre-FFT): [..., T] → [..., M, k]."""
         T = x.shape[-1]

@@ -37,9 +37,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from sdrplusplusbrown_tpu.parallel.multihost import (  # noqa: E402
     initialize_distributed, make_mesh, feed_time_sharded,
     host_local_slice)
-from sdrplusplusbrown_tpu.parallel.radio_time import (  # noqa: E402
-    ShardedRadioPipeline)
-from sdrplusplusbrown_tpu.models.radio import DEMOD_NFM  # noqa: E402
 from tests.multihost_workload import make_workload  # noqa: E402
 
 initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
