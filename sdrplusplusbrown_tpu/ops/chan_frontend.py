@@ -349,19 +349,13 @@ class ChanPostPipeline:
                            + 10 * C * self.adv0)          # rotate
         for st in self.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
-        bytes_acc = (2 * M * Tb_pad * 4
-                     + twoC * n_super * self.adv_f * 4
-                     + twoC * self.tails_w_total * 4
-                     + C * M * 4 + base.size * 4
-                     + sum(h.size * 4 for h in h_ops))
-        cost = pl.CostEstimate(flops=int(flops),
-                               bytes_accessed=int(bytes_acc),
-                               transcendentals=int(n_super * 2 * C
-                                                   * self.adv0))
-        out, tails_out, sq = pl.pallas_call(
+        from .pallas_cost import costed_pallas_call
+        out, tails_out, sq = costed_pallas_call(
             functools.partial(_chan_kernel, cfg=cfg),
             grid=(n_super,),
-            cost_estimate=cost,
+            flops=int(flops),
+            transcendentals=int(n_super * 2 * C * self.adv0),
+            label="chan_postpipe",
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[

@@ -345,15 +345,12 @@ class FMAudioPipeline:
         flops = n_super * (30 * C * self.adv_if
                            + 2 * self.LwF * self.adv_if * C
                            + 2 * self.LwP * self.adv_aud * C)
-        bytes_acc = (twoC * m_if * 4 + C * n_super * self.adv_aud * 4
-                     + (self.Hf.size + self.Hp.size) * 4
-                     + twoC * 256 * 4 + C * (self.tfw + self.tpw) * 4)
-        audio, qtails, tails = pl.pallas_call(
+        from .pallas_cost import costed_pallas_call
+        audio, qtails, tails = costed_pallas_call(
             functools.partial(_demod_kernel, cfg=cfg),
             grid=(n_super,),
-            cost_estimate=pl.CostEstimate(
-                flops=int(flops), bytes_accessed=int(bytes_acc),
-                transcendentals=0),
+            flops=int(flops),
+            label="fm_demod_audio",
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[

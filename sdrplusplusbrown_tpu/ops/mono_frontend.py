@@ -493,18 +493,15 @@ class MonoVFOPipeline:
                            + 2 * twoC * self.adv_x * BS)
         for st in self.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
-        bytes_acc = (2 * Lp * 4 + twoC * n_super * self.adv_f * 4
-                     + twoC * self.tails_w_total * 4 + g.size * 4
-                     + s0.size * 4
-                     + sum(h.size * 4 for h in h_ops))
-        cost = pl.CostEstimate(flops=int(flops),
-                               bytes_accessed=int(bytes_acc),
-                               transcendentals=int(n_super * 2 * C
-                                                   * self.adv0))
-        out, tails_out = pl.pallas_call(
+        from .pallas_cost import costed_pallas_call
+        out, tails_out = costed_pallas_call(
             functools.partial(_mono_kernel, cfg=cfg),
             grid=(n_super,),
-            cost_estimate=cost,
+            flops=int(flops),
+            # in-kernel DMA: re + im (head0 + adv_x) windows per step
+            manual_bytes=int(n_super * 2 * (head0 + self.adv_x) * 4),
+            transcendentals=int(n_super * 2 * C * self.adv0),
+            label="mono_frontend",
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[

@@ -212,16 +212,16 @@ class PallasChannelizer:
         ai = jnp.imag(extp).reshape(CL, M).T
 
         cfg = dict(NF=NF, ntpp=self.ntpp, h=h, M=M)
-        bins = pl.pallas_call(
+        from .pallas_cost import costed_pallas_call
+        bins = costed_pallas_call(
             functools.partial(_chz_kernel, **cfg),
             grid=(n_super,),
-            cost_estimate=pl.CostEstimate(
-                flops=int(2 * 2 * M * 2 * K0 * width_out
-                          + 2 * 2 * M * HL * NF * n_super * 2),
-                bytes_accessed=int(2 * M * CL * 4
-                                   + 2 * M * width_out * 4
-                                   + self.GRe.size * 8),
-                transcendentals=0),
+            flops=int(2 * 2 * M * 2 * K0 * width_out
+                      + 2 * 2 * M * HL * NF * n_super * 2),
+            # in-kernel DMA: re + im [M, 2·HL] windows per step (the
+            # 2x-overlapped read is real traffic, counted as issued)
+            manual_bytes=int(n_super * 2 * M * NF * 4),
+            label="pfb_channelizer",
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),

@@ -132,14 +132,13 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     def _const(shape):
         return pl.BlockSpec(shape, lambda f: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=int(F * 16 * N1 * N2 * max(N1, N2)),
-        bytes_accessed=int(F * 3 * fft_size * 4 + 7 * N1 * N2 * 4),
-        transcendentals=int(F * fft_size))
-    out = pl.pallas_call(
+    from .pallas_cost import costed_pallas_call
+    out = costed_pallas_call(
         kern,
         grid=(F,),
-        cost_estimate=cost,
+        flops=int(F * 16 * N1 * N2 * max(N1, N2)),
+        transcendentals=int(F * fft_size),
+        label="fft_power_db",
         in_specs=[pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)] * 2
         + [_const(w2.shape),

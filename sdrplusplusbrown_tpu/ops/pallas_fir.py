@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_cost import costed_pallas_call
+
 # 1-D f32 arrays tile as (8,128) => DMA slices/offsets need 1024-elem alignment
 ALIGN = 1024
 
@@ -109,15 +111,13 @@ def fir_apply(xp: jnp.ndarray, taps: np.ndarray, tile: int = 512,
     n_super = T // sup
     kern = functools.partial(_fir_kernel, R=rows, tile=tile, K=K,
                              pad_k=pad_k, Lp=Lp)
-    cost = pl.CostEstimate(
-        flops=int(2 * (tile + K - 1) * tile * rows * C * n_super),
-        bytes_accessed=int(C * n_super * (rows * tile + pad_k) * 4
-                           + C * T * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(C, n_super),
-        cost_estimate=cost,
+        flops=int(2 * (tile + K - 1) * tile * rows * C * n_super),
+        # in-kernel DMA: one (rows·tile + pad_k) window per (c, i) step
+        manual_bytes=int(C * n_super * (rows * tile + pad_k) * 4),
+        label="fir_apply",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
@@ -262,15 +262,13 @@ def _fir_decim_apply_cb(xp: jnp.ndarray, taps: np.ndarray, D: int,
     so = rows * tile
     kern = functools.partial(_fir_decim_cb_kernel, R=rows, tile=tile,
                              K=K, D=D, pad_k=pad_k)
-    cost = pl.CostEstimate(
-        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
-        bytes_accessed=int(C * n_super * (sup + pad_k) * 4
-                           + C * (T // D) * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(C // CB, n_super),
-        cost_estimate=cost,
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
+        # in-kernel DMA: one [CB, sup + pad_k] window per (c8, i) step
+        manual_bytes=int(C * n_super * (sup + pad_k) * 4),
+        label="fir_decim_cb",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
@@ -306,15 +304,13 @@ def fir_decim_apply(xp: jnp.ndarray, taps: np.ndarray, D: int,
     n_super = T // sup
     kern = functools.partial(_fir_decim_kernel, R=rows, tile=tile, K=K,
                              D=D, pad_k=pad_k, Lp=Lp)
-    cost = pl.CostEstimate(
-        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
-        bytes_accessed=int(C * n_super * (rows * tile * D + pad_k) * 4
-                           + C * (T // D) * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(C, n_super),
-        cost_estimate=cost,
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * C * n_super),
+        # in-kernel DMA: one (sup + pad_k) window per (c, i) step
+        manual_bytes=int(C * n_super * (rows * tile * D + pad_k) * 4),
+        label="fir_decim",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
@@ -533,15 +529,13 @@ def _fir_cplx_apply_cb(ext: jnp.ndarray, taps: np.ndarray, D: int,
     kern = functools.partial(_fir_cplx_cb_kernel, R=rows, tile=tile,
                              K=K, D=D, pad_h=pad_h, n_read=n_read,
                              n_planes=Cp)
-    cost = pl.CostEstimate(
-        flops=int(2 * (2 * lwp) * (2 * tile) * rows * Cp * n_super),
-        bytes_accessed=int(Cp * n_super * 2 * n_read * 4
-                           + Cp * M * 8 + H.size * 4),
-        transcendentals=0)
-    ore, oim = pl.pallas_call(
+    ore, oim = costed_pallas_call(
         kern,
         grid=(Cp // CB, n_super),
-        cost_estimate=cost,
+        flops=int(2 * (2 * lwp) * (2 * tile) * rows * Cp * n_super),
+        # in-kernel DMA: re + im [CB, n_read] windows per (c8, i) step
+        manual_bytes=int(Cp * n_super * 2 * n_read * 4),
+        label="fir_cplx_cb",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((2 * lwp, 2 * tile), lambda c, i: (0, 0),
@@ -611,15 +605,13 @@ def fir_cplx_apply_any(ext: jnp.ndarray, taps: np.ndarray, D: int = 1,
     kern = functools.partial(_fir_cplx_kernel, R=rows, tile=tile, K=K,
                              D=D, pad_h=pad_h, Lp=Lp, n_read=n_read,
                              n_planes=C)
-    cost = pl.CostEstimate(
-        flops=int(2 * (2 * lwp) * (2 * tile) * rows * C * n_super),
-        bytes_accessed=int(C * n_super * 2 * n_read * 4
-                           + C * M * 8 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(C, n_super),
-        cost_estimate=cost,
+        flops=int(2 * (2 * lwp) * (2 * tile) * rows * C * n_super),
+        # in-kernel DMA: re + im n_read windows per (c, i) step
+        manual_bytes=int(C * n_super * 2 * n_read * 4),
+        label="fir_cplx",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((2 * lwp, 2 * tile), lambda c, i: (0, 0),
@@ -901,15 +893,13 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
                                      row_adv=row_adv, Lw=Lw,
                                      pad_k=pad_k, n_read=n_read_cb)
         so = rows * tile_out
-        cost = pl.CostEstimate(
-            flops=int(2 * H.shape[0] * tile_out * rows * Cp * n_super),
-            bytes_accessed=int(Cp * n_super * n_read_cb * 4
-                               + Cp * M * interp * 4 + H.size * 4),
-            transcendentals=0)
-        out = pl.pallas_call(
+        out = costed_pallas_call(
             kern,
             grid=(Cp // CB, n_super),
-            cost_estimate=cost,
+            flops=int(2 * H.shape[0] * tile_out * rows * Cp * n_super),
+            # in-kernel DMA: one [CB, n_read_cb] window per (c8, i) step
+            manual_bytes=int(Cp * n_super * n_read_cb * 4),
+            label="poly_banded_cb",
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((H.shape[0], tile_out),
@@ -940,15 +930,13 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
                                      tile_out=tile_out,
                                      row_adv=row_adv,
                                      Lw=Lw, pad_k=pad_k, Lp=Lp)
-        cost = pl.CostEstimate(
-            flops=int(2 * H.shape[0] * tile_out * rows * C * n_super),
-            bytes_accessed=int(C * n_super * n_read * 4
-                               + C * M * interp * 4 + H.size * 4),
-            transcendentals=0)
-        out = pl.pallas_call(
+        out = costed_pallas_call(
             kern,
             grid=(C, n_super),
-            cost_estimate=cost,
+            flops=int(2 * H.shape[0] * tile_out * rows * C * n_super),
+            # in-kernel DMA: one n_read window per (c, i) step
+            manual_bytes=int(C * n_super * n_read * 4),
+            label="poly_banded",
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((H.shape[0], tile_out),
@@ -1078,16 +1066,14 @@ def fused_mix_decim_apply(ext: jnp.ndarray, g: jnp.ndarray, D: int,
     s0[np.arange(bs) * D, np.arange(bs)] = 1.0
     kern = functools.partial(_fused_mix_kernel, K=K, D=D, pad_k=pad_k,
                              Lp=Lp, n_out=sup, bs=bs)
-    cost = pl.CostEstimate(
-        flops=int(n_super * (2 * twoK * twoC * sup * D
-                             + 2 * twoC * sup * D * bs)),
-        bytes_accessed=int(n_super * 2 * (sup * D + pad_k) * 4
-                           + n_super * twoC * sup * 4 + g.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(n_super,),
-        cost_estimate=cost,
+        flops=int(n_super * (2 * twoK * twoC * sup * D
+                             + 2 * twoC * sup * D * bs)),
+        # in-kernel DMA: re + im (sup·D + pad_k) windows per step
+        manual_bytes=int(n_super * 2 * (sup * D + pad_k) * 4),
+        label="fused_mix_decim",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((twoC, twoK), lambda i: (0, 0),
@@ -1194,15 +1180,13 @@ def fir_decim_planes(xp: jnp.ndarray, taps: np.ndarray, D: int,
     kern = functools.partial(_plane_decim_kernel, R=rows, tile=tile,
                              K=K, D=D, pad_k=pad_k, x_base=x_base,
                              head_pad=head_pad)
-    cost = pl.CostEstimate(
-        flops=int(2 * ((tile - 1) * D + K) * tile * rows * P * n_super),
-        bytes_accessed=int(P * n_super * (sup + pad_k) * 4
-                           + P * (so + m_pad_out) * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(P // CB, n_super + 1),
-        cost_estimate=cost,
+        flops=int(2 * ((tile - 1) * D + K) * tile * rows * P * n_super),
+        # in-kernel DMA (i > 0 steps only): [CB, sup + pad_k] windows
+        manual_bytes=int(P * n_super * (sup + pad_k) * 4),
+        label="plane_decim",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile), lambda c, i: (0, 0),
@@ -1336,15 +1320,13 @@ def poly_resample_planes(xp: jnp.ndarray, widened: np.ndarray,
     assert x_base + (n_super - 1) * sup_in + n_read <= Lp, \
         (x_base, n_super, sup_in, n_read, Lp)
     H = jnp.asarray(H)
-    cost = pl.CostEstimate(
-        flops=int(2 * H.shape[0] * tile_out * rows * P * n_super),
-        bytes_accessed=int(P * n_super * n_read * 4
-                           + P * (so + m_pad_out) * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(P // CB, n_super + 1),
-        cost_estimate=cost,
+        flops=int(2 * H.shape[0] * tile_out * rows * P * n_super),
+        # in-kernel DMA (i > 0 steps only): [CB, n_read] windows
+        manual_bytes=int(P * n_super * n_read * 4),
+        label="plane_poly",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], tile_out), lambda c, i: (0, 0),
@@ -1472,18 +1454,15 @@ def fused_mix_decim_planes(xf: jnp.ndarray, g: jnp.ndarray, D: int,
     kern = functools.partial(_fused_mix_planes_kernel, K=K, D=D,
                              pad_k=pad_k, Lp=Lp, n_out=sup, bs=bs,
                              C=C, head_pad=head_pad)
-    cost = pl.CostEstimate(
-        flops=int(n_super * (2 * twoK * twoC * sup * D
-                             + 2 * twoC * sup * D * bs)),
-        bytes_accessed=int(n_super * 2 * (sup * D + pad_k) * 4
-                           + (n_super + 1) * twoC * sup * 4
-                           + g.size * 4),
-        transcendentals=int(n_super * 2 * C * sup),
-    )
-    out = pl.pallas_call(
+    out = costed_pallas_call(
         kern,
         grid=(n_super + 1,),
-        cost_estimate=cost,
+        flops=int(n_super * (2 * twoK * twoC * sup * D
+                             + 2 * twoC * sup * D * bs)),
+        # in-kernel DMA (i > 0 steps only): re + im windows
+        manual_bytes=int(n_super * 2 * (sup * D + pad_k) * 4),
+        transcendentals=int(n_super * 2 * C * sup),
+        label="fused_mix_planes",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((twoC, twoK), lambda i: (0, 0),

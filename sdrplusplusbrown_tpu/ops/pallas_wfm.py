@@ -115,16 +115,15 @@ def wfm_stereo_apply(ext: jnp.ndarray, taps: np.ndarray,
                              K=K, d=int(d), pad_k=pad_k,
                              ur=float(np.real(u)), ui=float(np.imag(u)),
                              eps=1e-20)
-    cost = pl.CostEstimate(
-        flops=int(2 * (TILE - 1 + K) * 2 * TILE * ROWS * C * n_super
-                  + 12 * C * M_pad),
-        bytes_accessed=int(C * n_super * (SUP + pad_k) * 4
-                           + 2 * C * M_pad * 4 + H.size * 4),
-        transcendentals=0)
-    out = pl.pallas_call(
+    from .pallas_cost import costed_pallas_call
+    out = costed_pallas_call(
         kern,
         grid=(C // CB, n_super),
-        cost_estimate=cost,
+        flops=int(2 * (TILE - 1 + K) * 2 * TILE * ROWS * C * n_super
+                  + 12 * C * M_pad),
+        # in-kernel DMA: one [CB, SUP + pad_k] window per (c8, i) step
+        manual_bytes=int(C * n_super * (SUP + pad_k) * 4),
+        label="wfm_stereo",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((H.shape[0], 2 * TILE), lambda c, i: (0, 0),

@@ -321,15 +321,12 @@ class WFMDemodPipeline:
                            + 2 * (127 + self.K) * 256 * C
                            * (self.adv_mpx // 128)
                            + 12 * C * self.adv_mpx)
-        bytes_acc = (twoC * m_if * 4 + twoC * n_super * self.adv_mpx * 4
-                     + (self.Hp.size + sum(h.size for h in self.Hhb)) * 4
-                     + twoC * 256 * 4 + C * tw_total * 4)
-        out, qtails, tails = pl.pallas_call(
+        from .pallas_cost import costed_pallas_call
+        out, qtails, tails = costed_pallas_call(
             functools.partial(_wfm_kernel, cfg=cfg),
             grid=(n_super,),
-            cost_estimate=pl.CostEstimate(
-                flops=int(flops), bytes_accessed=int(bytes_acc),
-                transcendentals=0),
+            flops=int(flops),
+            label="wfm_whole_demod",
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[
