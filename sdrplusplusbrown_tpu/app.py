@@ -153,10 +153,18 @@ class RadioModuleInstance(ModuleInstance):
     def module_type(self) -> str:
         return "radio"
 
-    def _build(self):
+    def _build(self, migrate: bool = False):
+        """(Re)build the jitted pipeline.  With ``migrate=True`` the
+        carried DSP state (filter tails, NCO/PLL/AGC) survives the
+        reconfiguration via runtime.migrate resize rules — the
+        reference's click-free retune (fir.h:33-54,
+        radio_module.h:655-774)."""
         import jax
+        from .runtime.migrate import migrate_state
         t0 = time.perf_counter()
         with self._mtx:
+            old_state = self.state if migrate else None
+            old_rds_state = self.rds_state if migrate else None
             use_rds = self.rds_enabled and self.demod_id == 1  # WFM only
             radio = Radio(self.app.samplerate, self.demod_id,
                           bandwidth=self.bandwidth,
@@ -166,7 +174,7 @@ class RadioModuleInstance(ModuleInstance):
                           nb_enabled=self.nb_enabled,
                           fmif_enabled=self.fmif_enabled, rds=use_rds)
             self.radio = radio
-            self.state = radio.init_state(())
+            self.state = migrate_state(old_state, radio.init_state(()))
             self.params = radio.make_params(self.offset_hz)
             self.bandwidth = radio.bandwidth
             self.jit_step = jax.jit(
@@ -174,7 +182,8 @@ class RadioModuleInstance(ModuleInstance):
             if use_rds:
                 from .models.rds import RDSDemod, RDSDecoder
                 self.rds_demod = RDSDemod()
-                self.rds_state = self.rds_demod.init_state(())
+                self.rds_state = migrate_state(
+                    old_rds_state, self.rds_demod.init_state(()))
                 self.rds_decoder = RDSDecoder()
                 self.rds_step = jax.jit(
                     lambda s, x: self.rds_demod.apply(None, s, x))
@@ -196,7 +205,7 @@ class RadioModuleInstance(ModuleInstance):
 
     def set_bandwidth(self, bandwidth_hz: float):
         self.bandwidth = float(bandwidth_hz)
-        self._build()
+        self._build(migrate=True)
 
     def select_demod(self, demod_id):
         """int id or provider name (plugin demods register via
@@ -206,7 +215,7 @@ class RadioModuleInstance(ModuleInstance):
             else demod_id
         self.bandwidth = None  # take the new demod's default
         try:
-            self._build()
+            self._build(migrate=True)
         except Exception:
             # keep the module consistent on a bad demod id
             self.demod_id, self.bandwidth = old
