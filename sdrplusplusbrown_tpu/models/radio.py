@@ -308,10 +308,12 @@ def init_state_shared(self, C: int):
     return st
 
 
-def apply_shared(self, params, state, x):
+def apply_shared(self, params, state, x, _force_fused=None):
     """x: [T] SHARED wideband → same outputs as apply() on a C-broadcast
     copy, but the full-rate mix-down is fused into the first halfband
-    (ops/fused_frontend.py) so the wideband is read once."""
+    (ops/fused_frontend.py) so the wideband is read once.
+    ``_force_fused=True`` runs the kernel path in interpret mode on CPU
+    (tests of the raw handoff)."""
     if x.shape[-1] % self.in_multiple:
         raise ValueError(
             f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
@@ -322,33 +324,55 @@ def apply_shared(self, params, state, x):
     # re/im planes (WFM discriminator), skip the recombine-to-complex
     # HBM pass after the plane-protocol front end
     if self._if_chain_empty() and hasattr(self.demod, "apply_planes"):
-        planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
-                                     return_planes=True)
         from ..ops.fir import get_fir_backend
-        use_kernel = (get_fir_backend() in ("auto", "pallas")
-                      and jax.default_backend() not in ("cpu",))
-        pipe2 = (self._fm_audio_pipe(planes[0].shape[0])
-                 if use_kernel and planes[0].ndim == 2 else None)
+        use_kernel = _force_fused if _force_fused is not None else (
+            get_fir_backend() in ("auto", "pallas")
+            and jax.default_backend() not in ("cpu",))
+        # raw handoff: the monolithic front-end kernel's untrimmed
+        # [2C, W] buffer feeds the demod kernels directly — the
+        # [C, m_if] plane slices (a full IF-rate HBM copy) only
+        # materialize on the fallback paths
+        planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
+                                     raw=use_kernel,
+                                     return_planes=not use_kernel,
+                                     _force_kernel=bool(_force_fused))
+        is_raw = use_kernel and isinstance(planes[1], int)
+        if is_raw:
+            C = planes[0].shape[0] // 2
+            m_if = planes[1]
+        else:
+            C = planes[0].shape[0] if planes[0].ndim == 2 else 0
+            m_if = planes[0].shape[-1]
+        pipe2 = (self._fm_audio_pipe(C, bool(_force_fused))
+                 if use_kernel and (is_raw or planes[0].ndim == 2)
+                 else None)
         if pipe2 is not None:
             # NFM audio tail (quad + audio FIR + AF resampler) as one
             # kernel (ops/demod_kernel.py), same as the channelized path
             from ..ops.demod_kernel import apply_chunked
-            C = planes[0].shape[0]
-            m_if = planes[0].shape[-1]
             if pipe2.C == C:
                 audio, st["demod"], ast = pipe2.apply(
                     None, state["demod"],
-                    state.get("af_resamp") or {}, planes, m_if)
+                    state.get("af_resamp") or {},
+                    planes[0] if is_raw else planes, m_if)
             else:
-                iq_raw = jnp.concatenate(planes, axis=0)
+                iq_raw = (planes[0] if is_raw
+                          else jnp.concatenate(planes, axis=0))
                 audio, st["demod"], ast = apply_chunked(
                     pipe2, None, state["demod"],
                     state.get("af_resamp") or {}, iq_raw, m_if, C)
             if self.af_resamp is not None:
                 st["af_resamp"] = ast
             return jnp.stack([audio, audio], axis=-2), st
-        y, st["demod"] = self.demod.apply_planes(None, state["demod"],
-                                                 planes)
+        if is_raw and not hasattr(self.demod, "accepts_raw_planes"):
+            buf = planes[0]
+            planes = (buf[:C, :m_if], buf[C:2 * C, :m_if])
+        force_kw = ({"_force_kernel": True}
+                    if _force_fused
+                    and hasattr(self.demod, "accepts_raw_planes")
+                    else {})
+        y, st["demod"] = self.demod.apply_planes(
+            None, state["demod"], planes, **force_kw)
         return self._post_demod(state, st, y)
     y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
     return self._post_vfo(params, state, st, y)

@@ -301,26 +301,39 @@ class SharedRxVFOBank(Block):
             cache[C] = build_mono_pipeline(self, C)
         return cache[C]
 
-    def apply(self, params, state, x, return_planes: bool = False):
+    def apply(self, params, state, x, return_planes: bool = False,
+              raw: bool = False, _force_kernel: bool = False):
         """x: [T] shared wideband → ([C, T_out], state').  With
         ``return_planes``: (([C,T_out] re, im) float32, state') — on the
         plane-protocol path these are slices of the last kernel output
-        (no recombine pass); elsewhere near-free real/imag views."""
+        (no recombine pass); elsewhere near-free real/imag views.  With
+        ``raw`` (monolithic kernel only): (([2C, W] stacked planes,
+        m_valid int), state') — no slice pass; falls back to
+        ``return_planes`` form when the mono kernel is unavailable.
+        ``_force_kernel`` runs the mono kernel in interpret mode on CPU
+        (tests of the raw handoff)."""
         if self.fused is not None:
             from ..ops.fir import get_fir_backend
             import jax as _jax
             C = params["fused"]["omega"].shape[0]
-            if (get_fir_backend() in ("auto", "pallas")
-                    and _jax.default_backend() not in ("cpu",)
+            if ((_force_kernel
+                 or (get_fir_backend() in ("auto", "pallas")
+                     and _jax.default_backend() not in ("cpu",)))
                     and "omega_dec_sup" in params["fused"]):
                 pipe = self._mono_pipe(C)
                 if pipe is not None:
+                    if _force_kernel:
+                        pipe.interpret = True
                     return pipe.apply(params["fused"], state, x,
-                                      return_planes=return_planes)
+                                      return_planes=return_planes,
+                                      raw=raw)
                 pipe = self._plane_pipe(C)
                 if pipe is not None:
+                    if _force_kernel:
+                        pipe.interpret = True
                     return pipe.apply(params["fused"], state, x,
-                                      return_planes=return_planes)
+                                      return_planes=return_planes
+                                      or raw)
         st = dict(state)
         if self.fused is None:
             C = params["xl"]["omega"].shape[0]
@@ -339,6 +352,6 @@ class SharedRxVFOBank(Block):
             y, st[n] = b.apply(None, state[n], y)
         if self.filter_needed:
             y, st["fir"] = self.base.fir.apply(None, state["fir"], y)
-        if return_planes:
+        if return_planes or raw:
             return (jnp.real(y), jnp.imag(y)), st
         return y, st

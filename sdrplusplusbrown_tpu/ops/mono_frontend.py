@@ -386,7 +386,8 @@ class MonoVFOPipeline:
         return plan
 
     # -- the call ---------------------------------------------------------
-    def apply(self, params, state, x, return_planes: bool = False):
+    def apply(self, params, state, x, return_planes: bool = False,
+              raw: bool = False):
         C = self.C
         T = x.shape[-1]
         plan = self._plan(T)
@@ -518,7 +519,13 @@ class MonoVFOPipeline:
           base.astype(jnp.float32), *tail_ops, *h_ops)
 
         M = plan["m"][-1]
-        if return_planes:
+        if raw:
+            # untrimmed [2C, n_super·adv_f] stacked planes + valid
+            # width — feeds ops/wfm_kernel.py / ops/demod_kernel.py
+            # without a slice/concat HBM pass (same contract as
+            # ops/chan_frontend.py raw mode)
+            y = (out, M)
+        elif return_planes:
             y = (out[:C, :M], out[C:, :M])
         else:
             y = jax.lax.complex(out[:C, :M], out[C:, :M])

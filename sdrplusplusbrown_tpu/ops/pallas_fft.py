@@ -45,39 +45,43 @@ def fft_pow_pallas_ok(fft_size: int) -> bool:
             and fft_size in _SQUARE)
 
 
-@functools.lru_cache(maxsize=8)
-def _matrices(N1: int, N2: int):
-    k1 = np.arange(N1)
-    F1 = np.exp(-2j * np.pi * np.outer(k1, k1) / N1)
-    k2 = np.arange(N2)
-    F2 = np.exp(-2j * np.pi * np.outer(k2, k2) / N2)
-    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / (N1 * N2))
-    out = []
-    for M in (F1, tw, F2):
-        out.append(np.real(M).astype(np.float32))
-        out.append(np.imag(M).astype(np.float32))
-    return out
+def _dft_mats(n, m, denom):
+    """e^{-2πj·r·c/denom} planes generated IN-KERNEL: the six
+    [≤512, ≤512] DFT/twiddle matrices were ~1.8 MB of per-call HBM
+    operands (7.5 B/in-sample at the bench spectrum config); as
+    iota→mod→trig VPU work (~0.4 Mops/frame vs the FFT's 268 Mflops)
+    they cost nothing.  The r·c product is reduced mod ``denom`` in
+    EXACT int32 first, so the f32 angle is < 2π and the matrices match
+    the float64-precomputed ones to f32 rounding."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    p = jax.lax.rem(r * c, jnp.int32(denom))
+    ang = p.astype(jnp.float32) * jnp.float32(-2.0 * np.pi / denom)
+    return jnp.cos(ang), jnp.sin(ang)
 
 
-def _fft_pow_kernel(xr_ref, xi_ref, w_ref, f1r, f1i, twr, twi, f2r, f2i,
-                    o_ref, *, inv_n2, floor, windowed):
+def _fft_pow_kernel(xr_ref, xi_ref, w_ref, o_ref, *, N1, N2,
+                    inv_n2, floor, windowed):
+    f1r, f1i = _dft_mats(N1, N1, N1)
+    twr, twi = _dft_mats(N1, N2, N1 * N2)
+    f2r, f2i = _dft_mats(N2, N2, N2)
     ar = xr_ref[0]
     ai = xi_ref[0]
     if windowed:
         ar = ar * w_ref[...]
         ai = ai * w_ref[...]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    br = dot(f1r[...], ar) - dot(f1i[...], ai)
-    bi = dot(f1r[...], ai) + dot(f1i[...], ar)
-    cr = br * twr[...] - bi * twi[...]
-    ci = br * twi[...] + bi * twr[...]
+    br = dot(f1r, ar) - dot(f1i, ai)
+    bi = dot(f1r, ai) + dot(f1i, ar)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
     # E[k2, k1] = Σ_n2 F2[k2, n2] · C[k1, n2]  (contract both on axis 1)
     dg = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    er = dg(f2r[...], cr) - dg(f2i[...], ci)
-    ei = dg(f2r[...], ci) + dg(f2i[...], cr)
+    er = dg(f2r, cr) - dg(f2i, ci)
+    ei = dg(f2r, ci) + dg(f2i, cr)
     p = (er * er + ei * ei) * inv_n2
     o_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p, floor))
 
@@ -118,15 +122,14 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     F = int(np.prod(lead)) if lead else 1
     xr = xr.reshape(F, N1, N2)
     xi = xi.reshape(F, N1, N2)
-    mats = [jnp.asarray(m) for m in _matrices(N1, N2)]
-    f1r, f1i, twr, twi, f2r, f2i = mats
     if window is not None:
         w2 = jnp.asarray(np.asarray(window, np.float32)
                          .reshape(N1, N2))
     else:
         w2 = jnp.ones((1, 1), jnp.float32)  # unused placeholder
     kern = functools.partial(
-        _fft_pow_kernel, inv_n2=1.0 / float(fft_size) ** 2,
+        _fft_pow_kernel, N1=N1, N2=N2,
+        inv_n2=1.0 / float(fft_size) ** 2,
         floor=10.0 ** (floor_db / 10.0), windowed=window is not None)
 
     def _const(shape):
@@ -137,19 +140,17 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
         kern,
         grid=(F,),
         flops=int(F * 16 * N1 * N2 * max(N1, N2)),
-        transcendentals=int(F * fft_size),
+        transcendentals=int(F * (fft_size
+                                 + 2 * (N1 * N1 + N1 * N2 + N2 * N2))),
         label="fft_power_db",
         in_specs=[pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)] * 2
-        + [_const(w2.shape),
-           _const((N1, N1)), _const((N1, N1)),
-           _const((N1, N2)), _const((N1, N2)),
-           _const((N2, N2)), _const((N2, N2))],
+        + [_const(w2.shape)],
         out_specs=pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, N1, N2), jnp.float32),
         interpret=interpret,
-    )(xr, xi, w2, f1r, f1i, twr, twi, f2r, f2i)
+    )(xr, xi, w2)
     # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
     return out.reshape(lead + (fft_size,))
 
@@ -170,18 +171,36 @@ def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
     N1 = _SQUARE[fft_size]
     N2 = fft_size // N1
 
+    # per-frame lax.slice beats reshape[..., :keep]: XLA fuses the
+    # flat slice + real/imag + pad + (N1, N2) retile into one pass per
+    # plane, while the 2-D strided-slice form first materializes a
+    # FULL-length real(x) copy (measured 16.75 vs 13.11 B/in-sample
+    # per plane at the bench config)
+    if lead:                              # batched wideband: slice per row
+        xf = x.reshape(-1, T)
+        frs = [xf[:, None, f * interval:f * interval + keep]
+               for f in range(n)]
+        fr = (jnp.concatenate(frs, 1) if n > 1 else frs[0]) \
+            .reshape(-1, keep)
+        n = fr.shape[0]
+    else:
+        frs = [jax.lax.slice(x, (f * interval,),
+                             (f * interval + keep,))[None]
+               for f in range(n)]
+        fr = jnp.concatenate(frs, 0) if n > 1 else frs[0]
+
     def planes(p):
-        fr = p.reshape(lead + (n, interval))[..., :keep]
         if pad:
-            fr = jnp.pad(fr, [(0, 0)] * (fr.ndim - 1) + [(0, pad)])
+            p = jnp.pad(p, [(0, 0), (0, pad)])
         # emit [.., N1, N2] directly: the keep/skip slice and the
         # 2-D retiling fuse into ONE copy (a flat [F, fft] operand
         # would be re-tiled by a SECOND relayout inside the kernel
         # call — measured +27 B/in-sample at the bench config)
-        return fr.reshape(lead + (n, N1, N2)).astype(jnp.float32)
+        return p.reshape(n, N1, N2).astype(jnp.float32)
 
     w_full = (np.concatenate([window, np.zeros(pad, np.float32)])
               if pad else window)
-    return fft_power_db_planes(planes(jnp.real(x)), planes(jnp.imag(x)),
-                               fft_size, floor_db, window=w_full,
-                               interpret=interpret)
+    db = fft_power_db_planes(planes(jnp.real(fr)), planes(jnp.imag(fr)),
+                             fft_size, floor_db, window=w_full,
+                             interpret=interpret)
+    return db.reshape(lead + (T // interval, fft_size))

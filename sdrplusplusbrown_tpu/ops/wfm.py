@@ -214,6 +214,9 @@ class BroadcastFM(Block):
             return lr
         return jnp.moveaxis(lr2, 0, -2)
 
+    #: apply_planes accepts the ([2C, W], m_if) raw front-end handoff
+    accepts_raw_planes = True
+
     def _wfm_pipe(self, C: int, interpret: bool = False):
         """Lazily-built whole-demod kernel (ops/wfm_kernel.py): quad +
         MPX halfbands + stereo section in one pallas pass.  None when
@@ -232,24 +235,39 @@ class BroadcastFM(Block):
         from the plane-protocol front end — the discriminator consumes
         them directly (ops/demod.py Quadrature.apply_planes), so the
         complex IF array never exists in HBM.  On TPU the whole demod
-        (quad + halfbands + stereo) runs as one kernel when supported."""
-        xr, xi = planes
+        (quad + halfbands + stereo) runs as one kernel when supported.
+
+        ``planes`` may also be the RAW ([2C, W] stacked buffer, m_if)
+        handoff from the monolithic/channelized front-end kernels —
+        the kernel consumes it directly, no slice/concat HBM pass."""
+        is_raw = isinstance(planes[1], int)
+        if is_raw:
+            buf, m_if = planes
+            C = buf.shape[0] // 2
+            xr = xi = None
+        else:
+            xr, xi = planes
+            C, m_if = xr.shape[0] if xr.ndim == 2 else 0, xr.shape[-1]
         use_kernel = _force_kernel
         if use_kernel is None:
             import jax as _jax
             from .fir import get_fir_backend
             use_kernel = (get_fir_backend() in ("auto", "pallas")
                           and _jax.default_backend() not in ("cpu",)
-                          and xr.ndim == 2)
-        if use_kernel and xr.ndim == 2 and not self.rds_out:
-            pipe = self._wfm_pipe(xr.shape[0], bool(_force_kernel))
+                          and (is_raw or xr.ndim == 2))
+        if use_kernel and (is_raw or xr.ndim == 2) and not self.rds_out:
+            pipe = self._wfm_pipe(C, bool(_force_kernel))
             if pipe is not None:
                 st = dict(state)
-                lr2, st2 = pipe.apply(state, planes, xr.shape[-1])
+                lr2, st2 = pipe.apply(state,
+                                      planes[0] if is_raw else planes,
+                                      m_if)
                 st.update(st2)
                 lr = self._audio_out(state, st, lr2)
                 return lr, st
         st = dict(state)
+        if is_raw:                       # kernel unavailable: slice
+            xr, xi = buf[:C, :m_if], buf[C:2 * C, :m_if]
         mpx, st["quad"] = self.quad.apply_planes(state["quad"], xr, xi)
         return self._after_quad(params, state, st, mpx)
 

@@ -254,6 +254,11 @@ class WFMDemodPipeline:
         m_mpx = plan["m_mpx"]
         if isinstance(iq, tuple):
             iq = jnp.concatenate(iq, axis=0)
+        # raw handoffs may be narrower than the grid walk (wider is
+        # fine — blocks past n_super are simply never fetched)
+        need = n_super * self.adv_if
+        if iq.shape[-1] < need:
+            iq = jnp.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
 
         q = state["quad"]
         qtail = jnp.zeros((2 * C, 128), jnp.float32)
