@@ -188,6 +188,11 @@ def build_wfm8():
     T = int(((240_000 + g - 1) // g) * g)       # ~0.1 s of IQ per step
 
     rng = np.random.default_rng(0)
+    # NOTE: apply_shared/SpectrumPath also accept (xr, xi) float32
+    # planes, but the complex64 feed measures BETTER on this XLA
+    # version — the X64Split real/imag extraction pair is cheaper than
+    # the layout relayouts f32 plane parameters pay at the spectrum's
+    # unaligned frame slices (measured 240.0 vs 256.2 B/sample).
     x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)) \
         .astype(np.complex64) * 0.1
 

@@ -183,6 +183,21 @@ class Radio(Block):
         self.deemp_tau = DEEMP_TAUS[deemphasis]
         self.deemp = (Deemphasis(self.deemp_tau, self.audio_samplerate)
                       if self.deemp_tau else None)
+        # Fuse the de-emphasis into the demod's AF polyphase resampler
+        # when both exist (WFM): its truncated-exponential FIR form
+        # (recurrence.py) folds into the widened resampler kernel
+        # (resampler.py:fold_output_fir), making the resampler's
+        # input-side history the COMPLETE state of the cascade — one
+        # HBM pass instead of resample + O(log T) de-emphasis sweeps.
+        # The separate Deemphasis block remains the lowering everywhere
+        # an AF resampler isn't present (reference AF-chain semantics,
+        # radio_module.h:100-107, are unchanged: same cascade, fused).
+        if (self.deemp is not None and self.deemp.fir_k
+                and getattr(self.demod, "audio_poly", None) is not None):
+            from ..ops.resampler import fold_output_fir
+            self.demod.audio_poly = fold_output_fir(
+                self.demod.audio_poly, self.deemp.impulse())
+            self.deemp = None
 
         # --- static granularity: input length L must make every stage length
         # an exact integer multiple of its in_multiple.
@@ -309,14 +324,18 @@ def init_state_shared(self, C: int):
 
 
 def apply_shared(self, params, state, x, _force_fused=None):
-    """x: [T] SHARED wideband → same outputs as apply() on a C-broadcast
-    copy, but the full-rate mix-down is fused into the first halfband
-    (ops/fused_frontend.py) so the wideband is read once.
+    """x: [T] SHARED wideband — complex64, or (xr, xi) float32 planes
+    (the host feed's natural SoA form: a c64 array costs an unfused
+    X64Split custom-call pass per real()/imag() on TPU) — → same
+    outputs as apply() on a C-broadcast copy, but the full-rate
+    mix-down is fused into the first halfband (ops/fused_frontend.py)
+    so the wideband is read once.
     ``_force_fused=True`` runs the kernel path in interpret mode on CPU
     (tests of the raw handoff)."""
-    if x.shape[-1] % self.in_multiple:
+    T_in = (x[0] if isinstance(x, tuple) else x).shape[-1]
+    if T_in % self.in_multiple:
         raise ValueError(
-            f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
+            f"Radio[{self.demod_name}]: block length {T_in} must "
             f"be a multiple of in_multiple={self.in_multiple}")
     vs = self._build_vfo_shared()
     st = dict(state)

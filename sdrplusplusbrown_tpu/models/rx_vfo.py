@@ -13,6 +13,7 @@ iq_frontend.cpp:159-179).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -331,9 +332,13 @@ class SharedRxVFOBank(Block):
                 if pipe is not None:
                     if _force_kernel:
                         pipe.interpret = True
+                    if isinstance(x, tuple):
+                        x = jax.lax.complex(*x)
                     return pipe.apply(params["fused"], state, x,
                                       return_planes=return_planes
                                       or raw)
+        if isinstance(x, tuple):          # fallbacks eat complex
+            x = jax.lax.complex(*x)
         st = dict(state)
         if self.fused is None:
             C = params["xl"]["omega"].shape[0]

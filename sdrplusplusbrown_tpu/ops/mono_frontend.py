@@ -388,18 +388,30 @@ class MonoVFOPipeline:
     # -- the call ---------------------------------------------------------
     def apply(self, params, state, x, return_planes: bool = False,
               raw: bool = False):
+        """``x``: [T] complex wideband, or (xr, xi) float32 planes —
+        the planes form skips the X64Split extraction passes entirely
+        (real()/imag() of a c64 array are unfused custom calls on TPU,
+        a full read each)."""
         C = self.C
-        T = x.shape[-1]
+        in_planes = isinstance(x, tuple)
+        xr, xi = x if in_planes else (None, None)
+        T = (xr if in_planes else x).shape[-1]
         plan = self._plan(T)
         n_super, Lp = plan["n_super"], plan["Lp"]
         K0, D0, head0 = self.K0, self.D0, self.head0
 
-        ext = jnp.concatenate([state["fused"]["tail"], x])
+        # build the flat planes STRAIGHT from (carried tail, x): an
+        # intermediate ext = concat(tail, x) complex array costs a full
+        # extra HBM round-trip (measured ~25 B/in-sample: the c64
+        # materialization + a separate tail slice)
+        tail = state["fused"]["tail"]
         off0 = head0 - (K0 - 1)
         zf = jnp.zeros((off0,), jnp.float32)
         zt = jnp.zeros((Lp - off0 - (T + K0 - 1),), jnp.float32)
-        xf = jnp.concatenate([zf, jnp.real(ext), zt,
-                              zf, jnp.imag(ext), zt])
+        if not in_planes:
+            xr, xi = jnp.real(x), jnp.imag(x)
+        xf = jnp.concatenate([zf, jnp.real(tail), xr, zt,
+                              zf, jnp.imag(tail), xi, zt])
 
         # channel-modulated taps (runtime retune without recompile)
         omega = params["omega"]
@@ -535,7 +547,13 @@ class MonoVFOPipeline:
                                   params["omega"],
                                   params["omega_span"], T)
         new_state["fused"] = {
-            "tail": ext[T:],
+            "tail": (jax.lax.complex(xr[T - (K0 - 1):],
+                                     xi[T - (K0 - 1):])
+                     if in_planes and T >= K0 - 1 else
+                     x[T - (K0 - 1):] if T >= K0 - 1
+                     else jnp.concatenate(
+                         [tail, jax.lax.complex(xr, xi)
+                          if in_planes else x])[T:]),
             "phase": jnp.broadcast_to(new_phase, (C,)),
         }
         new_tails = []

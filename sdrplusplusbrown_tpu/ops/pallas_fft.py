@@ -164,9 +164,11 @@ def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
     fft_size] dB spectra.  The keep/skip framing slice, the re/im
     split and the zero-pad all land in one XLA pass per plane feeding
     fft_power_db_planes."""
-    T = x.shape[-1]
+    in_planes = isinstance(x, tuple)
+    x0 = x[0] if in_planes else x
+    T = x0.shape[-1]
     n = T // interval
-    lead = x.shape[:-1]
+    lead = x0.shape[:-1]
     pad = fft_size - keep
     N1 = _SQUARE[fft_size]
     N2 = fft_size // N1
@@ -176,18 +178,17 @@ def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
     # plane, while the 2-D strided-slice form first materializes a
     # FULL-length real(x) copy (measured 16.75 vs 13.11 B/in-sample
     # per plane at the bench config)
-    if lead:                              # batched wideband: slice per row
-        xf = x.reshape(-1, T)
-        frs = [xf[:, None, f * interval:f * interval + keep]
-               for f in range(n)]
-        fr = (jnp.concatenate(frs, 1) if n > 1 else frs[0]) \
-            .reshape(-1, keep)
-        n = fr.shape[0]
-    else:
-        frs = [jax.lax.slice(x, (f * interval,),
+    def frames_of(p):
+        if lead:                          # batched wideband: per row
+            pf = p.reshape(-1, T)
+            frs = [pf[:, None, f * interval:f * interval + keep]
+                   for f in range(n)]
+            return (jnp.concatenate(frs, 1) if n > 1
+                    else frs[0]).reshape(-1, keep)
+        frs = [jax.lax.slice(p, (f * interval,),
                              (f * interval + keep,))[None]
                for f in range(n)]
-        fr = jnp.concatenate(frs, 0) if n > 1 else frs[0]
+        return jnp.concatenate(frs, 0) if n > 1 else frs[0]
 
     def planes(p):
         if pad:
@@ -196,11 +197,16 @@ def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
         # 2-D retiling fuse into ONE copy (a flat [F, fft] operand
         # would be re-tiled by a SECOND relayout inside the kernel
         # call — measured +27 B/in-sample at the bench config)
-        return p.reshape(n, N1, N2).astype(jnp.float32)
+        nf = p.shape[0]
+        return p.reshape(nf, N1, N2).astype(jnp.float32)
 
     w_full = (np.concatenate([window, np.zeros(pad, np.float32)])
               if pad else window)
-    db = fft_power_db_planes(planes(jnp.real(fr)), planes(jnp.imag(fr)),
-                             fft_size, floor_db, window=w_full,
+    if in_planes:
+        pr, pi = planes(frames_of(x[0])), planes(frames_of(x[1]))
+    else:
+        fr = frames_of(x)
+        pr, pi = planes(jnp.real(fr)), planes(jnp.imag(fr))
+    db = fft_power_db_planes(pr, pi, fft_size, floor_db, window=w_full,
                              interpret=interpret)
     return db.reshape(lead + (T // interval, fft_size))

@@ -819,14 +819,22 @@ def _banded_roll_cb_kernel(x_hbm, h_ref, o_ref, w, sem, *,
 def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
                             interp: int, decim: int, mt: int = 64,
                             rows: int = 8, use_roll: bool = False,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            carry: jnp.ndarray | None = None
+                            ) -> jnp.ndarray:
     """Drop-in for the PolyphaseResampler conv: ``ext`` is the extended
     block [..., T + tpp - 1] (tpp-1 = kw - decim carried samples),
-    real or complex; returns [..., (T//decim)*interp]."""
+    real or complex; returns [..., (T//decim)*interp].
+
+    With ``carry`` given, ``ext`` is the BARE block [..., T] and carry
+    the [..., tpp-1] history: the history concat, the alignment pads
+    and the plane split then land in ONE fused XLA pass building the
+    kernel operand, instead of a materialized concat + a separate pad
+    sweep (measured ~11 B/in-sample of the WFM-8 audio tail)."""
     kw = widened.shape[1]
     hist = kw - decim                    # == tpp - 1
     lead = ext.shape[:-1]
-    L = ext.shape[-1]
+    L = ext.shape[-1] + (hist if carry is not None else 0)
     T = L - hist
     M = T // decim                       # output m count
     if use_roll:
@@ -844,12 +852,6 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
     Lw = (mt - 1) * decim + kw
     pad_k = ((hist + ALIGN - 1) // ALIGN) * ALIGN
     cplx = jnp.iscomplexobj(ext)
-    if cplx:
-        xf = jnp.concatenate(
-            [jnp.real(ext).reshape(-1, L), jnp.imag(ext).reshape(-1, L)],
-            axis=0)
-    else:
-        xf = ext.reshape(-1, L)
     sup_m = rows * mt
     M_pad = ((M + sup_m - 1) // sup_m) * sup_m
     if use_roll:
@@ -863,8 +865,29 @@ def poly_resample_apply_any(ext: jnp.ndarray, widened: np.ndarray,
         tail_extra = 0
     base_len = (pad_k - hist) + L + (M_pad - M) * decim + tail_extra
     Lp = ((base_len + ALIGN - 1) // ALIGN) * ALIGN
-    xf = jnp.pad(xf, ((0, 0), (pad_k - hist,
-                               Lp - (pad_k - hist) - L)))
+    if carry is not None:
+        B = int(np.prod(lead)) if lead else 1
+        zl = jnp.zeros((B, pad_k - hist), jnp.float32)
+        zr = jnp.zeros((B, Lp - (pad_k - hist) - L), jnp.float32)
+        cs = carry.reshape(B, hist)
+        xs = ext.reshape(B, ext.shape[-1])
+        if cplx:
+            xf = jnp.concatenate(
+                [jnp.concatenate([zl, jnp.real(cs), jnp.real(xs), zr],
+                                 axis=-1),
+                 jnp.concatenate([zl, jnp.imag(cs), jnp.imag(xs), zr],
+                                 axis=-1)], axis=0)
+        else:
+            xf = jnp.concatenate([zl, cs, xs, zr], axis=-1)
+    else:
+        if cplx:
+            xf = jnp.concatenate(
+                [jnp.real(ext).reshape(-1, L),
+                 jnp.imag(ext).reshape(-1, L)], axis=0)
+        else:
+            xf = ext.reshape(-1, L)
+        xf = jnp.pad(xf, ((0, 0), (pad_k - hist,
+                                   Lp - (pad_k - hist) - L)))
     C = xf.shape[0]
     H = banded_poly_matrix(np.asarray(widened, np.float32),
                            interp, decim, mt)

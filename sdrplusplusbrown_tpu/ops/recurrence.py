@@ -73,6 +73,14 @@ class Deemphasis(Block):
         else:
             self.fir_k = 0
 
+    def impulse(self) -> np.ndarray:
+        """Causal impulse response h[j] = α·(1−α)^j, length fir_k —
+        the fold-into-resampler form (resampler.py:fold_output_fir)."""
+        assert self.fir_k, "pole too slow for the FIR horizon"
+        r = 1.0 - self.alpha
+        return (self.alpha
+                * np.power(np.float64(r), np.arange(self.fir_k)))
+
     def init_state(self, batch_shape=()):
         return jnp.zeros(batch_shape, jnp.float32)
 

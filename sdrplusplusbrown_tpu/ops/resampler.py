@@ -95,8 +95,6 @@ class PolyphaseResampler(Block):
                 f"pipeline granularity (Block.in_multiple)")
         lead = x.shape[:-1]
         state = state.astype(x.dtype) if state.dtype != x.dtype else state
-        ext = jnp.concatenate([state, x], axis=-1)
-        W = ext.shape[-1]
         kw = self.kernel.shape[1]
         # TPU: the conv lowering moves ~9x the operand bytes for 1-2
         # feature dims (docs/fir_backend.md); route through the banded-
@@ -116,11 +114,21 @@ class PolyphaseResampler(Block):
                                  m_out=m_out, batch=batch)
             if cfg is not None:
                 mt, use_roll = cfg
-                out = poly_resample_apply_any(ext, self.kernel,
+                # history concat + pads fuse into the kernel-operand
+                # build (carry=...); no materialized ext round-trip
+                out = poly_resample_apply_any(x, self.kernel,
                                               self.interp, self.decim,
-                                              mt=mt, use_roll=use_roll)
-                new_state = ext[..., W - (self.tpp - 1):]
+                                              mt=mt, use_roll=use_roll,
+                                              carry=state)
+                h = self.tpp - 1
+                if x.shape[-1] >= h:
+                    new_state = x[..., x.shape[-1] - h:]
+                else:
+                    new_state = jnp.concatenate(
+                        [state, x], axis=-1)[..., -h:]
                 return out, new_state
+        ext = jnp.concatenate([state, x], axis=-1)
+        W = ext.shape[-1]
         if jnp.iscomplexobj(x):
             xf = jnp.stack([jnp.real(ext), jnp.imag(ext)], axis=-2)
             xf = xf.reshape((-1, 1, W)).astype(jnp.float32)
@@ -138,6 +146,50 @@ class PolyphaseResampler(Block):
             out = jnp.moveaxis(y, 1, 2).reshape(lead + (M * self.interp,))
         new_state = ext[..., W - (self.tpp - 1):]
         return out, new_state
+
+
+def fold_output_fir(poly: PolyphaseResampler,
+                    fir_taps: np.ndarray) -> PolyphaseResampler:
+    """Fold a causal output-rate FIR h (z[o] = Σ_j h[j]·y[o−j]) INTO a
+    polyphase L/M resampler, returning a new resampler computing the
+    exact cascade in ONE pass.
+
+    Derivation is operational, against the implementation's own widened
+    form y[m·I + r] = Σ_l kernel[r, l]·ext[m·D + l]:
+
+        z[m·I + r] = Σ_j h[j]·y[(m + ⌊(r−j)/I⌋)·I + (r−j) mod I]
+                   = Σ_λ k″[r, λ]·ext[(m−S)·D + λ]
+
+    with S = ⌈(K−1)/I⌉ extra input blocks of history and
+    k″[r, λ] = Σ_j h[j]·kernel[(r−j) mod I, λ − D·(S + ⌊(r−j)/I⌋)].
+    The longer ``tpp`` (= +S·D) is the whole state: the input-side
+    history reproduces the FIR's output-side memory exactly, so the
+    separate downstream block (and its state) disappears.  Used to fuse
+    WFM de-emphasis into the AF resampler (the truncated-exponential
+    FIR form of the 1-pole IIR, ops/recurrence.py:Deemphasis) — one
+    HBM pass instead of resample + deemphasis sweeps.
+    """
+    h = np.asarray(fir_taps, np.float64)
+    K = h.shape[0]
+    I, D = poly.interp, poly.decim
+    S = (K - 1 + I - 1) // I
+    kern = np.asarray(poly.kernel, np.float64)
+    kw = kern.shape[1]
+    kw2 = kw + S * D
+    k2 = np.zeros((I, kw2), np.float64)
+    for r in range(I):
+        for j in range(K):
+            rp = (r - j) % I
+            sh = D * (S + (r - j) // I)
+            k2[r, sh:sh + kw] += h[j] * kern[rp]
+    out = PolyphaseResampler.__new__(PolyphaseResampler)
+    out.interp = I
+    out.decim = D
+    out.tpp = poly.tpp + S * D
+    out.kernel = k2
+    out.ratio = poly.ratio
+    out.in_multiple = poly.in_multiple
+    return out
 
 
 def design_decim_stage(fs_in: float, decim: int,

@@ -126,13 +126,19 @@ class SpectrumPath(Block):
     def apply(self, params, state, x):
         # TPU: the keep/skip framing slice fuses into the pallas FFT's
         # plane extraction (one pass instead of materialized complex
-        # frames + a second split pass — ops/pallas_fft.py)
+        # frames + a second split pass — ops/pallas_fft.py).  ``x`` may
+        # be (xr, xi) float32 planes — no c64 X64Split passes at all.
         from .pallas_fft import fft_pow_pallas_ok, spectrum_path_db
-        if fft_pow_pallas_ok(self.fft_size) and jnp.iscomplexobj(x):
+        in_planes = isinstance(x, tuple)
+        if fft_pow_pallas_ok(self.fft_size) and (
+                in_planes or jnp.iscomplexobj(x)):
             db = spectrum_path_db(x, self.reshaper.keep,
                                   self.reshaper.interval, self.fft_size,
                                   self.fft.floor_db, self.fft.window)
             return db, state
+        if in_planes:
+            import jax as _jax
+            x = _jax.lax.complex(*x)
         frames, _ = self.reshaper.apply(None, None, x)
         db, _ = self.fft.apply(None, None, frames)
         return db, state

@@ -94,6 +94,41 @@ def test_raw_feed_demod_kernel_nfm():
     np.testing.assert_array_equal(np.asarray(y_raw), np.asarray(y_pl))
 
 
+def test_apply_shared_planes_input_equality():
+    """(xr, xi) plane input == complex input, bit-exact, on both the
+    forced-kernel and the fallback path (the SoA host-feed form that
+    avoids the per-real()/imag() X64Split pass on TPU)."""
+    radio, C, T, x, params = _setup(DEMOD_WFM)
+    xr = jnp.real(x[:T])
+    xi = jnp.imag(x[:T])
+    for force in (True, False):
+        st = radio.init_state_shared(C)
+        y1, s1 = radio.apply_shared(params, st, x[:T],
+                                    _force_fused=force)
+        st = radio.init_state_shared(C)
+        y2, s2 = radio.apply_shared(params, st, (xr, xi),
+                                    _force_fused=force)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(
+            np.asarray(s1["vfo"]["fused"]["tail"]),
+            np.asarray(s2["vfo"]["fused"]["tail"]))
+
+
+def test_spectrum_planes_input_equality():
+    from sdrplusplusbrown_tpu.ops.spectrum import SpectrumPath
+    fs = 2_400_000.0
+    spec = SpectrumPath(fs, fft_size=4096, fft_rate=20.0)
+    g = spec.in_multiple
+    T = 2 * g
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal(T) + 1j
+                     * rng.standard_normal(T)).astype(np.complex64))
+    db1, _ = spec.apply(None, None, x)
+    db2, _ = spec.apply(None, None, (jnp.real(x), jnp.imag(x)))
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("demod", [DEMOD_WFM, DEMOD_NFM])
 def test_apply_shared_forced_streaming_continuity(demod):
     """Two half blocks == one full block through the forced raw path
