@@ -35,11 +35,19 @@ class ShardedRadioPipeline:
                  spectrum_fft: int = 0, spectrum_rate: float = 20.0,
                  **radio_kwargs):
         radio_kwargs.setdefault("pll_mode", "normalize")
-        if radio_kwargs.get("rds"):
-            raise NotImplementedError(
-                "RDS tap is not supported under time sharding yet — run "
-                "the unsharded Radio for the RDS stream")
         self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
+        # RDS under time sharding: the tap (xlate −57 kHz → resample to
+        # 5 kHz) shards exactly via the xlator/resampler rules; the
+        # demod (AGC→Costas→FIR→Costas→MM→diff) is a nonlinear
+        # per-sample recurrence and runs under the sequential relay
+        # (stream_shard._relay_block) per channel — bit-consistent with
+        # the unsharded models/rds.RDSDemod.
+        # ref: decoder_modules/radio/src/rds_demod.cpp.
+        self.rds = bool(radio_kwargs.get("rds"))
+        self.rds_demod = None
+        if self.rds:
+            from ..models.rds import RDSDemod
+            self.rds_demod = RDSDemod()
         # optional wideband spectrum branch computed per time shard (FFT
         # frames are shard-local, so this parallelizes for free)
         self.spectrum = None
@@ -136,6 +144,14 @@ class ShardedRadioPipeline:
                                                jnp.float32)
             for i, s in enumerate(d.mpx_stages):
                 carry[f"mpx{i}"] = init_carry(s, (C,), jnp.float32)
+            if self.rds and d.rds_out:
+                carry["rds_xl"] = init_carry(d.rds_xlator, (C,))
+                carry["rds_rs"] = init_carry(d.rds_resamp, (C,),
+                                             jnp.complex64)
+                st0 = self.rds_demod.init_state(())
+                carry["rds_demod"] = jax.tree.map(
+                    lambda a: jnp.broadcast_to(
+                        a, (C,) + a.shape).copy(), st0)
             if d.stereo:
                 carry.update({
                     "pilot_fir": init_carry(d.pilot_fir, (C,)),
@@ -195,11 +211,31 @@ class ShardedRadioPipeline:
         if r.fmif_enabled:
             y, new["fmif"] = sharded_apply(r.fmif, y, ta, carry["fmif"])
 
+        rds_out = None
         if isinstance(d, BroadcastFM):
             mpx, new["quad"] = sharded_apply(d.quad, y, ta, carry["quad"])
             for i, s in enumerate(d.mpx_stages):
                 mpx, new[f"mpx{i}"] = sharded_apply(s, mpx, ta,
                                                     carry[f"mpx{i}"])
+            if self.rds and d.rds_out:
+                tl_mpx = mpx.shape[-1]
+                rds_bb, new["rds_xl"] = sharded_apply(
+                    d.rds_xlator, mpx.astype(jnp.complex64), ta,
+                    carry["rds_xl"], t_local=tl_mpx)
+                rds_bb, new["rds_rs"] = sharded_apply(
+                    d.rds_resamp, rds_bb, ta, carry["rds_rs"])
+                hards, valids, dsts = [], [], []
+                for c in range(rds_bb.shape[0]):
+                    stc = jax.tree.map(lambda a, c=c: a[c],
+                                       carry["rds_demod"])
+                    (hard, valid), stn = sharded_apply(
+                        self.rds_demod, rds_bb[c], ta, stc)
+                    hards.append(hard)
+                    valids.append(valid)
+                    dsts.append(stn)
+                new["rds_demod"] = jax.tree.map(
+                    lambda *ls: jnp.stack(ls), *dsts)
+                rds_out = (jnp.stack(hards), jnp.stack(valids))
             if d.stereo:
                 from ..ops.pll import pilot_normalize
                 mpx_c = mpx.astype(jnp.complex64)
@@ -248,10 +284,13 @@ class ShardedRadioPipeline:
             y, new["deemp"] = sharded_apply(r.deemp, y, ta, carry["deemp"])
         if not r.demod_stereo:
             y = jnp.stack([y, y], axis=-2)
+        outs = [y.astype(jnp.float32)]
+        if rds_out is not None:
+            outs.append(rds_out)
         if self.spectrum is not None:
             spectra, _ = self.spectrum.apply(None, None, x_local)
-            return (y.astype(jnp.float32), spectra), new
-        return y.astype(jnp.float32), new
+            outs.append(spectra)
+        return (outs[0] if len(outs) == 1 else tuple(outs)), new
 
     # ------------------------------------------------------------------
     def _specs(self, tree):
@@ -266,8 +305,14 @@ class ShardedRadioPipeline:
         params0 = self.make_params(np.zeros((self.C,)))
         carry0 = self.init_carry()
         audio_spec = P(CH_AXIS, None, TIME_AXIS)
-        out_specs = ((audio_spec, P(TIME_AXIS, None))
-                     if self.spectrum is not None else audio_spec,
+        y_specs = [audio_spec]
+        if self.rds:
+            rds_spec = P(CH_AXIS, TIME_AXIS)
+            y_specs.append((rds_spec, rds_spec))
+        if self.spectrum is not None:
+            y_specs.append(P(TIME_AXIS, None))
+        out_specs = ((y_specs[0] if len(y_specs) == 1
+                      else tuple(y_specs)),
                      self._specs(carry0))
         fn = jax.shard_map(
             self._local_step, mesh=self.mesh,

@@ -45,6 +45,44 @@ def _broadcast_last_shard(value, axis_name: str):
     return jax.lax.psum(masked, axis_name)
 
 
+def _relay_block(block, x, axis_name: str, carry):
+    """EXACT time-sharding for an arbitrary nonlinear per-sample
+    recurrence (Costas loops, Mueller–Müller clock recovery, the whole
+    RDS demod): sequential relay over shards, same pattern as the AGC
+    rule below — every shard re-runs its own block each round, round i
+    keeps its result only on shard i and broadcasts the final state
+    into round i+1.  nt× the (scalar-lane, low-rate) work buys bit
+    consistency with the unsharded pipeline."""
+    size = jax.lax.axis_size(axis_name)
+    t_idx = jax.lax.axis_index(axis_name)
+
+    def bcast(leaf, sel):
+        if jnp.iscomplexobj(leaf):
+            re = jax.lax.psum(jnp.where(sel, jnp.real(leaf), 0.0),
+                              axis_name)
+            im = jax.lax.psum(jnp.where(sel, jnp.imag(leaf), 0.0),
+                              axis_name)
+            return jax.lax.complex(re, im).astype(leaf.dtype)
+        return jax.lax.psum(jnp.where(sel, leaf, jnp.zeros_like(leaf)),
+                            axis_name)
+
+    y_sh, _ = jax.eval_shape(lambda s, xx: block.apply(None, s, xx),
+                             carry, x)
+    y_init = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), y_sh)
+
+    def body(i, acc):
+        st_in, y_acc = acc
+        y_i, st_out = block.apply(None, st_in, x)
+        sel = t_idx == i
+        st_next = jax.tree.map(lambda a: bcast(a, sel), st_out)
+        y_keep = jax.tree.map(lambda new, old: jnp.where(sel, new, old),
+                              y_i, y_acc)
+        return st_next, y_keep
+
+    st_fin, y = jax.lax.fori_loop(0, size, body, (carry, y_init))
+    return y, st_fin
+
+
 def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0,
                   params=None):
     """Dispatch on block type; mirrors Block.apply but time-sharded.
@@ -101,6 +139,12 @@ def sharded_apply(block, x, axis_name: str, carry, t_local: int = 0,
                                       jnp.int32(1 << 30))}
     if isinstance(block, FMIF):
         return _halo_block(block, block.bins - 1, x, axis_name, carry)
+    from ..ops.costas import Costas
+    from ..ops.clock_recovery import MMClockRecovery, FDClockRecovery
+    from ..models.rds import RDSDemod
+    if isinstance(block, (Costas, MMClockRecovery, FDClockRecovery,
+                          RDSDemod)):
+        return _relay_block(block, x, axis_name, carry)
     if isinstance(block, Squelch):
         # whole-GLOBAL-block gate like the unsharded Squelch: mean |x|
         # over all time shards via psum; the level is a runtime param
@@ -194,4 +238,11 @@ def init_carry(block, batch_shape=(), dtype=jnp.complex64):
         return jnp.zeros(batch_shape, jnp.float32)
     if isinstance(block, DCBlocker):
         return jnp.zeros(batch_shape, dtype)
+    from ..ops.costas import Costas
+    from ..ops.clock_recovery import MMClockRecovery, FDClockRecovery
+    from ..models.rds import RDSDemod
+    if isinstance(block, (Costas, MMClockRecovery, FDClockRecovery,
+                          RDSDemod)):
+        # relay rule: the carry IS the block's own state pytree
+        return block.init_state(batch_shape)
     raise TypeError(f"no carry rule for {type(block).__name__}")
