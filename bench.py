@@ -34,6 +34,7 @@ Prints one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -301,6 +302,14 @@ def main():
             fir_mod.set_fir_backend(a.split("=", 1)[1])
         if a == "--cpu":
             jax.config.update("jax_platforms", "cpu")
+        if a == "--compile-sweep":
+            # lower+compile every pallas kernel family across a grid of
+            # configs on the attached chip (scripts/compile_sweep.py);
+            # exit code = number of Mosaic rejections
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from compile_sweep import sweep
+            sys.exit(sweep())
 
     step, params, state, xd, T = build_wfm8()
     r = measure_chain(step, params, state, xd, T, K=8)

@@ -665,6 +665,9 @@ class SDRApp:
         self.input_tracker = StreamTracker()
         self.waterfall = Waterfall(self._fft_size)
         self.last_spectrum: Optional[np.ndarray] = None
+        from .runtime.pump import RealTimeGuard
+        self.rt_guard = RealTimeGuard()
+        self._clock = time.perf_counter   # injectable for pacing tests
         self.running = False
         self.main_loop_started = False
         self._pump_thread: Optional[threading.Thread] = None
@@ -848,9 +851,12 @@ class SDRApp:
         fstate_nr = None
         self.ifnr_primed = False    # (re)prime per pump session
         primer = np.zeros(0, np.complex64)
-        # real-time elastic guard state (reference if_nr.h:117-139:
-        # self-disable at >=95% of the real-time budget twice in a row)
-        over_budget_strikes = 0
+        # real-time pacing guard + elastic degradation (reference
+        # if_nr.h:117-139: self-disable at >=95% of the real-time
+        # budget twice in a row); rt_factor/blocks-behind exposed at
+        # /status for observability
+        from .runtime.pump import RealTimeGuard
+        self.rt_guard = RealTimeGuard()
         rc: Optional[Rechunker] = None
         gran = None
         blocks = self._source_iter()
@@ -882,27 +888,28 @@ class SDRApp:
                             self.ifnr_primed = True
                             flog.info("IF NR primed ({} samples)", need)
                     use_nr = self.ifnr_primed
-                t_start = time.perf_counter()
+                t_start = self._clock()
                 if use_nr:
                     (bb, spectra), fstate_nr = fe_nr_step(
                         fstate_nr, jnp.asarray(chunk))
                 else:
                     (bb, spectra), fstate = fe_step(fstate,
                                                     jnp.asarray(chunk))
-                if use_nr:
-                    # elastic degradation: disable NR if we can't keep up
-                    budget = len(chunk) / self.samplerate
-                    elapsed = time.perf_counter() - t_start
-                    if elapsed >= 0.95 * budget:
-                        over_budget_strikes += 1
-                        if over_budget_strikes >= 2:
-                            self.ifnr_enabled = False
-                            self.ifnr_stop_reason = \
-                                "Slow processing. Reduce sample rate."
-                            flog.warn("IF NR self-disabled: {}",
-                                      self.ifnr_stop_reason)
-                    else:
-                        over_budget_strikes = 0
+                budget = len(chunk) / self.samplerate
+                elapsed = self._clock() - t_start
+                fire = self.rt_guard.report(elapsed, budget)
+                if fire:
+                    if use_nr:
+                        # elastic degradation: shed the heaviest
+                        # optional stage when we can't keep real-time
+                        self.ifnr_enabled = False
+                        self.ifnr_stop_reason = \
+                            "Slow processing. Reduce sample rate."
+                        flog.warn("IF NR self-disabled: {}",
+                                  self.ifnr_stop_reason)
+                    # re-arm either way: with nothing left to shed the
+                    # guard keeps reporting rt_factor/blocks-behind
+                    self.rt_guard.reset_policy()
                 bb_np = np.asarray(bb)
                 lines = np.asarray(spectra)
                 for ln in lines:
@@ -971,7 +978,13 @@ class SDRApp:
         return {"ready": True, "httpListening": True,
                 "mainLoopStarted": bool(self.main_loop_started
                                         or not self.run_pump
-                                        or self.source is None)}
+                                        or self.source is None),
+                # real-time pacing observability (runtime/pump.py
+                # RealTimeGuard; reference if_nr.h:117-139 analog)
+                "rtFactor": round(self.rt_guard.rt_factor, 4),
+                "secondsBehind": round(self.rt_guard.blocks_behind, 4),
+                "ifnrEnabled": bool(self.ifnr_enabled),
+                "ifnrStopReason": getattr(self, "ifnr_stop_reason", "")}
 
     def shutdown(self):
         self.stop()

@@ -35,6 +35,66 @@ class Rechunker:
         return out
 
 
+class RealTimeGuard:
+    """Real-time pacing guard + elastic degradation policy.
+
+    The reference's IF noise reducer self-disables when processing
+    costs ≥95% of the real-time budget two reports in a row
+    (misc_modules/noise_reduction_logmmse/src/if_nr.h:117-139).  This
+    generalizes that into a host-pump service: every block reports
+    (elapsed, budget); the guard keeps a rolling real-time factor
+    (elapsed/budget — >1 means falling behind) and a blocks-behind
+    estimate, and returns ``True`` exactly once when the degradation
+    policy should fire (sustained ≥``threshold`` of budget for
+    ``strikes_needed`` consecutive blocks)."""
+
+    def __init__(self, threshold: float = 0.95, strikes_needed: int = 2,
+                 window: int = 32):
+        self.threshold = float(threshold)
+        self.strikes_needed = int(strikes_needed)
+        self.window = int(window)
+        self.strikes = 0
+        self.ratios: List[float] = []
+        self.behind_s = 0.0          # accumulated lag vs real time
+        self.fired = False
+
+    def report(self, elapsed: float, budget: float) -> bool:
+        """Returns True when the degradation policy should fire NOW."""
+        r = elapsed / budget if budget > 0 else 0.0
+        self.ratios.append(r)
+        if len(self.ratios) > self.window:
+            self.ratios.pop(0)
+        # lag accumulates when over budget and drains when under
+        self.behind_s = max(0.0, self.behind_s + elapsed - budget)
+        if r >= self.threshold:
+            self.strikes += 1
+        else:
+            self.strikes = 0
+        if self.strikes >= self.strikes_needed and not self.fired:
+            self.fired = True
+            return True
+        return False
+
+    @property
+    def rt_factor(self) -> float:
+        return (sum(self.ratios) / len(self.ratios)) if self.ratios \
+            else 0.0
+
+    @property
+    def blocks_behind(self) -> float:
+        """Lag expressed in rolling-average block budgets."""
+        if not self.ratios:
+            return 0.0
+        # behind_s normalized by the mean budget implied by the window
+        return self.behind_s
+
+    def reset_policy(self):
+        """Re-arm the degradation policy (e.g. after a manual
+        re-enable)."""
+        self.fired = False
+        self.strikes = 0
+
+
 class StreamPump:
     """Wire a source iterator through IQFrontEnd + RadioBank.
 

@@ -108,3 +108,83 @@ def test_stream_pump_end_to_end(tmp_path, rng):
     # recorded audio file intact
     y, rate = read_wav_iq(rec_path)
     assert rate == 48000 and len(y) == 48000
+
+
+# ---------------------------------------------------------------------
+# Real-time pacing guard + elastic degradation (VERDICT r2 item 8;
+# reference: noise_reduction_logmmse/src/if_nr.h:117-139)
+
+def test_realtime_guard_policy():
+    from sdrplusplusbrown_tpu.runtime.pump import RealTimeGuard
+    g = RealTimeGuard(threshold=0.95, strikes_needed=2)
+    assert not g.report(0.5, 1.0)       # plenty of headroom
+    assert not g.report(0.96, 1.0)      # first strike
+    assert g.report(1.2, 1.0)           # second strike -> fire once
+    assert not g.report(1.2, 1.0)       # latched until re-armed
+    assert g.rt_factor > 0.9
+    assert g.blocks_behind > 0.0        # accumulated lag
+    g.reset_policy()
+    assert not g.report(0.1, 1.0)       # strike counter restarted
+    assert not g.report(0.1, 1.0)
+    # lag drains when running faster than real time
+    for _ in range(10):
+        g.report(0.1, 1.0)
+    assert g.blocks_behind == 0.0
+    assert g.rt_factor < 0.5
+
+
+def test_pump_elastic_ifnr_degradation_and_recovery(tmp_path):
+    """A simulated slow step makes the pump shed the IF NR (the
+    reference's self-disable analog), after which processing recovers
+    to real time and keeps flowing."""
+    import json, os
+    from sdrplusplusbrown_tpu.app import SDRApp
+
+    root = str(tmp_path / "root")
+    os.makedirs(root, exist_ok=True)
+    sr = 192_000.0
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump({"source": {"type": "none", "samplerate": sr},
+                   "ifnr": True, "fftSize": 4096, "modules": {}}, f)
+    app = SDRApp(root, run_pump=False)
+    try:
+        assert app.ifnr_enabled and app.ifnr is not None
+
+        n_blocks = 40
+        g = app._granularity_all()
+        B = ((int(sr // 20) + g - 1) // g) * g
+
+        def fake_source():
+            for _ in range(n_blocks):
+                yield np.zeros(B, np.complex64)
+        app._source_iter = fake_source
+
+        class FakeClock:
+            def __init__(self, outer):
+                self.t = 0.0
+                self.calls = 0
+                self.outer = outer
+            def __call__(self):
+                self.calls += 1
+                if self.calls % 2 == 0:   # end-of-step reading
+                    budget = B / sr
+                    # slow while (or before) NR runs; fast afterwards
+                    self.t += (0.2 * budget
+                               if not self.outer.ifnr_enabled
+                               else 1.2 * budget)
+                return self.t
+        app._clock = FakeClock(app)
+
+        app._pump_loop()                  # runs to source exhaustion
+
+        assert not app.ifnr_enabled, "NR should have self-disabled"
+        assert "Slow" in app.ifnr_stop_reason
+        st = app.status()
+        assert st["ifnrEnabled"] is False
+        assert st["ifnrStopReason"]
+        # recovery: the fast post-degradation blocks drained the lag
+        assert app.rt_guard.blocks_behind == 0.0
+        assert app.rt_guard.rt_factor < 1.0
+        assert app.blocks_processed >= n_blocks - 1
+    finally:
+        app.shutdown()
