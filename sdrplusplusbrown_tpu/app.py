@@ -571,7 +571,9 @@ class SDRApp:
                     decoder_cmd=mc.get("decoder_cmd"),
                     decoder_style=mc.get("decoder_style", "pipe"),
                     mode=mc.get("mode", "FT8"),
-                    window_seconds=mc.get("window_seconds", 15.0))
+                    window_seconds=mc.get("window_seconds", 15.0),
+                    my_grid=mc.get("my_grid", ""),
+                    psk_upload=mc.get("psk_upload"))
             elif mtype == "iq_exporter":
                 from .modules.iq_exporter import IQExporterModule
                 self.modules[name] = IQExporterModule(
@@ -743,6 +745,22 @@ class SDRApp:
                     stereo=bool(nc.get("stereo", False)))
             except OSError as e:
                 flog.error("network sink connect failed: {}", repr(e))
+                return False
+        elif sink == "mpeg":
+            # MPEG-1 Layer I frames over TCP (the mpeg_adts_sink
+            # analog, io/mpeg_sink.py; ref sink_modules/mpeg_adts_sink)
+            from .io.mpeg_sink import MpegNetworkSink
+            with self.config.acquire(False) as conf:
+                nc = dict(conf.get("mpeg_sink", {}))
+            nc.update(sink_conf)
+            try:
+                new_sink = MpegNetworkSink(
+                    host=nc.get("host", "localhost"),
+                    port=int(nc.get("port", 2020)),
+                    samplerate=int(m.radio.audio_samplerate),
+                    bitrate_kbps=int(nc.get("bitrate_kbps", 288)))
+            except (OSError, AssertionError) as e:
+                flog.error("mpeg sink connect failed: {}", repr(e))
                 return False
         if new_sink is not None:
             self.sinks[stream] = new_sink

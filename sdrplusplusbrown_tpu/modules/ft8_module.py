@@ -68,7 +68,7 @@ class FT8DecoderModule(ModuleInstance):
                  decoder_style: str = "pipe", mode: str = "FT8",
                  window_seconds: Optional[float] = None,
                  max_workers: int = 4, my_grid: str = "",
-                 cty=None):
+                 cty=None, psk_upload: Optional[dict] = None):
         super().__init__(name)
         self.app = app
         self.stream = stream
@@ -97,6 +97,24 @@ class FT8DecoderModule(ModuleInstance):
         # boundary so windows line up with FT8 transmit periods
         # (approximate to pipeline latency; reference aligns the same way)
         self._skip_samples: Optional[int] = None
+        # PSKReporter spot upload (reference main.cpp upload path):
+        # psk_upload = {"callsign", "locator", optional "host"/"port",
+        # "flush_seconds"}; spots batch and ship on the flush cadence
+        self.psk = None
+        self._psk_flush_s = 300.0
+        self._psk_last_flush = time.time()
+        if psk_upload and psk_upload.get("callsign"):
+            from ..utils.pskreporter import PSKReporterClient
+            kw = {}
+            if psk_upload.get("host"):
+                kw["host"] = psk_upload["host"]
+            if psk_upload.get("port"):
+                kw["port"] = int(psk_upload["port"])
+            self.psk = PSKReporterClient(
+                psk_upload["callsign"], psk_upload.get("locator", ""),
+                **kw)
+            self._psk_flush_s = float(psk_upload.get("flush_seconds",
+                                                     300.0))
         self.runner = WindowedDecodeRunner(
             FT8_RATE, window_seconds, self._decode, self._on_result,
             max_workers=max_workers)
@@ -192,17 +210,34 @@ class FT8DecoderModule(ModuleInstance):
                 rec = {"t0": t0 / FT8_RATE, "text": str(line)}
             self._annotate(rec)
             self.decodes.append(rec)
+            if self.psk is not None and rec.get("callsign"):
+                dial = float(getattr(self.app, "frequency", 0.0) or 0.0)
+                self.psk.add_spot(rec["callsign"],
+                                  dial + float(rec.get("freq", 0.0)),
+                                  float(rec.get("snr", 0.0)), self.mode)
         self.decodes = self.decodes[-200:]
+        if self.psk is not None and self.psk.pending \
+                and time.time() - self._psk_last_flush >= self._psk_flush_s:
+            self.psk.flush()
+            self._psk_last_flush = time.time()
         if lines:
             flog.info("ft8[{}]: {} decodes @ {}s", self.name, len(lines),
                       round(t0 / FT8_RATE, 1))
 
     def shutdown(self):
         self.runner.shutdown()
+        if self.psk is not None:
+            self.psk.flush()
+            self.psk.close()
 
     def handle_debug_command(self, cmd: str, args: str) -> dict:
         if cmd == "decodes":
             return {"decodes": self.decodes[-50:]}
+        if cmd == "psk_flush":
+            n = self.psk.flush() if self.psk is not None else 0
+            return {"shipped": n,
+                    "packets": (self.psk.packets_sent
+                                if self.psk else 0)}
         if cmd == "status":
             return {"windows": self.runner.windows_dispatched,
                     "errors": self.runner.decode_errors,

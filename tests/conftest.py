@@ -26,6 +26,24 @@ import pytest  # noqa: E402
 
 assert jax.devices()[0].platform == "cpu"
 
+# Build the native runtime library once per session when the toolchain
+# is available, so tests/test_native.py exercises the real C++ paths
+# instead of skipping (the .so is gitignored; ~2 s incremental build).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_SO = os.path.join(_REPO, "native", "build",
+                          "libsdrpp_tpu_native.so")
+if not os.path.exists(_NATIVE_SO):
+    import shutil
+    import subprocess
+    if shutil.which("cmake") and shutil.which("ninja"):
+        try:
+            subprocess.run(
+                ["bash", os.path.join(_REPO, "scripts",
+                                      "build_native.sh")],
+                check=True, capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, OSError):
+            pass          # tests fall back to their skip condition
+
 
 @pytest.fixture
 def rng():
