@@ -589,6 +589,10 @@ class SDRApp:
                 self.modules[name] = VORReceiverModule(
                     name, self, offset_hz=mc.get("offset", 0.0),
                     integration_time=mc.get("integration_time", 1.0))
+            elif mtype == "ch_tetra_demodulator":
+                from .modules.tetra_module import TetraDemodulatorModule
+                self.modules[name] = TetraDemodulatorModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "meteor_demodulator":
                 from .modules.meteor_module import MeteorDemodulatorModule
                 self.modules[name] = MeteorDemodulatorModule(
