@@ -228,7 +228,16 @@ def bench_channelizer():
 
     def step(params, state, xw):
         y, state = ch.apply(None, state, xw)
-        spec = jnp.abs(jnp.fft.fft(y.reshape(M, -1, 1024), axis=-1)) ** 2
+        # per-channel 1024-bin dB power spectra (the app's spectrum
+        # product) through the fused 4-step matmul-FFT kernel — the
+        # jnp.fft route costs ~11 radix passes of HBM per frame
+        from sdrplusplusbrown_tpu.ops.pallas_fft import (
+            fft_pow_pallas_ok, fft_power_db_planes)
+        fr = y.reshape(M, -1, 1024)
+        if fft_pow_pallas_ok(1024):
+            spec = fft_power_db_planes(jnp.real(fr), jnp.imag(fr), 1024)
+        else:
+            spec = jnp.abs(jnp.fft.fft(fr, axis=-1)) ** 2
         return (spec,), state
 
     r = measure_chain(step, None, ch.init_state(()), jnp.asarray(x), T, K=4)

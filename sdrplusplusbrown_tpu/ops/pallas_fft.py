@@ -36,8 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: supported square factorizations: fft_size -> N1 (= N2)
-_SQUARE = {4096: 64, 16384: 128, 65536: 256, 262144: 512}
+#: supported 4-step factorizations: fft_size -> N1 (N2 = size // N1;
+#: 1024 uses the rectangular 8x128 split so the lane dim stays wide)
+_SQUARE = {1024: 8, 4096: 64, 16384: 128, 65536: 256, 262144: 512}
 
 
 def fft_pow_pallas_ok(fft_size: int) -> bool:
@@ -146,9 +147,9 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
         in_specs=[pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)] * 2
         + [_const(w2.shape)],
-        out_specs=pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
+        out_specs=pl.BlockSpec((1, N2, N1), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, N1, N2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, N2, N1), jnp.float32),
         interpret=interpret,
     )(xr, xi, w2)
     # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
