@@ -217,6 +217,20 @@ class BroadcastFM(Block):
     #: apply_planes accepts the ([2C, W], m_if) raw front-end handoff
     accepts_raw_planes = True
 
+    def _audio_pipe(self, C: int, interpret: bool = False):
+        """Lazily-built MPX-rate audio tail kernel (MPXAudioPoly)."""
+        if self.audio_poly is None:
+            return None
+        cache = getattr(self, "_audio_pipe_cache", None)
+        if cache is None:
+            cache = self._audio_pipe_cache = {}
+        key = (C, interpret)
+        if key not in cache:
+            from .wfm_kernel import build_mpx_audio_poly
+            cache[key] = build_mpx_audio_poly(self.audio_poly, C,
+                                              interpret=interpret)
+        return cache[key]
+
     def _wfm_pipe(self, C: int, interpret: bool = False):
         """Lazily-built whole-demod kernel (ops/wfm_kernel.py): quad +
         MPX halfbands + stereo section in one pallas pass.  None when
@@ -259,10 +273,18 @@ class BroadcastFM(Block):
             pipe = self._wfm_pipe(C, bool(_force_kernel))
             if pipe is not None:
                 st = dict(state)
+                apipe = self._audio_pipe(C, bool(_force_kernel))
                 lr2, st2 = pipe.apply(state,
                                       planes[0] if is_raw else planes,
-                                      m_if)
+                                      m_if, raw_audio=apipe is not None)
                 st.update(st2)
+                if apipe is not None:
+                    # AF polyphase (deemph-folded) straight off the raw
+                    # MPX planes — no trim slice / ext-build HBM passes
+                    raw_mpx, m_mpx = lr2
+                    lr, st["audio_rs"] = apipe.apply(
+                        state["audio_rs"], raw_mpx, m_mpx)
+                    return lr, st
                 lr = self._audio_out(state, st, lr2)
                 return lr, st
         st = dict(state)

@@ -242,12 +242,14 @@ class WFMDemodPipeline:
         self._plan_cache[m_if] = plan
         return plan
 
-    def apply(self, state, iq, m_if: int):
+    def apply(self, state, iq, m_if: int, raw_audio: bool = False):
         """iq: (xr, xi) [C, ≥m_if] float32 IF planes, or the raw
         stacked [2C, ≥m_if] buffer.  Returns (lr2 [2, C, m_mpx],
         new_state) — state keys quad/mpx_decim/mpx_hist updated, all
         others passed through (same contract as the standalone stereo
-        kernel path in ops/wfm.py)."""
+        kernel path in ops/wfm.py).  With ``raw_audio`` the first
+        return is the UNTRIMMED ([2C, W], m_mpx) L/R plane buffer for
+        the MPXAudioPoly kernel (no slice pass)."""
         C = self.C
         plan = self._plan(m_if)
         n_super = plan["n_super"]
@@ -347,7 +349,8 @@ class WFMDemodPipeline:
         )(iq, qtail, hist, *hb_tails, *[jnp.asarray(h) for h in self.Hhb],
           jnp.asarray(self.Hp))
 
-        lr2 = out[:, :m_mpx].reshape(2, C, m_mpx)
+        lr2 = (out, m_mpx) if raw_audio \
+            else out[:, :m_mpx].reshape(2, C, m_mpx)
 
         new_state = dict(state)
         _iq, _alq, qcol = plan["q"]
@@ -372,6 +375,187 @@ def build_wfm_pipeline(dem, C: int,
                        ) -> Optional[WFMDemodPipeline]:
     try:
         p = WFMDemodPipeline(dem, C, interpret=interpret)
+    except Exception:
+        return None
+    return p if p.supported else None
+
+
+# ----------------------------------------------------------------------
+# MPX-rate audio tail: the (deemph-folded) AF polyphase as ONE streamed
+# kernel over the whole-demod kernel's RAW [2C, W] L/R planes.
+#
+# The chained route pays a [2C, m_mpx] trim slice, the overlap-save
+# ext/pad construction and the cb-kernel's flat window DMAs (~24
+# B/in-sample measured on the WFM-8 chain).  Here the raw buffer
+# streams through spec-pipelined [2C, adv_in] blocks into a rolling
+# VMEM scratch (masked past m_mpx — pallas pads OOB input blocks with
+# unspecified values), and each grid step emits [2C, adv_aud] audio by
+# banded matmuls against the widened polyphase matrix — the same
+# machinery as ops/demod_kernel.py's AF stage, minus the demod.
+
+def _mpx_poly_kernel(x_ref, ptail_ref, hp_ref, o_ref, tails_o, bufp,
+                     *, cfg):
+    i = pl.program_id(0)
+    adv_in = cfg["adv_in"]
+    hpP = cfg["hpP"]
+
+    @pl.when(i == 0)
+    def _init():
+        bufp[:, :hpP] = ptail_ref[...]
+
+    @pl.when(i > 0)
+    def _roll():
+        bufp[:, :hpP] = bufp[:, adv_in:adv_in + hpP]
+
+    gcol = (i * adv_in
+            + jax.lax.broadcasted_iota(jnp.int32,
+                                       (cfg["twoC"], adv_in), 1))
+    bufp[:, hpP:] = jnp.where(gcol < cfg["m_in"], x_ref[...], 0.0)
+
+    w1 = hpP - cfg["hist"]
+    for r in range(cfg["adv_aud"] // cfg["tileP"]):
+        win = bufp[:, w1 + r * cfg["rowP"]:
+                   w1 + r * cfg["rowP"] + cfg["LwP"]]
+        o_ref[:, r * cfg["tileP"]:(r + 1) * cfg["tileP"]] = jnp.dot(
+            win, hp_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(i == cfg["ip_t"])
+    def _tp():
+        tails_o[...] = bufp[:, cfg["alp"]:cfg["alp"] + cfg["tw"]]
+
+
+class MPXAudioPoly:
+    """Streamed polyphase audio tail over [2C, >=m_in] raw MPX planes."""
+
+    def __init__(self, poly, C: int, interpret: bool = False):
+        from .pallas_fir import banded_poly_matrix
+        self.C = int(C)
+        self.interpret = interpret
+        self.supported = False
+        if C % 4 or C < 4:
+            return
+        I, M = int(poly.interp), int(poly.decim)
+        from math import gcd, lcm
+        mt = 128 // gcd(I, 128)
+        self.tileP = mt * I
+        self.rowP = mt * M
+        sol = None
+        for j in range(1, 65):
+            adv_aud = j * lcm(self.tileP, 128)
+            if (adv_aud * M) % I:
+                continue
+            adv_in = adv_aud * M // I
+            if adv_in % 128:
+                continue
+            sol = (adv_in, adv_aud)
+            break
+        if sol is None:
+            return
+        self.adv_in, self.adv_aud = sol
+        kw = poly.kernel.shape[1]
+        self.hist = poly.tpp - 1
+        self.hpP = _rup(max(self.hist, 1), 128)
+        self.LwP = (mt - 1) * M + kw
+        self.Hp = banded_poly_matrix(
+            np.asarray(poly.kernel, np.float32), I, M, mt)
+        self.I, self.M = I, M
+        if self.hpP + self.adv_in < max(self.LwP, self.hist + 128):
+            return
+        self.tw = _rup(self.hist + 127, 128)
+        C2 = 2 * self.C
+        vmem = 4 * (C2 * (self.hpP + self.adv_in)        # scratch
+                    + C2 * self.adv_in * 2               # in (dbl)
+                    + C2 * self.adv_aud * 2              # out (dbl)
+                    + self.Hp.size)
+        if vmem > MAX_VMEM:
+            return
+        self._plan_cache = {}
+        self.supported = True
+
+    def _plan(self, m_in: int):
+        plan = self._plan_cache.get(m_in)
+        if plan is not None:
+            return plan
+        assert m_in % self.M == 0, (m_in, self.M)
+        m_aud = m_in * self.I // self.M
+        n_super = -(-m_aud // self.adv_aud)
+        i_t = min((m_in - 1) // self.adv_in, n_super - 1)
+        end = self.hpP + m_in - i_t * self.adv_in
+        al = max(0, (end - self.hist) // 128 * 128)
+        al = min(al, self.hpP + self.adv_in - self.tw)
+        assert al >= 0 and al + self.tw >= end >= self.hist
+        plan = {"m_aud": m_aud, "n_super": n_super,
+                "p": (i_t, al, end)}
+        self._plan_cache[m_in] = plan
+        return plan
+
+    def apply(self, ars, raw, m_in: int):
+        """ars: [2, C, hist] carried input history (Radio's
+        state["demod"]["audio_rs"] layout); raw: [2C, >=m_in] float32
+        L/R MPX planes (rows [0:C] = L).  Returns (audio [C, 2, m_aud],
+        new_ars)."""
+        C = self.C
+        twoC = 2 * C
+        plan = self._plan(m_in)
+        n_super = plan["n_super"]
+        cfg = {"twoC": twoC, "adv_in": self.adv_in,
+               "adv_aud": self.adv_aud, "hpP": self.hpP,
+               "hist": self.hist, "LwP": self.LwP, "rowP": self.rowP,
+               "tileP": self.tileP, "m_in": m_in,
+               "ip_t": plan["p"][0], "alp": plan["p"][1],
+               "tw": self.tw}
+        ptail = jnp.concatenate([ars[0], ars[1]], axis=0)
+        ptail = jnp.pad(ptail.astype(jnp.float32),
+                        ((0, 0), (self.hpP - self.hist, 0)))
+        need = n_super * self.adv_in
+        if raw.shape[-1] < need:
+            raw = jnp.pad(raw, ((0, 0), (0, need - raw.shape[-1])))
+        from .pallas_cost import costed_pallas_call
+        audio, tails = costed_pallas_call(
+            functools.partial(_mpx_poly_kernel, cfg=cfg),
+            grid=(n_super,),
+            flops=int(2 * self.LwP * self.tileP
+                      * (self.adv_aud // self.tileP) * twoC * n_super),
+            label="mpx_audio_poly",
+            in_specs=[
+                pl.BlockSpec((twoC, self.adv_in), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((twoC, self.hpP), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self.Hp.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((twoC, self.adv_aud), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((twoC, self.tw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((twoC, n_super * self.adv_aud),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((twoC, self.tw), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((twoC, self.hpP + self.adv_in), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(raw.astype(jnp.float32), ptail, jnp.asarray(self.Hp))
+        m_aud = plan["m_aud"]
+        lr = jnp.stack([audio[:C, :m_aud], audio[C:, :m_aud]], axis=1)
+        _it, al, end = plan["p"]
+        lo = end - al - self.hist
+        t = tails[:, lo:lo + self.hist]
+        new_ars = jnp.stack([t[:C], t[C:]], axis=0)
+        return lr, new_ars
+
+
+def build_mpx_audio_poly(poly, C: int, interpret: bool = False
+                         ) -> Optional[MPXAudioPoly]:
+    try:
+        p = MPXAudioPoly(poly, C, interpret=interpret)
     except Exception:
         return None
     return p if p.supported else None
