@@ -295,7 +295,10 @@ def bench_scanner128(C=128):
     offs = np.linspace(-1.1e6, 1.1e6, C) + 917.0
 
     def step(params, state, xw):
-        audio, state = radio.apply_channelized(params, state, xw)
+        # mono demods skip the presentational stereo duplication (the
+        # sink duplicates host-side; ~40 HBM B/sample at C=128)
+        audio, state = radio.apply_channelized(params, state, xw,
+                                               mono_out=True)
         return (audio,), state
 
     return measure_chain(step, radio.make_params_channelized(offs),

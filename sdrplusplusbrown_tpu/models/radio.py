@@ -253,7 +253,7 @@ class Radio(Block):
         return not (self.nb_enabled or self.squelch_enabled
                     or self.fmif_enabled)
 
-    def _post_vfo(self, params, state, st, y):
+    def _post_vfo(self, params, state, st, y, mono_out=False):
         """IF chain → demod → AF chain, shared by every front-end path."""
         if self.nb_enabled:
             y, st["nb"] = self.nb.apply(None, state["nb"], y)
@@ -262,9 +262,9 @@ class Radio(Block):
         if self.fmif_enabled:
             y, st["fmif"] = self.fmif.apply(None, state["fmif"], y)
         y, st["demod"] = self.demod.apply(None, state["demod"], y)
-        return self._post_demod(state, st, y)
+        return self._post_demod(state, st, y, mono_out=mono_out)
 
-    def _post_demod(self, state, st, y):
+    def _post_demod(self, state, st, y, mono_out=False):
         rds = None
         if isinstance(y, tuple):
             y, rds = y
@@ -273,8 +273,11 @@ class Radio(Block):
                 None, state["af_resamp"], y)
         if self.deemp is not None:
             y, st["deemp"] = self.deemp.apply(None, state["deemp"], y)
-        if not self.demod_stereo:
-            y = jnp.stack([y, y], axis=-2)  # mono → stereo
+        if not self.demod_stereo and not mono_out:
+            # mono → stereo presentation copy; wide banks skip it
+            # (``mono_out``) — materializing the duplicate costs ~40
+            # HBM B/in-sample at C=128 (write + relayout copy)
+            y = jnp.stack([y, y], axis=-2)
         if rds is not None:
             return (y, rds), st
         return y, st
@@ -323,7 +326,8 @@ def init_state_shared(self, C: int):
     return st
 
 
-def apply_shared(self, params, state, x, _force_fused=None):
+def apply_shared(self, params, state, x, _force_fused=None,
+                 mono_out=False):
     """x: [T] SHARED wideband — complex64, or (xr, xi) float32 planes
     (the host feed's natural SoA form: a c64 array costs an unfused
     X64Split custom-call pass per real()/imag() on TPU) — → same
@@ -382,6 +386,8 @@ def apply_shared(self, params, state, x, _force_fused=None):
                     state.get("af_resamp") or {}, iq_raw, m_if, C)
             if self.af_resamp is not None:
                 st["af_resamp"] = ast
+            if mono_out:
+                return audio, st
             return jnp.stack([audio, audio], axis=-2), st
         if is_raw and not hasattr(self.demod, "accepts_raw_planes"):
             buf = planes[0]
@@ -392,9 +398,9 @@ def apply_shared(self, params, state, x, _force_fused=None):
                     else {})
         y, st["demod"] = self.demod.apply_planes(
             None, state["demod"], planes, **force_kw)
-        return self._post_demod(state, st, y)
+        return self._post_demod(state, st, y, mono_out=mono_out)
     y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
-    return self._post_vfo(params, state, st, y)
+    return self._post_vfo(params, state, st, y, mono_out=mono_out)
 
 
 def can_channelize(self) -> bool:
@@ -433,7 +439,8 @@ def init_state_channelized(self, C: int):
     return st
 
 
-def apply_channelized(self, params, state, x, _force_fused=None):
+def apply_channelized(self, params, state, x, _force_fused=None,
+                      mono_out=False):
     """x: [T] SHARED wideband → per-channel audio via the 2×-oversampled
     PFB front end (ChannelizedRxVFOBank) — O(C)-free at the full input
     rate, the wide-bank/scanner path.  Signal-equivalent (not bit-near)
@@ -495,6 +502,8 @@ def apply_channelized(self, params, state, x, _force_fused=None):
                         state.get("af_resamp") or {}, iq_raw, m_if, C)
                 if self.af_resamp is not None:
                     st["af_resamp"] = ast
+                if mono_out:
+                    return audio, st
                 return jnp.stack([audio, audio], axis=-2), st
             if plane_demod:
                 xr, xi = y
@@ -507,9 +516,9 @@ def apply_channelized(self, params, state, x, _force_fused=None):
                 if gate is not None:
                     y = y * gate
                 y, st["demod"] = self.demod.apply(None, state["demod"], y)
-            return self._post_demod(state, st, y)
+            return self._post_demod(state, st, y, mono_out=mono_out)
     y, st["vfo"] = vb.apply(params["vfo"], state["vfo"], x)
-    return self._post_vfo(params, state, st, y)
+    return self._post_vfo(params, state, st, y, mono_out=mono_out)
 
 
 def _fm_audio_pipe(self, C: int, interpret: bool = False):

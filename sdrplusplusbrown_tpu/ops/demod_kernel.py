@@ -286,11 +286,10 @@ class FMAudioPipeline:
 
         iq = (jnp.concatenate(planes, axis=0) if isinstance(planes, tuple)
               else planes)
-        # raw handoffs may be narrower than the grid walk (wider is
-        # fine — blocks past n_super are simply never fetched)
-        need = n_super * self.adv_if
-        if iq.shape[-1] < need:
-            iq = jnp.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
+        # raw handoffs may be narrower OR wider than the grid walk:
+        # pallas pads out-of-bounds input blocks (the in-kernel gcol
+        # mask zeroes them) and never fetches blocks past n_super — a
+        # host-side pad here would be a full extra IF-rate HBM copy
         gate2 = (jnp.ones((2 * C, 1), jnp.float32) if gate is None
                  else jnp.concatenate([gate, gate], axis=0)[:, None])
 

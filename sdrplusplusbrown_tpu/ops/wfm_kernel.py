@@ -256,11 +256,8 @@ class WFMDemodPipeline:
         m_mpx = plan["m_mpx"]
         if isinstance(iq, tuple):
             iq = jnp.concatenate(iq, axis=0)
-        # raw handoffs may be narrower than the grid walk (wider is
-        # fine — blocks past n_super are simply never fetched)
-        need = n_super * self.adv_if
-        if iq.shape[-1] < need:
-            iq = jnp.pad(iq, ((0, 0), (0, need - iq.shape[-1])))
+        # narrower-than-grid raw handoffs are fine: pallas pads the
+        # out-of-bounds blocks and the in-kernel gcol mask zeroes them
 
         q = state["quad"]
         qtail = jnp.zeros((2 * C, 128), jnp.float32)
@@ -507,9 +504,7 @@ class MPXAudioPoly:
         ptail = jnp.concatenate([ars[0], ars[1]], axis=0)
         ptail = jnp.pad(ptail.astype(jnp.float32),
                         ((0, 0), (self.hpP - self.hist, 0)))
-        need = n_super * self.adv_in
-        if raw.shape[-1] < need:
-            raw = jnp.pad(raw, ((0, 0), (0, need - raw.shape[-1])))
+        # narrower-than-grid raw is fine: OOB blocks pad + gcol mask
         from .pallas_cost import costed_pallas_call
         audio, tails = costed_pallas_call(
             functools.partial(_mpx_poly_kernel, cfg=cfg),
