@@ -5,8 +5,12 @@ complex float block as [u16 compressionType, u16 sampleType, f32 scaler,
 payload], where payload is f32 passthrough or int8/int16 scaled by
 128/maxVal resp. 32768/maxVal.  (We scale by max |component| — the
 reference uses the max *signed* component value, which can clip strong
-negative excursions; flagged deviation.)  zlib replaces zstd for the
-entropy stage (zstd is not in this image).
+negative excursions; flagged deviation.)  The entropy stage is real
+zstd via the system libzstd (utils/zstd.py ctypes binding, same
+one-shot level-1 API as core/src/server.cpp:447) — wire-format parity
+with reference sdrpp_server peers; zlib remains as a sniffed fallback
+for streams recorded before the binding existed (and for environments
+without libzstd).
 """
 
 from __future__ import annotations
@@ -16,6 +20,8 @@ import zlib
 from enum import IntEnum
 
 import numpy as np
+
+from ..utils import zstd as _zstd
 
 
 class PCMType(IntEnum):
@@ -57,9 +63,13 @@ def decompress_samples(buf: bytes) -> np.ndarray:
     return (inter[0::2] + 1j * inter[1::2]).astype(np.complex64)
 
 
-def entropy_encode(buf: bytes, level: int = 3) -> bytes:
-    return zlib.compress(buf, level)
+def entropy_encode(buf: bytes, level: int = 1) -> bytes:
+    if _zstd.available():
+        return _zstd.compress(buf, level)
+    return zlib.compress(buf, level)  # pragma: no cover - no-libzstd env
 
 
 def entropy_decode(buf: bytes) -> bytes:
+    if buf[:4] == _zstd.ZSTD_MAGIC and _zstd.available():
+        return _zstd.decompress(buf)
     return zlib.decompress(buf)
