@@ -109,12 +109,22 @@ def traffic_bytes(grid, in_specs: Sequence, in_shapes: Sequence,
 
 def costed_pallas_call(kernel, *, grid, in_specs, out_specs, out_shape,
                        scratch_shapes=(), flops=0, transcendentals=0,
-                       manual_bytes=0, interpret=False,
+                       manual_bytes=0, manual_spec=None, interpret=False,
                        compiler_params=None, label=None):
     """``pl.pallas_call`` with ``bytes_accessed`` derived from the specs
     at call time (operand dtypes read off the actual arguments), plus
     ``manual_bytes`` for traffic the kernel moves itself via
-    ``make_async_copy`` over ``ANY``-space operands."""
+    ``make_async_copy`` over ``ANY``-space operands.
+
+    Kernels whose manual DMAs are gated by ``pl.when`` on the grid index
+    (edge steps copy different sizes) pass ``manual_spec`` instead: a
+    list of ``(bytes_per_step, n_steps)`` terms whose product-sum is the
+    declared manual traffic.  The audit in tests/test_cost_estimates.py
+    checks each term's size against the copies the kernel actually
+    traced and each multiplicity against the grid."""
+
+    if manual_spec is not None:
+        manual_bytes = int(sum(int(b) * int(s) for b, s in manual_spec))
 
     def call(*operands):
         derived = traffic_bytes(
@@ -130,6 +140,8 @@ def costed_pallas_call(kernel, *, grid, in_specs, out_specs, out_shape,
                 in_dtypes=[o.dtype for o in operands],
                 out_specs=out_specs, out_shape=out_shape,
                 derived=int(derived), manual=int(manual_bytes),
+                manual_spec=(None if manual_spec is None else
+                             [(int(b), int(s)) for b, s in manual_spec]),
                 declared=int(derived + manual_bytes)))
         kw = {}
         if compiler_params is not None:

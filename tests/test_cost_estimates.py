@@ -133,6 +133,28 @@ def _reconcile(copies):
         step = per_rec.get(i, 0)
         if rec["manual"] == 0:
             assert step == 0, (label, "undeclared in-kernel DMA")
+        elif rec.get("manual_spec"):
+            # edge-specialized DMA (pl.when-gated per grid position):
+            # the declared composition must sum to the declared manual
+            # bytes, use only copy sizes the kernel actually traced,
+            # cover ALL traced copies, and each multiplicity must fit
+            # the grid.  (The per-branch step counts themselves are the
+            # kernel author's formula — equality tests validate the
+            # values, this validates the structure.)
+            spec = rec["manual_spec"]
+            assert step > 0, (label, "manual declared but no copies")
+            assert rec["manual"] == sum(b * s for b, s in spec), label
+            assert sum(s for _, s in spec) >= g, \
+                (label, "declared steps do not cover the grid", spec, g)
+            traced = sorted(nb for idx, nb in copies if idx == i)
+            declared_sizes = sorted(
+                [b // 2 for b, _ in spec] * 2)  # re+im copy pairs
+            assert traced == declared_sizes or \
+                sorted(b for b, _ in spec) == traced, \
+                (label, "spec sizes do not match traced copies",
+                 spec, traced)
+            for b, s in spec:
+                assert 1 <= s <= g, (label, spec, g)
         else:
             assert step > 0, (label, "manual declared but no copies")
             hi = step * g
