@@ -153,6 +153,44 @@ def sweep():
                params, state, x)
         case(f"apply_channelized NFM C={C}", f)
 
+    # ---- the EXACT bench.py step functions (VERDICT r3 item 2a) ------------
+    # spectrum-lcm block lengths and all: "sweep green" must imply
+    # "bench compiles".  Imported from bench so the configs can never
+    # drift apart.
+    import bench as bench_mod
+
+    for name in ("wfm8", "channelizer64", "multimode8", "scanner128",
+                 "scanner256"):
+        def f(name=name):
+            step, params, state, x, T = bench_mod.BUILDERS[name]()
+            _c(step, params, state, x)
+        case(f"bench {name}", f)
+
+    # ---- sharded channelized pipeline under Mosaic (r3 item 2b) ------------
+    # a 1x1 device mesh on the attached chip: shard_map still lowers the
+    # per-shard pallas kernels (PFB + post-channelizer + demod) through
+    # Mosaic with the halo/relay plumbing in place, which interpret-mode
+    # CPU tests cannot guarantee.
+    def f_sharded():
+        from jax.sharding import Mesh
+        from sdrplusplusbrown_tpu.models.radio import Radio
+        from sdrplusplusbrown_tpu.parallel.chan_time import (
+            ShardedChannelizedPipeline)
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("time", "ch"))
+        radio = Radio(2_400_000.0, DEMOD_NFM, squelch_enabled=True,
+                      pll_mode="normalize")
+        g = ShardedChannelizedPipeline.granularity(radio)
+        t_local = ((48_000 + g - 1) // g) * g
+        pipe = ShardedChannelizedPipeline(
+            2_400_000.0, mesh, 64, t_local, DEMOD_NFM,
+            squelch_enabled=True)
+        params = pipe.make_params(np.linspace(-1.0e6, 1.0e6, 64))
+        carry = pipe.init_carry()
+        x = jnp.zeros((pipe.t_global,), jnp.complex64)
+        _c(lambda p, c, xx: pipe.step(p, c, xx), params, carry, x)
+    case("sharded_chan C=64 1x1", f_sharded)
+
     # ---- run ----------------------------------------------------------------
     fails = []
     for name, fn in cases:

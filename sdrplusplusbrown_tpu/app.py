@@ -1004,7 +1004,7 @@ class SDRApp:
                 # real-time pacing observability (runtime/pump.py
                 # RealTimeGuard; reference if_nr.h:117-139 analog)
                 "rtFactor": round(self.rt_guard.rt_factor, 4),
-                "secondsBehind": round(self.rt_guard.blocks_behind, 4),
+                "secondsBehind": round(self.rt_guard.seconds_behind, 4),
                 "ifnrEnabled": bool(self.ifnr_enabled),
                 "ifnrStopReason": getattr(self, "ifnr_stop_reason", "")}
 

@@ -118,20 +118,12 @@ def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mono_kernel(*refs, cfg):
-    """refs = [xr_hbm, xi_hbm, prepad, g, s0, om, base,
-               tail_1..tail_n, H_1..H_n, y_out, tails_out,
-               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i].
-
-    ``xr_hbm``/``xi_hbm`` are the caller's float32 planes, UNPADDED —
-    the first/last grid steps handle the edges in-kernel (prepad block
-    holds zeros + the carried inter-call tail; the last window's
-    off-the-end region is zero-filled before its shorter DMA), so no
-    host-side concat/pad pass over the wideband ever materializes."""
+    """refs = [x_hbm, g, s0, om, base, tail_1..tail_n, H_1..H_n,
+               y_out, tails_out,
+               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i]."""
     n = len(cfg["stages"])
     it = iter(refs)
-    xr_hbm = next(it)
-    xi_hbm = next(it)
-    prepad_ref = next(it)
+    x_hbm = next(it)
     g_ref = next(it)
     s0_ref = next(it)
     om_ref = next(it)
@@ -161,6 +153,7 @@ def _mono_kernel(*refs, cfg):
     CHX = CH * D0
     nb = adv0 // BS
     stages = cfg["stages"]
+    Lp = cfg["Lp"]
 
     # ---- roll per-stage context (VMEM only) ---------------------------
     for s, st in enumerate(stages):
@@ -175,52 +168,17 @@ def _mono_kernel(*refs, cfg):
             bufs[s][:, :hp] = bufs[s][:, st.adv_in:st.adv_in + hp]
 
     # ---- DMA the wideband window --------------------------------------
-    # window i covers plane positions [i*adv_x - head0, i*adv_x + adv_x)
     n_read = head0 + adv_x
-    ns = cfg["n_super_k"]
-    Tv = cfg["T_valid"]
-    last = ns - 1
-    rem = Tv - (last * adv_x - head0)      # valid floats in last window
-
-    def _dma(src_off, dst_off, size):
-        cp_r = pltpu.make_async_copy(
-            xr_hbm.at[pl.ds(src_off, size)],
-            wr.at[pl.ds(dst_off, size)], sem_r)
-        cp_i = pltpu.make_async_copy(
-            xi_hbm.at[pl.ds(src_off, size)],
-            wi.at[pl.ds(dst_off, size)], sem_i)
-        cp_r.start()
-        cp_i.start()
-        cp_r.wait()
-        cp_i.wait()
-
-    if ns == 1:
-        wr[pl.ds(0, head0)] = prepad_ref[0, :]
-        wi[pl.ds(0, head0)] = prepad_ref[1, :]
-        if head0 + Tv < n_read:
-            z = jnp.zeros((n_read - head0 - Tv,), jnp.float32)
-            wr[pl.ds(head0 + Tv, n_read - head0 - Tv)] = z
-            wi[pl.ds(head0 + Tv, n_read - head0 - Tv)] = z
-        _dma(0, head0, Tv)
-    else:
-        @pl.when(i == 0)
-        def _first():
-            wr[pl.ds(0, head0)] = prepad_ref[0, :]
-            wi[pl.ds(0, head0)] = prepad_ref[1, :]
-            _dma(0, head0, adv_x)
-
-        if ns > 2:
-            @pl.when(jnp.logical_and(i > 0, i < last))
-            def _mid():
-                _dma(i * adv_x - head0, 0, n_read)
-
-        @pl.when(i == last)
-        def _last():
-            if rem < n_read:
-                z = jnp.zeros((n_read - rem,), jnp.float32)
-                wr[pl.ds(rem, n_read - rem)] = z
-                wi[pl.ds(rem, n_read - rem)] = z
-            _dma(last * adv_x - head0, 0, rem)
+    cp_r = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * adv_x, n_read)], wr.at[pl.ds(0, n_read)],
+        sem_r)
+    cp_i = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(Lp + i * adv_x, n_read)], wi.at[pl.ds(0, n_read)],
+        sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
 
     # ---- stage 0: fused mix + decimate + twiddle ----------------------
     off = head0 - (K0 - 1)
@@ -410,6 +368,7 @@ class MonoVFOPipeline:
             else:
                 m.append(m[-1] // (st.adv_in // st.adv_out))
         n_super = -(-m[-1] // self.adv_f)
+        Lp = _rup(n_super * self.adv_x + self.head0 + ALIGN1D, ALIGN1D)
         # tail extraction spots: last `carry` VALID inputs of stage s
         # live in buf_s around column hist_pad + m_in - i*adv_in
         tails = []
@@ -422,7 +381,7 @@ class MonoVFOPipeline:
             assert al >= 0 and al + st.tail_w >= end_local >= st.carry, \
                 (s, al, end_local, st.carry)
             tails.append((i_t, al, end_local))
-        plan = {"m": m, "n_super": n_super, "tails": tails}
+        plan = {"m": m, "n_super": n_super, "Lp": Lp, "tails": tails}
         self._plan_cache[T] = plan
         return plan
 
@@ -438,26 +397,21 @@ class MonoVFOPipeline:
         xr, xi = x if in_planes else (None, None)
         T = (xr if in_planes else x).shape[-1]
         plan = self._plan(T)
-        n_super = plan["n_super"]
+        n_super, Lp = plan["n_super"], plan["Lp"]
         K0, D0, head0 = self.K0, self.D0, self.head0
 
-        # the kernel DMAs its windows STRAIGHT from the caller's planes
-        # (edge steps handled in-kernel) — the old host-side flat-plane
-        # concat was a full wideband HBM pass (write 8 + re-read 8
-        # B/in-sample), and on the c64 feed the X64 split custom-calls
-        # another ~24; with a (xr, xi) plane feed the wideband is now
-        # read EXACTLY ONCE, by the kernel's own DMA
+        # build the flat planes STRAIGHT from (carried tail, x): an
+        # intermediate ext = concat(tail, x) complex array costs a full
+        # extra HBM round-trip (measured ~25 B/in-sample: the c64
+        # materialization + a separate tail slice)
         tail = state["fused"]["tail"]
         off0 = head0 - (K0 - 1)
+        zf = jnp.zeros((off0,), jnp.float32)
+        zt = jnp.zeros((Lp - off0 - (T + K0 - 1),), jnp.float32)
         if not in_planes:
             xr, xi = jnp.real(x), jnp.imag(x)
-        xr = xr.astype(jnp.float32)
-        xi = xi.astype(jnp.float32)
-        zf = jnp.zeros((off0,), jnp.float32)
-        prepad = jnp.stack([
-            jnp.concatenate([zf, jnp.real(tail).astype(jnp.float32)]),
-            jnp.concatenate([zf, jnp.imag(tail).astype(jnp.float32)]),
-        ])
+        xf = jnp.concatenate([zf, jnp.real(tail), xr, zt,
+                              zf, jnp.imag(tail), xi, zt])
 
         # channel-modulated taps (runtime retune without recompile)
         omega = params["omega"]
@@ -502,8 +456,7 @@ class MonoVFOPipeline:
         cfg = {
             "C": C, "K0": K0, "D0": D0, "head0": head0,
             "adv_x": self.adv_x, "adv0": self.adv0,
-            "n_chunks": self.n_chunks,
-            "n_super_k": n_super, "T_valid": T,
+            "n_chunks": self.n_chunks, "Lp": Lp,
             "stages": [
                 _MonoStage(**{**st.__dict__, "H": None,
                               "i_tail": plan["tails"][s][0],
@@ -512,9 +465,6 @@ class MonoVFOPipeline:
         }
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((2, head0), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((twoC, 2 * K0), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BS * D0, BS), lambda i: (0, 0),
@@ -556,23 +506,13 @@ class MonoVFOPipeline:
                            + 2 * twoC * self.adv_x * BS)
         for st in self.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
-        # in-kernel DMA: re + im plane windows, edge steps shorter —
-        # first reads adv_x (prepad block fills the head), middle steps
-        # the full head0+adv_x window, the last only the valid remainder
-        n_read = head0 + self.adv_x
-        rem = T - ((n_super - 1) * self.adv_x - head0)
-        if n_super == 1:
-            mspec = [(2 * 4 * T, 1)]
-        else:
-            mspec = [(2 * 4 * self.adv_x, 1), (2 * 4 * rem, 1)]
-            if n_super > 2:
-                mspec.append((2 * 4 * n_read, n_super - 2))
         from .pallas_cost import costed_pallas_call
         out, tails_out = costed_pallas_call(
             functools.partial(_mono_kernel, cfg=cfg),
             grid=(n_super,),
             flops=int(flops),
-            manual_spec=mspec,
+            # in-kernel DMA: re + im (head0 + adv_x) windows per step
+            manual_bytes=int(n_super * 2 * (head0 + self.adv_x) * 4),
             transcendentals=int(n_super * 2 * C * self.adv0),
             label="mono_frontend",
             in_specs=in_specs,
@@ -587,8 +527,7 @@ class MonoVFOPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xr, xi, prepad, g, jnp.asarray(s0),
-          params["omega_dec"][:, None],
+        )(xf, g, jnp.asarray(s0), params["omega_dec"][:, None],
           base.astype(jnp.float32), *tail_ops, *h_ops)
 
         M = plan["m"][-1]

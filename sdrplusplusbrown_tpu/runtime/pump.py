@@ -81,11 +81,10 @@ class RealTimeGuard:
             else 0.0
 
     @property
-    def blocks_behind(self) -> float:
-        """Lag expressed in rolling-average block budgets."""
-        if not self.ratios:
-            return 0.0
-        # behind_s normalized by the mean budget implied by the window
+    def seconds_behind(self) -> float:
+        """Accumulated processing lag in SECONDS (feeds /status
+        ``secondsBehind``): grows by (elapsed - budget) on over-budget
+        blocks, drains on under-budget ones, floored at zero."""
         return self.behind_s
 
     def reset_policy(self):

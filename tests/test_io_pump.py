@@ -122,14 +122,14 @@ def test_realtime_guard_policy():
     assert g.report(1.2, 1.0)           # second strike -> fire once
     assert not g.report(1.2, 1.0)       # latched until re-armed
     assert g.rt_factor > 0.9
-    assert g.blocks_behind > 0.0        # accumulated lag
+    assert g.seconds_behind > 0.0        # accumulated lag
     g.reset_policy()
     assert not g.report(0.1, 1.0)       # strike counter restarted
     assert not g.report(0.1, 1.0)
     # lag drains when running faster than real time
     for _ in range(10):
         g.report(0.1, 1.0)
-    assert g.blocks_behind == 0.0
+    assert g.seconds_behind == 0.0
     assert g.rt_factor < 0.5
 
 
@@ -183,7 +183,7 @@ def test_pump_elastic_ifnr_degradation_and_recovery(tmp_path):
         assert st["ifnrEnabled"] is False
         assert st["ifnrStopReason"]
         # recovery: the fast post-degradation blocks drained the lag
-        assert app.rt_guard.blocks_behind == 0.0
+        assert app.rt_guard.seconds_behind == 0.0
         assert app.rt_guard.rt_factor < 1.0
         assert app.blocks_processed >= n_blocks - 1
     finally:
