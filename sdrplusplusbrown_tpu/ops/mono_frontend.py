@@ -118,12 +118,20 @@ def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mono_kernel(*refs, cfg):
-    """refs = [x_hbm, g, s0, om, base, tail_1..tail_n, H_1..H_n,
-               y_out, tails_out,
-               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i]."""
+    """refs = [xr_hbm, xi_hbm, edges, g, s0, om, base,
+               tail_1..tail_n, H_1..H_n, y_out, tails_out,
+               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i].
+
+    ``xr_hbm``/``xi_hbm`` are the caller's float32 planes, UNPADDED —
+    the first/last grid steps handle the edges in-kernel (edges block
+    holds zeros + the carried inter-call tail; the last window's
+    off-the-end region is zero-filled before its shorter DMA), so no
+    host-side concat/pad pass over the wideband ever materializes."""
     n = len(cfg["stages"])
     it = iter(refs)
-    x_hbm = next(it)
+    xr_hbm = next(it)
+    xi_hbm = next(it)
+    edges_ref = next(it)
     g_ref = next(it)
     s0_ref = next(it)
     om_ref = next(it)
@@ -153,7 +161,6 @@ def _mono_kernel(*refs, cfg):
     CHX = CH * D0
     nb = adv0 // BS
     stages = cfg["stages"]
-    Lp = cfg["Lp"]
 
     # ---- roll per-stage context (VMEM only) ---------------------------
     for s, st in enumerate(stages):
@@ -168,17 +175,82 @@ def _mono_kernel(*refs, cfg):
             bufs[s][:, :hp] = bufs[s][:, st.adv_in:st.adv_in + hp]
 
     # ---- DMA the wideband window --------------------------------------
-    n_read = head0 + adv_x
-    cp_r = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * adv_x, n_read)], wr.at[pl.ds(0, n_read)],
-        sem_r)
-    cp_i = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(Lp + i * adv_x, n_read)], wi.at[pl.ds(0, n_read)],
-        sem_i)
-    cp_r.start()
-    cp_i.start()
-    cp_r.wait()
-    cp_i.wait()
+    # window i covers plane positions [i*adv_x - head0, i*adv_x + adv_x).
+    # The head0 overlap between consecutive windows is ROLLED inside
+    # VMEM (never re-read from the planes), so every input float is
+    # DMA'd exactly once; the carried inter-call tail arrives through
+    # the prepad block.  All DMA offsets are ALIGN1D-multiples (adv_x
+    # is rounded by _solve_geometry, head0 == ALIGN1D) and are marked
+    # with pl.multiple_of so Mosaic can PROVE the (1024)-tiled slices
+    # legal — the r3 WIP form read at i*adv_x - head0 without the hint
+    # and was rejected ("tile index … divisible by the tiling (1024)").
+    ns = cfg["n_super_k"]
+    Tv = cfg["T_valid"]
+    last = ns - 1
+    # fresh floats in the last window (clamped: flooring in the m-chain
+    # can leave a few never-consumed inputs past ns*adv_x)
+    rem2 = min(Tv - last * adv_x, adv_x)
+    # Mosaic requires DMA slice SIZES 1024-aligned too: the last
+    # window DMAs only its aligned part; the sub-ALIGN1D fragment
+    # (zero-padded to one tile) rides in edges_ref rows 2:4.
+    rem_al = rem2 // ALIGN1D * ALIGN1D
+
+    def _dma(src_off, size):
+        cp_r = pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(src_off, size)],
+            wr.at[pl.ds(head0, size)], sem_r)
+        cp_i = pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(src_off, size)],
+            wi.at[pl.ds(head0, size)], sem_i)
+        cp_r.start()
+        cp_i.start()
+        cp_r.wait()
+        cp_i.wait()
+
+    def _tail_frag():
+        if rem_al < rem2:
+            wr[pl.ds(head0 + rem_al, ALIGN1D)] = edges_ref[2, :]
+            wi[pl.ds(head0 + rem_al, ALIGN1D)] = edges_ref[3, :]
+
+    if ns == 1:
+        # single window: scratch is uninitialized past the valid input;
+        # zero the whole buffers first (NaN bit patterns in fresh VMEM
+        # would poison valid banded-matmul outputs via 0·NaN)
+        z = jnp.zeros((head0 + adv_x,), jnp.float32)
+        wr[...] = z
+        wi[...] = z
+        wr[pl.ds(0, head0)] = edges_ref[0, :]
+        wi[pl.ds(0, head0)] = edges_ref[1, :]
+        if rem_al:
+            _dma(0, rem_al)
+        _tail_frag()
+    else:
+        @pl.when(i == 0)
+        def _first():
+            wr[pl.ds(0, head0)] = edges_ref[0, :]
+            wi[pl.ds(0, head0)] = edges_ref[1, :]
+
+        @pl.when(i > 0)
+        def _roll_w():
+            wr[pl.ds(0, head0)] = wr[pl.ds(adv_x, head0)]
+            wi[pl.ds(0, head0)] = wi[pl.ds(adv_x, head0)]
+
+        if rem2 == adv_x:
+            _dma(pl.multiple_of(i * adv_x, ALIGN1D), adv_x)
+        else:
+            # past-the-end region of the last window keeps the previous
+            # window's (finite) samples — every VALID output column and
+            # carried tail reads only positions before the end-of-input
+            # (plan geometry), so no zero-fill pass is needed
+            @pl.when(i < last)
+            def _mid():
+                _dma(pl.multiple_of(i * adv_x, ALIGN1D), adv_x)
+
+            @pl.when(i == last)
+            def _last():
+                if rem_al:
+                    _dma(last * adv_x, rem_al)
+                _tail_frag()
 
     # ---- stage 0: fused mix + decimate + twiddle ----------------------
     off = head0 - (K0 - 1)
@@ -368,7 +440,6 @@ class MonoVFOPipeline:
             else:
                 m.append(m[-1] // (st.adv_in // st.adv_out))
         n_super = -(-m[-1] // self.adv_f)
-        Lp = _rup(n_super * self.adv_x + self.head0 + ALIGN1D, ALIGN1D)
         # tail extraction spots: last `carry` VALID inputs of stage s
         # live in buf_s around column hist_pad + m_in - i*adv_in
         tails = []
@@ -381,7 +452,7 @@ class MonoVFOPipeline:
             assert al >= 0 and al + st.tail_w >= end_local >= st.carry, \
                 (s, al, end_local, st.carry)
             tails.append((i_t, al, end_local))
-        plan = {"m": m, "n_super": n_super, "Lp": Lp, "tails": tails}
+        plan = {"m": m, "n_super": n_super, "tails": tails}
         self._plan_cache[T] = plan
         return plan
 
@@ -397,21 +468,37 @@ class MonoVFOPipeline:
         xr, xi = x if in_planes else (None, None)
         T = (xr if in_planes else x).shape[-1]
         plan = self._plan(T)
-        n_super, Lp = plan["n_super"], plan["Lp"]
+        n_super = plan["n_super"]
         K0, D0, head0 = self.K0, self.D0, self.head0
 
-        # build the flat planes STRAIGHT from (carried tail, x): an
-        # intermediate ext = concat(tail, x) complex array costs a full
-        # extra HBM round-trip (measured ~25 B/in-sample: the c64
-        # materialization + a separate tail slice)
+        # the kernel DMAs its windows STRAIGHT from the caller's planes
+        # (edge steps handled in-kernel) — the old host-side flat-plane
+        # concat was a full wideband HBM pass (write 8 + re-read 8
+        # B/in-sample), and on the c64 feed the X64 split custom-calls
+        # another ~24; with a (xr, xi) plane feed the wideband is now
+        # read EXACTLY ONCE, by the kernel's own DMA
         tail = state["fused"]["tail"]
         off0 = head0 - (K0 - 1)
-        zf = jnp.zeros((off0,), jnp.float32)
-        zt = jnp.zeros((Lp - off0 - (T + K0 - 1),), jnp.float32)
         if not in_planes:
             xr, xi = jnp.real(x), jnp.imag(x)
-        xf = jnp.concatenate([zf, jnp.real(tail), xr, zt,
-                              zf, jnp.imag(tail), xi, zt])
+        xr = xr.astype(jnp.float32)
+        xi = xi.astype(jnp.float32)
+        zf = jnp.zeros((off0,), jnp.float32)
+        # edges rows 0:2 — the head block (zeros + carried tail);
+        # rows 2:4 — the last window's sub-ALIGN1D input fragment
+        # (Mosaic DMA sizes must be tile-aligned, so the kernel DMAs
+        # only rem_al floats there and stores this block for the rest)
+        rem2 = min(T - (n_super - 1) * self.adv_x, self.adv_x)
+        rem_al = rem2 // ALIGN1D * ALIGN1D
+        fs = (n_super - 1) * self.adv_x + rem_al
+        fl = rem2 - rem_al
+        zfr = jnp.zeros((ALIGN1D - fl,), jnp.float32)
+        edges = jnp.stack([
+            jnp.concatenate([zf, jnp.real(tail).astype(jnp.float32)]),
+            jnp.concatenate([zf, jnp.imag(tail).astype(jnp.float32)]),
+            jnp.concatenate([xr[fs:fs + fl], zfr]),
+            jnp.concatenate([xi[fs:fs + fl], zfr]),
+        ])
 
         # channel-modulated taps (runtime retune without recompile)
         omega = params["omega"]
@@ -456,7 +543,8 @@ class MonoVFOPipeline:
         cfg = {
             "C": C, "K0": K0, "D0": D0, "head0": head0,
             "adv_x": self.adv_x, "adv0": self.adv0,
-            "n_chunks": self.n_chunks, "Lp": Lp,
+            "n_chunks": self.n_chunks,
+            "n_super_k": n_super, "T_valid": T,
             "stages": [
                 _MonoStage(**{**st.__dict__, "H": None,
                               "i_tail": plan["tails"][s][0],
@@ -465,6 +553,9 @@ class MonoVFOPipeline:
         }
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, ALIGN1D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((twoC, 2 * K0), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BS * D0, BS), lambda i: (0, 0),
@@ -506,13 +597,22 @@ class MonoVFOPipeline:
                            + 2 * twoC * self.adv_x * BS)
         for st in self.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
+        # in-kernel DMA: every input float read EXACTLY ONCE (the head0
+        # window overlap rolls inside VMEM); re + im planes
+        rem2 = min(T - (n_super - 1) * self.adv_x, self.adv_x)
+        if n_super == 1:
+            mspec = [(2 * 4 * min(T, self.adv_x), 1)]
+        elif rem2 == self.adv_x:
+            mspec = [(2 * 4 * self.adv_x, n_super)]
+        else:
+            mspec = [(2 * 4 * self.adv_x, n_super - 1),
+                     (2 * 4 * rem2, 1)]
         from .pallas_cost import costed_pallas_call
         out, tails_out = costed_pallas_call(
             functools.partial(_mono_kernel, cfg=cfg),
             grid=(n_super,),
             flops=int(flops),
-            # in-kernel DMA: re + im (head0 + adv_x) windows per step
-            manual_bytes=int(n_super * 2 * (head0 + self.adv_x) * 4),
+            manual_spec=mspec,
             transcendentals=int(n_super * 2 * C * self.adv0),
             label="mono_frontend",
             in_specs=in_specs,
@@ -527,7 +627,8 @@ class MonoVFOPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xf, g, jnp.asarray(s0), params["omega_dec"][:, None],
+        )(xr, xi, edges, g, jnp.asarray(s0),
+          params["omega_dec"][:, None],
           base.astype(jnp.float32), *tail_ops, *h_ops)
 
         M = plan["m"][-1]
