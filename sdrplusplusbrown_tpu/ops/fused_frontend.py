@@ -52,6 +52,10 @@ def fused_params(offset_hz, samplerate: float, decim: int) -> dict:
                                      jnp.float32),
         "omega_dec_bs": jnp.asarray(np.mod(om_d * 256, _TWO_PI),
                                     jnp.float32),
+        # full-rate 1024-lane span for the mono kernel's in-kernel mix
+        # blocks (ops/mono_frontend.py); wrapped to (−π, π] in f64
+        "omega_mb": jnp.asarray(
+            np.mod(omega * 1024 + np.pi, _TWO_PI) - np.pi, jnp.float32),
     }
 
 

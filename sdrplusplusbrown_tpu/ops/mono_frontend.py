@@ -118,9 +118,9 @@ def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mono_kernel(*refs, cfg):
-    """refs = [xr_hbm, xi_hbm, edges, g, s0, om, base,
+    """refs = [xr_hbm, xi_hbm, edges, h0, om, base,
                tail_1..tail_n, H_1..H_n, y_out, tails_out,
-               wr, wi, (wc,) acc, buf_1..buf_n, sem_r, sem_i].
+               wr, wi, mbuf, buf_1..buf_n, sem_r, sem_i].
 
     ``xr_hbm``/``xi_hbm`` are the caller's float32 planes, UNPADDED —
     the first/last grid steps handle the edges in-kernel (edges block
@@ -132,8 +132,7 @@ def _mono_kernel(*refs, cfg):
     xr_hbm = next(it)
     xi_hbm = next(it)
     edges_ref = next(it)
-    g_ref = next(it)
-    s0_ref = next(it)
+    h0_ref = next(it)
     om_ref = next(it)
     base_ref = next(it)
     tail_refs = [next(it) for _ in range(n)]
@@ -142,10 +141,7 @@ def _mono_kernel(*refs, cfg):
     tails_o = next(it)
     wr = next(it)
     wi = next(it)
-    if cfg["n_chunks"] > 1:
-        wcr = next(it)
-        wci = next(it)
-    acc = next(it)
+    mbuf = next(it)
     bufs = [next(it) for _ in range(n)]
     sem_r = next(it)
     sem_i = next(it)
@@ -252,56 +248,46 @@ def _mono_kernel(*refs, cfg):
                     _dma(last * adv_x, rem_al)
                 _tail_frag()
 
-    # ---- stage 0: fused mix + decimate + twiddle ----------------------
+    # ---- stage 0: full-rate mix (VPU) + static banded decim (MXU) -----
+    # mixed[t] = w[t]·e^{jθ(t)},  θ(t) = φ0 − ω(K0−1) + ω·(i·adv_x −
+    # head0 + t)  — the per-channel NCO lives ENTIRELY in the mix
+    # phase, so the decimating FIR taps are channel-independent and the
+    # stage runs as the SAME static toeplitz banded matmul the chained
+    # stages use.  This replaces the r3 one-hot full-rate accumulate +
+    # selection-matmul + decimated twiddle (which computed the
+    # correlation at FULL rate and threw 1−1/D0 of it away):
+    # ~27.6k → ~6.6k flops/in-sample for the WFM-8 geometry, and the
+    # filtering work lands on the MXU instead of K0 VPU passes.
+    # Equivalence (fused_frontend.py algebra):
+    #   Σ_k h[k]·x[mD+k]·e^{jθ(mD+k)} = e^{j(φ0+ω(mD−(K0−1)))}
+    #                                   · Σ_k h[k]e^{jωk}·x[mD+k].
     off = head0 - (K0 - 1)
-    twoK = 2 * K0
     hp1 = stages[0].hist_pad
+    Lw0 = cfg["Lw0"]
+    row0 = 128 * D0
+    MB = ALIGN1D                          # mix block lanes
+    nbw = (head0 + CHX) // MB             # mix blocks per chunk window
 
     for c in range(n_chunks):
-        if n_chunks > 1:
-            wc_len = head0 + CHX
-            wcr[pl.ds(0, wc_len)] = wr[pl.ds(c * CHX, wc_len)]
-            wci[pl.ds(0, wc_len)] = wi[pl.ds(c * CHX, wc_len)]
-        acc[...] = jnp.zeros((twoC, CHX), jnp.float32)
-
-        def _accumulate(plane, part):
-            w2 = plane[None, :]
-
-            def body(k, carry):
-                sl = jax.lax.slice(pltpu.roll(w2, -(off + k), 1),
-                                   (0, 0), (1, CHX))
-                sel = (jax.lax.broadcasted_iota(jnp.int32, (twoK, 1), 0)
-                       == part * K0 + k).astype(jnp.float32)
-                gk = jnp.dot(g_ref[...], sel,
-                             preferred_element_type=jnp.float32)
-                acc[...] = acc[...] + gk * sl
-                return carry
-
-            jax.lax.fori_loop(0, K0, body, 0)
-
-        if n_chunks > 1:
-            _accumulate(wcr[...], 0)
-            _accumulate(wci[...], 1)
-        else:
-            _accumulate(wr[...], 0)
-            _accumulate(wi[...], 1)
-
-        # decimate via the static selection matmul + NCO twiddle
-        for b in range(CH // BS):
-            ob = jnp.dot(acc[:, b * BS * D0:(b + 1) * BS * D0],
-                         s0_ref[...],
-                         preferred_element_type=jnp.float32)   # [2C, BS]
-            gb = c * (CH // BS) + b
-            jj = jax.lax.broadcasted_iota(jnp.int32, (C, BS),
-                                          1).astype(jnp.float32)
-            ang = base_ref[:, gb:gb + 1] + om_ref[...] * jj
+        # mix wr/wi[c·CHX .. c·CHX + head0 + CHX) into mbuf
+        for b in range(nbw):
+            t0 = c * CHX + b * MB
+            u = t0 // MB                  # window block (base_ref lane)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (C, MB), 1) \
+                .astype(jnp.float32)
+            ang = base_ref[:, u:u + 1] + om_ref[...] * jj
             cr = jnp.cos(ang)
             si = jnp.sin(ang)
-            re = ob[:C]
-            im = ob[C:]
-            col = hp1 + gb * BS
-            bufs[0][0:C, col:col + BS] = re * cr - im * si
-            bufs[0][C:twoC, col:col + BS] = re * si + im * cr
+            xrb = wr[pl.ds(t0, MB)][None, :]
+            xib = wi[pl.ds(t0, MB)][None, :]
+            mbuf[0:C, b * MB:(b + 1) * MB] = xrb * cr - xib * si
+            mbuf[C:twoC, b * MB:(b + 1) * MB] = xrb * si + xib * cr
+        # static banded decim matmul: [2C, Lw0] × [Lw0, 128] per tile
+        for r in range(CH // 128):
+            win = mbuf[:, off + r * row0:off + r * row0 + Lw0]
+            col = hp1 + c * CH + r * 128
+            bufs[0][:, col:col + 128] = jnp.dot(
+                win, h0_ref[...], preferred_element_type=jnp.float32)
 
     # ---- chained stages -----------------------------------------------
     for s, st in enumerate(stages):
@@ -402,16 +388,30 @@ class MonoVFOPipeline:
                 win0=hist_pad - st["hist"], H=H, tail_w=tail_w,
                 i_tail=0, tail_al=0, tail_off=0))
             vmem += H.size * 4 + 2 * C * (hist_pad + adv_in) * 4
-        # stage-0 chunking bounds the full-rate accumulator
-        n_chunks = 1
+        # stage-0 chunking bounds the mixed-plane buffer; chunk width
+        # must stay ALIGN1D-aligned (the mix blocks read wr at
+        # 1024-lane offsets)
+        n_chunks = 0
         for d in range(min(16, self.adv0 // BS), 0, -1):
-            if self.adv0 % (BS * d) == 0 and BS * d * self.D0 <= 16384:
+            if (self.adv0 % (BS * d) == 0
+                    and BS * d * self.D0 <= 16384
+                    and (BS * d * self.D0) % ALIGN1D == 0
+                    and (BS * d) % 128 == 0):
                 n_chunks = self.adv0 // (BS * d)
                 break
+        if not n_chunks:
+            return
         self.n_chunks = n_chunks
+        # static stage-0 banded matrix (channel-independent: the NCO
+        # lives in the in-kernel mix phase)
+        from .pallas_fir import toeplitz_taps_decim as _ttd
+        self.Lw0 = 127 * self.D0 + self.K0
+        self.H0 = _ttd(np.asarray(self.fused_taps, np.float32),
+                       128, self.D0)
+        assert self.H0.shape == (self.Lw0, 128), self.H0.shape
         vmem += (2 * (1024 + adv_x) * 4                    # wr/wi
-                 + 2 * C * (adv_x // n_chunks) * 4         # acc
-                 + BS * self.D0 * BS * 4                   # s0
+                 + 2 * C * (ALIGN1D + adv_x // n_chunks) * 4   # mbuf
+                 + self.Lw0 * 128 * 4                      # H0
                  + 2 * C * self.adv_f * 4 * 2)             # out blocks
         if vmem > 10 * (1 << 20):
             return
@@ -500,38 +500,28 @@ class MonoVFOPipeline:
             jnp.concatenate([xi[fs:fs + fl], zfr]),
         ])
 
-        # channel-modulated taps (runtime retune without recompile)
+        # per-(window, 1024-lane mix block) base phases: θ(t) = φ_state
+        # + ω(i·adv_x − head0 + t) — the −ω(K0−1) tap-alignment shift of
+        # the old decimated twiddle is absorbed by the −head0 term
+        # (head0 = off0 + (K0−1)); every per-span advance is a host-f64
+        # mod-reduced param so f32 never sees a large product
         omega = params["omega"]
-        kk = jnp.arange(K0, dtype=jnp.float32)
-        ang = omega[:, None] * kk[None, :]
-        h = jnp.asarray(self.fused_taps, jnp.float32)[None, :]
-        gr = h * jnp.cos(ang)
-        gi = h * jnp.sin(ang)
-        g = jnp.concatenate(
-            [jnp.concatenate([gr, -gi], axis=1),
-             jnp.concatenate([gi, gr], axis=1)], axis=0)
-
-        # per-(step, BS-block) twiddle base phases
-        phase0 = jnp.mod(state["fused"]["phase"]
-                         - omega * jnp.float32(K0 - 1) + np.pi,
+        phase0 = jnp.mod(state["fused"]["phase"] + np.pi,
                          _TWO_PI) - np.pi
         a_sup, rem = divmod(self.adv0, SUP_SPAN)
         b_bs = rem // BS
         span_adv = (params["omega_dec_sup"] * a_sup
-                    + params["omega_dec_bs"] * b_bs)
-        nb = self.adv0 // BS
-        nb_pad = _rup(nb, 128)
+                    + params["omega_dec_bs"] * b_bs)    # mod(ω·adv_x)
+        om_mb = params["omega_mb"]                      # mod(ω·1024)
+        nbw_t = (head0 + self.adv_x) // ALIGN1D
+        nbw_pad = _rup(nbw_t, 128)
         ii = jnp.arange(n_super, dtype=jnp.float32)
-        bb = jnp.arange(nb, dtype=jnp.float32)
-        base = (phase0[:, None, None]
+        uu = jnp.arange(nbw_t, dtype=jnp.float32)
+        base = (phase0[:, None, None] - om_mb[:, None, None]
                 + span_adv[:, None, None] * ii[None, :, None]
-                + params["omega_dec_bs"][:, None, None]
-                * bb[None, None, :])
-        base = jnp.pad(base, ((0, 0), (0, 0), (0, nb_pad - nb))) \
-            .reshape(C, n_super * nb_pad)
-
-        s0 = np.zeros((BS * D0, BS), np.float32)
-        s0[np.arange(BS) * D0, np.arange(BS)] = 1.0
+                + om_mb[:, None, None] * uu[None, None, :])
+        base = jnp.pad(base, ((0, 0), (0, 0), (0, nbw_pad - nbw_t))) \
+            .reshape(C, n_super * nbw_pad)
 
         tails_c = self._stage_tails(state)
         tail_ops = [_tail_planes(tails_c[s], st.hist_pad)
@@ -543,7 +533,7 @@ class MonoVFOPipeline:
         cfg = {
             "C": C, "K0": K0, "D0": D0, "head0": head0,
             "adv_x": self.adv_x, "adv0": self.adv0,
-            "n_chunks": self.n_chunks,
+            "n_chunks": self.n_chunks, "Lw0": self.Lw0,
             "n_super_k": n_super, "T_valid": T,
             "stages": [
                 _MonoStage(**{**st.__dict__, "H": None,
@@ -556,13 +546,11 @@ class MonoVFOPipeline:
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, ALIGN1D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoC, 2 * K0), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BS * D0, BS), lambda i: (0, 0),
+            pl.BlockSpec((self.Lw0, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, nb_pad), lambda i: (0, i),
+            pl.BlockSpec((C, nbw_pad), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
         for st in self.stages:
@@ -582,19 +570,19 @@ class MonoVFOPipeline:
             pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
             pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
         ]
-        if self.n_chunks > 1:
-            chx = self.adv_x // self.n_chunks
-            scratch.append(pltpu.VMEM((head0 + chx,), jnp.float32))
-            scratch.append(pltpu.VMEM((head0 + chx,), jnp.float32))
-        scratch.append(pltpu.VMEM((twoC, self.adv_x // self.n_chunks),
-                                  jnp.float32))
+        scratch.append(pltpu.VMEM(
+            (twoC, ALIGN1D + self.adv_x // self.n_chunks),
+            jnp.float32))
         for st in self.stages:
             scratch.append(pltpu.VMEM((twoC, st.hist_pad + st.adv_in),
                                       jnp.float32))
         scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
 
-        flops = n_super * (2 * 2 * K0 * twoC * self.adv_x
-                           + 2 * twoC * self.adv_x * BS)
+        # stage 0: per-sample mix (4 mul + 2 add + 1 phase add over
+        # [C, MB] blocks) + the static banded decim matmul
+        mix_w = self.n_chunks * (ALIGN1D + self.adv_x // self.n_chunks)
+        flops = n_super * (7 * C * mix_w
+                           + 2 * self.Lw0 * self.adv0 * twoC)
         for st in self.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
         # in-kernel DMA: every input float read EXACTLY ONCE (the head0
@@ -613,7 +601,7 @@ class MonoVFOPipeline:
             grid=(n_super,),
             flops=int(flops),
             manual_spec=mspec,
-            transcendentals=int(n_super * 2 * C * self.adv0),
+            transcendentals=int(n_super * 2 * C * mix_w),
             label="mono_frontend",
             in_specs=in_specs,
             out_specs=out_specs,
@@ -627,8 +615,8 @@ class MonoVFOPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xr, xi, edges, g, jnp.asarray(s0),
-          params["omega_dec"][:, None],
+        )(xr, xi, edges, jnp.asarray(self.H0),
+          omega[:, None],
           base.astype(jnp.float32), *tail_ops, *h_ops)
 
         M = plan["m"][-1]
