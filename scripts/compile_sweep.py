@@ -153,6 +153,20 @@ def sweep():
                params, state, x)
         case(f"apply_channelized NFM C={C}", f)
 
+    # ---- in-kernel-framed spectrum (aligned DMA + rectangular 4-step) ----
+    for N, keep, iv in ((65536, 65536, 120000), (4096, 3968, 6016),
+                        (1024, 1024, 2048)):
+        def f(N=N, keep=keep, iv=iv):
+            from sdrplusplusbrown_tpu.ops.pallas_fft import (
+                spectrum_frames_db)
+            n_fr = 2
+            T = ((n_fr * iv + 1023 + keep) // 128 + 1) * 128
+            w = np.hanning(keep).astype(np.float32)
+            xp = jnp.zeros((T,), jnp.float32)
+            _c(lambda a, b: spectrum_frames_db(a, b, keep, iv, N,
+                                               -300.0, w), xp, xp)
+        case(f"fft_frames N={N} keep={keep}", f)
+
     # ---- the EXACT bench.py step functions (VERDICT r3 item 2a) ------------
     # spectrum-lcm block lengths and all: "sweep green" must imply
     # "bench compiles".  Imported from bench so the configs can never

@@ -105,7 +105,8 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
     # and NaN×0 would poison the banded matmuls: mask invalid columns
     gcol = (i * adv
             + jax.lax.broadcasted_iota(jnp.int32, (twoC, adv), 1))
-    cur = jnp.where(gcol < cfg["m_if"], if_ref[...] * gate_ref[...], 0.0)
+    cur = jnp.where(gcol < cfg["m_if"],
+                    if_ref[...].astype(jnp.float32) * gate_ref[...], 0.0)
 
     # ---- quadrature: lane-roll for the 1-sample history; the cross-
     # block sample sits at col 127 of qcarry (one-hot matmul extract —

@@ -302,6 +302,8 @@ def _mono_kernel(*refs, cfg):
                 dst[:, dst_hp + r * st.tile:
                     dst_hp + (r + 1) * st.tile] = res
             else:
+                if cfg["out_bf16"]:
+                    res = res.astype(jnp.bfloat16)
                 o_ref[:, r * st.tile:(r + 1) * st.tile] = res
 
     # ---- next-call tail extraction ------------------------------------
@@ -464,6 +466,11 @@ class MonoVFOPipeline:
         (real()/imag() of a c64 array are unfused custom calls on TPU,
         a full read each)."""
         C = self.C
+        # bf16 handoff (ops/precision.py) applies only to the RAW
+        # kernel-to-kernel buffer; trimmed plane/complex outputs stay
+        # f32 for the chained consumers
+        from .precision import get_handoff_dtype
+        o_dtype = get_handoff_dtype() if raw else jnp.float32
         in_planes = isinstance(x, tuple)
         xr, xi = x if in_planes else (None, None)
         T = (xr if in_planes else x).shape[-1]
@@ -535,6 +542,7 @@ class MonoVFOPipeline:
             "adv_x": self.adv_x, "adv0": self.adv0,
             "n_chunks": self.n_chunks, "Lw0": self.Lw0,
             "n_super_k": n_super, "T_valid": T,
+            "out_bf16": o_dtype == jnp.bfloat16,
             "stages": [
                 _MonoStage(**{**st.__dict__, "H": None,
                               "i_tail": plan["tails"][s][0],
@@ -607,7 +615,7 @@ class MonoVFOPipeline:
             out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
-                                     jnp.float32),
+                                     o_dtype),
                 jax.ShapeDtypeStruct((twoC, self.tails_w_total),
                                      jnp.float32),
             ],

@@ -156,6 +156,121 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     return out.reshape(lead + (fft_size,))
 
 
+def _fft_pow_frames_kernel(xr2_ref, xi2_ref, w_ref, o_ref,
+                           wvr, wvi, sem_r, sem_i, *,
+                           N1, N2, keep, interval, inv_n2, floor,
+                           windowed):
+    """Per-frame in-kernel framing: DMA the frame's rows straight from
+    the [T/128, 128] bitcast planes (ANY space) at a 1024-aligned
+    start, then the rectangular (fft//128, 128) 4-step power FFT."""
+    f = pl.program_id(0)
+    kr = keep // N2                        # rows holding real samples
+    if kr < N1:                            # zero-pad region (keep<fft)
+        z = jnp.zeros((N1 - kr, N2), jnp.float32)
+        wvr[pl.ds(kr, N1 - kr), :] = z
+        wvi[pl.ds(kr, N1 - kr), :] = z
+    p = (f * interval + (1024 - 1)) // 1024 * 1024
+    row = pl.multiple_of(p // N2, 8)
+    cp_r = pltpu.make_async_copy(
+        xr2_ref.at[pl.ds(row, kr), :], wvr.at[pl.ds(0, kr), :], sem_r)
+    cp_i = pltpu.make_async_copy(
+        xi2_ref.at[pl.ds(row, kr), :], wvi.at[pl.ds(0, kr), :], sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+
+    f1r, f1i = _dft_mats(N1, N1, N1)
+    twr, twi = _dft_mats(N1, N2, N1 * N2)
+    f2r, f2i = _dft_mats(N2, N2, N2)
+    ar = wvr[...]
+    ai = wvi[...]
+    if windowed:
+        ar = ar * w_ref[...]
+        ai = ai * w_ref[...]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    br = dot(f1r, ar) - dot(f1i, ai)
+    bi = dot(f1r, ai) + dot(f1i, ar)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    er = dg(f2r, cr) - dg(f2i, ci)
+    ei = dg(f2r, ci) + dg(f2i, cr)
+    p2 = (er * er + ei * ei) * inv_n2
+    o_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p2, floor))
+
+
+#: spectrum-frame kernel needs the full F_N1 DFT pair in VMEM:
+#: N1 = fft//128 ≤ 512 keeps them ≤ 2 MB
+_FRAMES_MAX_FFT = 65536
+
+
+def spectrum_frames_ok(fft_size: int, keep: int, interval: int,
+                       T: int, n: int) -> bool:
+    return (jax.default_backend() not in ("cpu",)
+            and 1024 <= fft_size <= _FRAMES_MAX_FFT
+            and fft_size % 128 == 0 and keep % 128 == 0
+            and T % 128 == 0
+            and ((n - 1) * interval + 1023) // 1024 * 1024 + keep <= T)
+
+
+def spectrum_frames_db(xr: jnp.ndarray, xi: jnp.ndarray, keep: int,
+                       interval: int, fft_size: int, floor_db: float,
+                       window: np.ndarray | None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """1-D plane feed variant with IN-KERNEL framing: frame f covers
+    [rup(f·interval, 1024), +keep) — a ≤1023-sample (display-frame)
+    shift versus the reshaper's f·interval start, in exchange for
+    reading each frame's samples exactly once by aligned DMA from the
+    planes' free [T/128, 128] bitcast (no full-plane staging copy, no
+    materialized frame slices; measured ~25 B/in-sample of XLA glue at
+    the WFM-8 bench config).  Callers guard with spectrum_frames_ok."""
+    T = xr.shape[-1]
+    n = T // interval
+    N2 = 128
+    N1 = fft_size // N2
+    pad = fft_size - keep
+    xr2 = xr.reshape(-1, N2)               # free bitcast (layout-equal)
+    xi2 = xi.reshape(-1, N2)
+    if window is not None:
+        w_full = (np.concatenate([window, np.zeros(pad, np.float32)])
+                  if pad else np.asarray(window, np.float32))
+        w2 = jnp.asarray(w_full.reshape(N1, N2))
+    else:
+        w2 = jnp.ones((1, 1), jnp.float32)
+    kern = functools.partial(
+        _fft_pow_frames_kernel, N1=N1, N2=N2, keep=keep,
+        interval=interval, inv_n2=1.0 / float(fft_size) ** 2,
+        floor=10.0 ** (floor_db / 10.0), windowed=window is not None)
+    from .pallas_cost import costed_pallas_call
+    out = costed_pallas_call(
+        kern,
+        grid=(n,),
+        flops=int(n * 16 * N1 * N2 * max(N1, N2)),
+        transcendentals=int(n * (fft_size
+                                 + 2 * (N1 * N1 + N1 * N2 + N2 * N2))),
+        manual_spec=[(2 * 4 * keep, n)],
+        label="fft_power_frames",
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(w2.shape, lambda f: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N2, N1), lambda f: (f, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, N2, N1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N1, N2), jnp.float32),
+                        pltpu.VMEM((N1, N2), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xr2, xi2, w2)
+    # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
+    return out.reshape(n, fft_size)
+
+
 def spectrum_path_db(x: jnp.ndarray, keep: int, interval: int,
                      fft_size: int, floor_db: float,
                      window: np.ndarray,

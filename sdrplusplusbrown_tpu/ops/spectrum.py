@@ -128,8 +128,20 @@ class SpectrumPath(Block):
         # plane extraction (one pass instead of materialized complex
         # frames + a second split pass — ops/pallas_fft.py).  ``x`` may
         # be (xr, xi) float32 planes — no c64 X64Split passes at all.
-        from .pallas_fft import fft_pow_pallas_ok, spectrum_path_db
+        from .pallas_fft import (fft_pow_pallas_ok, spectrum_path_db,
+                                 spectrum_frames_ok, spectrum_frames_db)
         in_planes = isinstance(x, tuple)
+        if in_planes and x[0].ndim == 1:
+            T = int(x[0].shape[-1])
+            n = T // self.reshaper.interval
+            if spectrum_frames_ok(self.fft_size, self.reshaper.keep,
+                                  self.reshaper.interval, T, n):
+                db = spectrum_frames_db(x[0], x[1], self.reshaper.keep,
+                                        self.reshaper.interval,
+                                        self.fft_size,
+                                        self.fft.floor_db,
+                                        self.fft.window)
+                return db, state
         if fft_pow_pallas_ok(self.fft_size) and (
                 in_planes or jnp.iscomplexobj(x)):
             db = spectrum_path_db(x, self.reshaper.keep,

@@ -84,7 +84,10 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
     # ---- masked IF in + quadrature ---------------------------------------
     gcol = (i * adv_if
             + jax.lax.broadcasted_iota(jnp.int32, (twoC, adv_if), 1))
-    cur = jnp.where(gcol < cfg["m_if"], if_ref[...], 0.0)
+    # IF planes may arrive bf16 (ops/precision.py handoff) — storage
+    # only; upcast before any arithmetic
+    cur = jnp.where(gcol < cfg["m_if"],
+                    if_ref[...].astype(jnp.float32), 0.0)
     oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
           == 127).astype(jnp.float32)
     prev0 = jnp.dot(qcarry[...], oh, preferred_element_type=jnp.float32)
@@ -128,8 +131,13 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
             / jnp.maximum(m2, 1e-20)
         lpr = bufm[:, base - d:base - d + 128]
         two = 2.0 * wsub
-        o_ref[0:C, r * 128:(r + 1) * 128] = lpr * (1.0 + two)
-        o_ref[C:twoC, r * 128:(r + 1) * 128] = lpr * (1.0 - two)
+        left = lpr * (1.0 + two)
+        right = lpr * (1.0 - two)
+        if cfg["out_bf16"]:
+            left = left.astype(jnp.bfloat16)
+            right = right.astype(jnp.bfloat16)
+        o_ref[0:C, r * 128:(r + 1) * 128] = left
+        o_ref[C:twoC, r * 128:(r + 1) * 128] = right
 
     # ---- next-call tails --------------------------------------------------
     @pl.when(i == cfg["iq_t"])
@@ -254,6 +262,10 @@ class WFMDemodPipeline:
         plan = self._plan(m_if)
         n_super = plan["n_super"]
         m_mpx = plan["m_mpx"]
+        # bf16 handoff only on the raw kernel-to-kernel route; the
+        # trimmed lr2 feeds f32 chained consumers
+        from .precision import get_handoff_dtype
+        o_dtype = get_handoff_dtype() if raw_audio else jnp.float32
         if isinstance(iq, tuple):
             iq = jnp.concatenate(iq, axis=0)
         # narrower-than-grid raw handoffs are fine: pallas pads the
@@ -280,6 +292,7 @@ class WFMDemodPipeline:
             "K": self.K, "d": self.d, "hpS": self.hpS,
             "ur": self.ur, "ui": self.ui,
             "tws": self.tws, "twm": self.twm,
+            "out_bf16": o_dtype == jnp.bfloat16,
             "iq_t": plan["q"][0], "alq": plan["q"][1],
             "ih_t": [t[0] for t in plan["hb"]],
             "alh": [t[1] for t in plan["hb"]],
@@ -335,7 +348,7 @@ class WFMDemodPipeline:
             out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_mpx),
-                                     jnp.float32),
+                                     o_dtype),
                 jax.ShapeDtypeStruct((twoC, 128), jnp.float32),
                 jax.ShapeDtypeStruct((C, tw_total), jnp.float32),
             ],
@@ -407,7 +420,8 @@ def _mpx_poly_kernel(x_ref, ptail_ref, hp_ref, o_ref, tails_o, bufp,
     gcol = (i * adv_in
             + jax.lax.broadcasted_iota(jnp.int32,
                                        (cfg["twoC"], adv_in), 1))
-    bufp[:, hpP:] = jnp.where(gcol < cfg["m_in"], x_ref[...], 0.0)
+    bufp[:, hpP:] = jnp.where(gcol < cfg["m_in"],
+                              x_ref[...].astype(jnp.float32), 0.0)
 
     w1 = hpP - cfg["hist"]
     for r in range(cfg["adv_aud"] // cfg["tileP"]):
@@ -537,7 +551,8 @@ class MPXAudioPoly:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(raw.astype(jnp.float32), ptail, jnp.asarray(self.Hp))
+        )(raw if raw.dtype in (jnp.float32, jnp.bfloat16)
+          else raw.astype(jnp.float32), ptail, jnp.asarray(self.Hp))
         m_aud = plan["m_aud"]
         lr = jnp.stack([audio[:C, :m_aud], audio[C:, :m_aud]], axis=1)
         _it, al, end = plan["p"]

@@ -48,3 +48,16 @@ if not os.path.exists(_NATIVE_SO):
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True)
+def _f32_handoff():
+    """Pin the kernel-to-kernel handoff planes to float32 for the test
+    suite: the equality oracles assert bit-level (>70 dB) agreement
+    with the chained reference path.  The production default is bf16
+    (ops/precision.py); tests/test_bf16_handoff.py covers it."""
+    from sdrplusplusbrown_tpu.ops import precision
+    prev = precision.get_handoff_name()
+    precision.set_handoff_dtype("float32")
+    yield
+    precision.set_handoff_dtype(prev)

@@ -1,0 +1,65 @@
+"""bf16 kernel-to-kernel handoff (ops/precision.py, production
+default): the raw IF / MPX planes between the monolithic front end,
+the whole-demod WFM kernel and the AF polyphase are bfloat16 STORAGE
+(arithmetic stays f32).  Quality oracle: the full forced-kernel chain
+in bf16 must sit within a small, bounded distance of the f32 chain —
+and the stereo separation (the signal-level oracle the reference's
+own tests use) must be unaffected.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_WFM
+from sdrplusplusbrown_tpu.ops import precision
+
+FS = 2_400_000.0
+C = 8
+
+
+def _stereo_wideband(T2):
+    t = np.arange(T2) / FS
+    tone = np.sin(2 * np.pi * 1000 * t)
+    mpx = (0.45 * tone + 0.1 * np.sin(2 * np.pi * 19000 * t)
+           + 0.45 * tone * (-np.cos(2 * np.pi * 38000 * t)))
+    offs = np.linspace(-1e6, 1e6, C)
+    ph = 2 * np.pi * np.cumsum(75000 * mpx) / FS
+    base = np.exp(1j * ph)
+    x = np.zeros(T2, np.complex128)
+    for o in offs:
+        x += base * np.exp(2j * np.pi * o * np.arange(T2) / FS)
+    return (x / C).astype(np.complex64), offs
+
+
+def test_bf16_handoff_quality():
+    radio = Radio(FS, DEMOD_WFM, pll_mode="normalize")
+    g = radio.in_multiple
+    T = ((120_000 + g - 1) // g) * g
+    x, offs = _stereo_wideband(2 * T)
+    params = radio.make_params_shared(offs)
+
+    def run():
+        st = radio.init_state_shared(C)
+        out = None
+        for b in range(2):
+            xb = jnp.asarray(x[b * T:(b + 1) * T])
+            out, st = radio.apply_shared(params, st, xb,
+                                         _force_fused=True)
+        return np.asarray(out, np.float32)     # settled block
+
+    precision.set_handoff_dtype("float32")
+    a32 = run()
+    precision.set_handoff_dtype("bf16")
+    a16 = run()
+
+    d = a16.astype(np.float64) - a32.astype(np.float64)
+    snr = 10 * np.log10(np.mean(a32.astype(np.float64) ** 2)
+                        / max(np.mean(d ** 2), 1e-18))
+    assert snr > 55.0, f"bf16 vs f32 audio SNR {snr:.1f} dB"
+
+    for tag, a in (("f32", a32), ("bf16", a16)):
+        L, R = a[:, 0, :], a[:, 1, :]
+        sep = 10 * np.log10(np.mean(L ** 2)
+                            / max(np.mean(R ** 2), 1e-15))
+        assert sep > 25.0, (tag, sep)
