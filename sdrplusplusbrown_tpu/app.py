@@ -593,6 +593,11 @@ class SDRApp:
                 from .modules.tetra_module import TetraDemodulatorModule
                 self.modules[name] = TetraDemodulatorModule(
                     name, self, offset_hz=mc.get("offset", 0.0))
+            elif mtype == "ch_extravhf_decoder":
+                from .modules.extravhf_module import (
+                    ExtraVhfDecoderModule)
+                self.modules[name] = ExtraVhfDecoderModule(
+                    name, self, offset_hz=mc.get("offset", 0.0))
             elif mtype == "meteor_demodulator":
                 from .modules.meteor_module import MeteorDemodulatorModule
                 self.modules[name] = MeteorDemodulatorModule(

@@ -127,3 +127,31 @@ def test_dmr_4fsk_dibits():
     near = np.mean((np.abs(np.abs(s[act]) - 1.0) < 0.45)
                    | (np.abs(np.abs(s[act]) - 1 / 3) < 0.3))
     assert near > 0.6, near
+
+
+def test_dmr_frame_sync_golden():
+    """DSD-style frame sync on the DMR capture (models/dsd.py,
+    reference dsd_demod.cpp:136): the capture is a direct-mode TS1
+    voice superframe stream — EXACT 24-symbol sync words recur at the
+    1728-symbol (360 ms) voice-superframe cadence."""
+    from sdrplusplusbrown_tpu.ops.demod_digital import FourFSKDemod
+    from sdrplusplusbrown_tpu.models.dsd import DSDFrameSync
+    x, fs = read_wav_iq(os.path.join(RECDIR, "dmr_sample.wav"))
+    dem = FourFSKDemod(4800.0, fs, 1944.0)
+    st = dem.init_state(())
+    sync = DSDFrameSync()
+    B = len(x) // 5
+    hits = []
+    for b in range(5):                       # streaming, block joints
+        (soft, dibit, valid), st = dem.apply(
+            None, st, jnp.asarray(x[b * B:(b + 1) * B]))
+        hits += sync.push(np.asarray(dibit)[np.asarray(valid)])
+    s = sync.summary()
+    assert s["totalSyncs"] >= 12, s
+    assert s["counts"]["DMR_DM_TS1_VOICE"] >= 12, s["counts"]
+    assert s["voiceSyncs"] == s["totalSyncs"], s
+    assert s["lastSync"]["type"] == "DMR_DM_TS1_VOICE"
+    # superframe cadence: consecutive syncs 1728 symbols apart
+    idx = np.array([h[0] for h in hits])
+    d = np.diff(idx)
+    assert np.sum(d == 1728) >= 10, d
