@@ -293,6 +293,99 @@ def decode_aach(burst_bits: np.ndarray, scramb_init: int,
     return u(0, 2), u(2, 6), u(8, 6), dist
 
 
+def find_normal_bursts(bits: np.ndarray) -> List[tuple]:
+    """Offsets of normal continuous downlink bursts: the 22-bit normal
+    training sequence (n: both halves one logical channel, p: two
+    half-slot channels — 9.4.4.3.2) matched exactly at its in-burst
+    position.  Returns (start, kind) with kind 1 (n) or 2 (p)."""
+    n = len(bits)
+    hits = []
+    if n < 22:
+        return hits
+    win = np.lib.stride_tricks.sliding_window_view(bits, 22)
+    for kind, seq in ((1, N_BITS), (2, P_BITS)):
+        eq = (win == seq[None, :]).all(axis=1)
+        for p in np.flatnonzero(eq):
+            start = p - NDB_TRAIN_OFF
+            if 0 <= start <= n - BURST_BITS:
+                hits.append((int(start), kind))
+    return sorted(hits)
+
+
+def decode_sch_hd(burst_bits: np.ndarray, scramb_init: int,
+                  blk: int) -> Optional[np.ndarray]:
+    """NDB block ``blk`` (1/2; 216 type-5 bits) through the SCH/HD
+    chain: descramble (cell code) → (216,101) de-interleave →
+    rate-2/3 de-puncture → rate-1/4 K=5 Viterbi → CRC-16.  Returns the
+    124 type-1 bits or None (8.2: K=216 → a=101, type-2 = 144)."""
+    off = NDB_BLK1_OFF if blk == 1 else NDB_BLK2_OFF
+    t5 = burst_bits[off:off + NDB_BLK_LEN].copy()
+    t4 = t5 ^ scramble_sequence(scramb_init, NDB_BLK_LEN)
+    t3 = block_deinterleave(t4, a=101)
+    mother = depuncture_23(t3, n_type2=144)
+    t2 = viterbi_k5_r14(mother)
+    if crc16_itut(t2[:140]) != TETRA_CRC_OK:
+        return None
+    return t2[:124]
+
+
+def _u(bits, off, n):
+    v = 0
+    for b in bits[off:off + n]:
+        v = (v << 1) | int(b)
+    return v
+
+
+def parse_mac_pdu(t1: np.ndarray) -> dict:
+    """Upper-MAC parse of a downlink SCH/HD type-1 block (EN 300 392-2
+    §21.4; field layouts as in the reference's vendored osmo-tetra
+    macpdu.h): MAC-RESOURCE header, or the SYSINFO broadcast PDU with
+    its MLE cell info (main carrier, LA, subscriber class, BS service
+    details)."""
+    pdu_type = _u(t1, 0, 2)
+    out = {"pduType": pdu_type}
+    if pdu_type == 0:                       # MAC-RESOURCE (21.4.3.1)
+        out["name"] = "MAC-RESOURCE"
+        out["fillBits"] = _u(t1, 2, 1)
+        out["posOfGrant"] = _u(t1, 3, 1)
+        out["encryptionMode"] = _u(t1, 4, 2)
+        out["randomAccessFlag"] = _u(t1, 6, 1)
+        out["lengthIndication"] = _u(t1, 7, 6)
+        out["addressType"] = _u(t1, 13, 3)
+        if out["addressType"] in (1, 2, 3):  # SSI-based addresses
+            out["ssi"] = _u(t1, 16, 24)
+    elif pdu_type == 2:                     # MAC broadcast (21.4.4)
+        btype = _u(t1, 2, 2)
+        out["broadcastType"] = btype
+        if btype == 0:                      # SYSINFO (21.4.4.1)
+            out["name"] = "SYSINFO"
+            out["mainCarrier"] = _u(t1, 4, 12)
+            out["freqBand"] = _u(t1, 16, 4)
+            out["freqOffset"] = _u(t1, 20, 2)
+            out["duplexSpacing"] = _u(t1, 22, 3)
+            out["reverseOperation"] = _u(t1, 25, 1)
+            out["numCommonSCCH"] = _u(t1, 26, 2)
+            out["msTxpwrMaxCell"] = _u(t1, 28, 3)
+            out["rxlevAccessMin"] = _u(t1, 31, 4)
+            out["accessParameter"] = _u(t1, 35, 4)
+            out["radioDownlinkTimeout"] = _u(t1, 39, 4)
+            out["hyperframeCipherFlag"] = _u(t1, 43, 1)
+            out["hyperframeOrCck"] = _u(t1, 44, 16)
+            out["optionalField"] = _u(t1, 60, 2)
+            out["tsCommonFrames"] = _u(t1, 62, 20)
+            # MLE SYSINFO trailer (18.4.2.2): LA + subscriber class +
+            # BS service details
+            out["locationArea"] = _u(t1, 82, 14)
+            out["subscriberClass"] = _u(t1, 96, 16)
+            out["bsServiceDetails"] = _u(t1, 112, 12)
+        elif btype == 1:
+            out["name"] = "ACCESS-DEFINE"
+    else:
+        out["name"] = {1: "MAC-FRAG/END", 3: "MAC-SUPPL"}.get(
+            pdu_type, f"MAC-{pdu_type}")
+    return out
+
+
 class TetraDownlinkDecoder:
     """Dibit stream → synchronized bursts → BSCH/AACH decodes.
 
@@ -303,10 +396,17 @@ class TetraDownlinkDecoder:
         self._bits = np.zeros(0, np.int8)
         self._abs = 0                 # absolute index of _bits[0]
         self._done = -1               # absolute offset last processed
+        self._done_ndb = -1
         self.sync_infos: List[SyncInfo] = []
         self.aach: List[tuple] = []
         self.cell_init: Optional[int] = None
         self.bursts_seen = 0
+        # upper MAC (normal downlink bursts)
+        self.ndb_seen = 0
+        self.sch_hd_decodes = 0
+        self.sysinfo: List[dict] = []
+        self.mac_resource: List[dict] = []
+        self.mac_pdu_counts: dict = {}
 
     def push(self, dibits: np.ndarray):
         bits = dibits_to_bits(np.asarray(dibits))
@@ -326,6 +426,32 @@ class TetraDownlinkDecoder:
             if self.cell_init is not None:
                 self.aach.append(decode_aach(burst, self.cell_init,
                                              is_sb=True))
+        # upper MAC: normal downlink bursts, decodable once the cell
+        # scrambling is learned from a BSCH
+        if self.cell_init is not None:
+            for s, kind in find_normal_bursts(self._bits):
+                if self._abs + s <= self._done_ndb:
+                    continue
+                self._done_ndb = self._abs + s
+                burst = self._bits[s:s + BURST_BITS].astype(np.uint8)
+                self.ndb_seen += 1
+                self.aach.append(decode_aach(burst, self.cell_init,
+                                             is_sb=False))
+                for blk in (1, 2):
+                    t1 = decode_sch_hd(burst, self.cell_init, blk)
+                    if t1 is None:
+                        continue
+                    self.sch_hd_decodes += 1
+                    pdu = parse_mac_pdu(t1)
+                    pdu["offset"] = self._abs + s
+                    pdu["blk"] = blk
+                    name = pdu.get("name", "?")
+                    self.mac_pdu_counts[name] = \
+                        self.mac_pdu_counts.get(name, 0) + 1
+                    if name == "SYSINFO":
+                        self.sysinfo.append(pdu)
+                    elif name == "MAC-RESOURCE":
+                        self.mac_resource.append(pdu)
         # keep a tail long enough for a burst straddling the boundary
         keep = min(len(self._bits), BURST_BITS + 64)
         self._abs += len(self._bits) - keep

@@ -82,7 +82,15 @@ class TetraDemodulatorModule(ModuleInstance):
             return {"bursts": dec.bursts_seen,
                     "sync_decodes": len(dec.sync_infos),
                     "aach_decodes": len(dec.aach),
-                    "cell": last}
+                    "cell": last,
+                    "ndb_bursts": dec.ndb_seen,
+                    "sch_hd_decodes": dec.sch_hd_decodes,
+                    "mac_pdu_counts": dict(dec.mac_pdu_counts),
+                    "sysinfo": (dec.sysinfo[-1] if dec.sysinfo
+                                else None)}
+        if cmd == "sysinfo":
+            return {"sysinfo": dec.sysinfo[-20:],
+                    "mac_resource": dec.mac_resource[-20:]}
         if cmd == "sync_infos":
             return {"sync_infos": [s.as_dict()
                                    for s in dec.sync_infos[-50:]]}

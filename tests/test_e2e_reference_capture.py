@@ -93,6 +93,21 @@ def test_tetra_mac_decode_over_http(tmp_path):
         assert cell["colour"] == 22
         assert cell["mcc"] == 250 and cell["mnc"] == 13
         assert 1 <= cell["fn"] <= 18 and 0 <= cell["mn"] <= 59
+        # round-4: upper MAC over the same surface — SYSINFO broadcast
+        # decodes from the normal downlink bursts with the capture's
+        # actual cell description
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = ctx.module_cmd("Tetra", "status", "")
+            if st.get("sysinfo") and st.get("sch_hd_decodes", 0) >= 10:
+                break
+            time.sleep(1.0)
+        si = st.get("sysinfo")
+        assert si, st
+        assert si["mainCarrier"] == 2725 and si["freqBand"] == 4, si
+        assert si["locationArea"] == 1030, si
+        assert st["sch_hd_decodes"] >= 10, st
+        assert st["mac_pdu_counts"].get("SYSINFO", 0) >= 1, st
     finally:
         ctx.close()
 

@@ -156,3 +156,45 @@ def test_tetra_module_decodes_capture(tmp_path):
         assert st["cell"]["colour"] == 22
     finally:
         app.shutdown()
+
+
+@pytest.mark.skipif(not os.path.exists(CAP),
+                    reason="reference recordings not mounted")
+def test_golden_capture_upper_mac_sysinfo():
+    """Upper MAC (round-4): normal downlink bursts decode through the
+    SCH/HD chain using the cell scrambling learned from the BSCH, and
+    the MAC broadcast PDUs carry ONE consistent SYSINFO cell
+    description (EN 300 392-2 21.4.4.1; reference: vendored osmo-tetra
+    macpdu parsing)."""
+    from sdrplusplusbrown_tpu.io.wav import read_wav_iq
+    from sdrplusplusbrown_tpu.ops.demod_digital import Pi4DQPSKDemod
+    x, fs = read_wav_iq(CAP)
+    dem = Pi4DQPSKDemod(18_000.0, fs)
+    st = dem.init_state(())
+    dec = tt.TetraDownlinkDecoder()
+    B = 100_000
+    for i in range(len(x) // B):
+        (d, dibit, valid), st = dem.apply(
+            None, st, jnp.asarray(x[i * B:(i + 1) * B]))
+        dec.push(np.asarray(dibit)[np.asarray(valid)])
+
+    assert dec.ndb_seen > 500, dec.ndb_seen
+    assert dec.sch_hd_decodes > 1000, dec.sch_hd_decodes
+    assert len(dec.sysinfo) > 400, len(dec.sysinfo)
+    assert len(dec.mac_resource) > 400, len(dec.mac_resource)
+    # one consistent broadcast cell description across the capture
+    assert {s["mainCarrier"] for s in dec.sysinfo} == {2725}
+    assert {s["locationArea"] for s in dec.sysinfo} == {1030}
+    assert {s["freqBand"] for s in dec.sysinfo} == {4}
+    assert {s["subscriberClass"] for s in dec.sysinfo} == {65535}
+    # SYSINFO dominantly rides the BNCH on block 2 of its burst
+    blk2 = sum(1 for s in dec.sysinfo if s["blk"] == 2)
+    assert blk2 > 0.8 * len(dec.sysinfo), (blk2, len(dec.sysinfo))
+    # MAC-RESOURCE: mostly null PDUs (idle downlink filler), but real
+    # SSI-addressed grants are present and repeat for the same
+    # subscribers
+    ssis = [m["ssi"] for m in dec.mac_resource if "ssi" in m]
+    assert len(ssis) >= 5, ssis
+    from collections import Counter
+    repeats = [s for s, c in Counter(ssis).items() if c >= 2]
+    assert repeats, ssis
