@@ -205,6 +205,26 @@ def sweep():
         _c(lambda p, c, xx: pipe.step(p, c, xx), params, carry, x)
     case("sharded_chan C=64 1x1", f_sharded)
 
+    def f_sharded_wfm():
+        from jax.sharding import Mesh
+        from sdrplusplusbrown_tpu.models.radio import Radio, DEMOD_WFM
+        from sdrplusplusbrown_tpu.parallel.chan_time import (
+            ShardedChannelizedPipeline)
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("time", "ch"))
+        fs = 8_000_000.0
+        radio = Radio(fs, DEMOD_WFM, pll_mode="normalize",
+                      squelch_enabled=False)
+        g = ShardedChannelizedPipeline.granularity(radio)
+        t_local = ((40_000 + g - 1) // g) * g
+        pipe = ShardedChannelizedPipeline(
+            fs, mesh, 16, t_local, DEMOD_WFM, squelch_enabled=False)
+        params = pipe.make_params(np.linspace(-3.4e6, 3.4e6, 16))
+        carry = pipe.init_carry()
+        x = jnp.zeros((pipe.t_global,), jnp.complex64)
+        _c(lambda p, c, xx: pipe.step(p, c, xx), params, carry, x)
+    case("sharded_chan WFM-stereo 1x1", f_sharded_wfm)
+
     # ---- run ----------------------------------------------------------------
     fails = []
     for name, fn in cases:

@@ -28,10 +28,22 @@ kernel (ops/chan_frontend.py) and a fused demod+audio kernel
   noise_reduction/squelch.h:55-69): per-shard sums (accumulated
   in-kernel on the fused path) are ``psum``ed over "time".
 
+Demod coverage (round 4): mono FM/NFM takes a zero-relay fast path
+(every demod state is reconstructed from a short trailing IF window);
+WFM stereo, de-emphasized NFM, AM and SSB/CW run the shared
+``DemodTail`` (parallel/radio_time.py) — per-block stream_shard rules
+(halo, affine scan, relay, the documented AGC approximation) on the
+PFB front end's IF, exactly as ShardedRadioPipeline runs them on the
+fused-VFO front end.
+
 Exactness: equal to the unsharded ``apply_channelized`` stream (same
 kernels, same state conventions) up to float32 phase-table rounding;
 tests/test_chan_time.py asserts >55 dB stream equality on both the
-chained and the (interpret-mode) pallas-kernel paths.
+chained and the (interpret-mode) pallas-kernel paths, for
+NFM/WFM-stereo/AM/USB/NFM-deemph.  Equality oracles score POPULATED
+channels: an idle FM channel demodulates noise floor whose quadrature
+angle is a chaotic ±π-wrap walk — both pipelines are 'correct' there
+but decohere from f32 rounding.
 
 reference: core/src/server.cpp:84-180 (the multi-host scale-out being
 redesigned), core/src/dsp/channel/rx_vfo.h:89-121 (per-channel chain).
@@ -110,11 +122,14 @@ class ShardedChannelizedPipeline:
         r = self.radio
         if not r.can_channelize():
             raise ValueError("demod config cannot use the PFB front end")
-        if not (isinstance(r.demod, FMDemod) and r.demod.filtering
-                and r.deemp is None and not r.demod_stereo):
-            raise NotImplementedError(
-                "sharded channelized pipeline currently covers the "
-                "FM/NFM scanner chain (quad + audio FIR + AF resampler)")
+        # mono FM/NFM takes the zero-relay reconstruction fast path
+        # (demod states are pure functions of a short IF tail); every
+        # other mode (WFM stereo, deemphasized NFM, AM/SSB/CW) runs the
+        # shared per-block DemodTail (radio_time.py) on the PFB front
+        # end — same sharding rules as ShardedRadioPipeline
+        self._nfm_fast = (isinstance(r.demod, FMDemod)
+                          and r.demod.filtering and r.deemp is None
+                          and not r.demod_stereo)
         self.vb = vb = r._build_vfo_channelized()
         self.mesh = mesh
         self.nt = mesh.shape[TIME_AXIS]
@@ -150,19 +165,32 @@ class ShardedChannelizedPipeline:
         assert self.n_gath <= self.Tb_local, (self.n_gath, self.Tb_local)
 
         d = r.demod
-        self.Kf = int(d.fir.K)
-        poly = None
-        if r.af_resamp is not None:
-            nb = r.af_resamp.chain.named_blocks
-            assert len(nb) == 1 and nb[0][0] == "resamp", nb
-            poly = nb[0][1]
-        self.poly = poly
-        self.tppP = int(poly.tpp) if poly is not None else 1
-        # IF window that determines quad + audio-FIR + AF-poly states
-        self.n_if = 1 + (self.Kf - 1) + (self.tppP - 1)
-        assert self.n_if <= self.m_if, (self.n_if, self.m_if)
-        self.m_aud = (self.m_if * poly.interp // poly.decim
-                      if poly is not None else self.m_if)
+        if self._nfm_fast:
+            self.Kf = int(d.fir.K)
+            poly = None
+            if r.af_resamp is not None:
+                nb = r.af_resamp.chain.named_blocks
+                assert len(nb) == 1 and nb[0][0] == "resamp", nb
+                poly = nb[0][1]
+            self.poly = poly
+            self.tppP = int(poly.tpp) if poly is not None else 1
+            # IF window that determines quad + audio-FIR + AF-poly
+            # states
+            self.n_if = 1 + (self.Kf - 1) + (self.tppP - 1)
+            assert self.n_if <= self.m_if, (self.n_if, self.m_if)
+            self.m_aud = (self.m_if * poly.interp // poly.decim
+                          if poly is not None else self.m_if)
+            self.tail = None
+        else:
+            from fractions import Fraction
+            from .radio_time import DemodTail
+            self.tail = DemodTail(r, self.C)
+            if2aud = (Fraction(getattr(d, "ratio", 1))
+                      * (r.af_resamp.ratio if r.af_resamp is not None
+                         else Fraction(1)))
+            m_aud = Fraction(self.m_if) * if2aud
+            assert m_aud.denominator == 1, (self.m_if, if2aud)
+            self.m_aud = int(m_aud)
         self.t_out_local = self.m_aud
 
         self.spectrum = None
@@ -177,7 +205,9 @@ class ShardedChannelizedPipeline:
             self._chan_pipe = vb._chan_pipe(self.C_local,
                                             interpret=self.interpret)
             self._pz = vb._pallas_chz(self.interpret)
-            self._fm_pipe = r._fm_audio_pipe(self.C_local, self.interpret)
+            self._fm_pipe = (r._fm_audio_pipe(self.C_local,
+                                              self.interpret)
+                             if self._nfm_fast else None)
         else:
             self._chan_pipe = self._pz = self._fm_pipe = None
         self._step = self._build_step()
@@ -185,13 +215,27 @@ class ShardedChannelizedPipeline:
     # ------------------------------------------------------------------
     @staticmethod
     def granularity(radio: Radio) -> int:
-        """Smallest valid t_local quantum: PFB frames (M), decim2 pairs
-        and the AF polyphase's input multiple, all mapped to input rate."""
+        """Smallest valid t_local quantum: PFB frames (M), decim2
+        pairs, and the demod + AF chain's input multiples all mapped to
+        the input rate (1 IF sample == M input samples)."""
+        from fractions import Fraction
         vb = radio._build_vfo_channelized()
-        g = vb.M
+        d = radio.demod
+
+        def lcm_frac(a: Fraction, b: Fraction) -> Fraction:
+            return Fraction(math.lcm(a.numerator, b.numerator),
+                            math.gcd(a.denominator, b.denominator))
+
+        need_if = Fraction(int(getattr(d, "in_multiple", 1)))
+        ratio = Fraction(getattr(d, "ratio", 1))
         if radio.af_resamp is not None:
-            g = math.lcm(g, vb.M * radio.af_resamp.in_multiple)
-        return g
+            need_if = lcm_frac(need_if,
+                               Fraction(radio.af_resamp.in_multiple)
+                               / ratio)
+        # smallest INTEGER IF-sample count that is a multiple of need_if
+        p, q = need_if.numerator, need_if.denominator
+        g_if = p // math.gcd(p, q)
+        return vb.M * max(g_if, 1)
 
     # ------------------------------------------------------------------
     def make_params(self, offsets_hz, squelch_level=None) -> dict:
@@ -221,10 +265,14 @@ class ShardedChannelizedPipeline:
                  "d2": jnp.zeros((C, self.Kd2 - 1), jnp.complex64)}
         if self.vb.filter_needed:
             front["fir"] = jnp.zeros((C, self.Kbw - 1), jnp.complex64)
-        demod = {"quad": jnp.ones((C, 1), jnp.complex64),
-                 "fir": jnp.zeros((C, self.Kf - 1), jnp.float32)}
-        af = ({"resamp": jnp.zeros((C, self.tppP - 1), jnp.float32)}
-              if self.poly is not None else {})
+        if self._nfm_fast:
+            demod = {"quad": jnp.ones((C, 1), jnp.complex64),
+                     "fir": jnp.zeros((C, self.Kf - 1), jnp.float32)}
+            af = ({"resamp": jnp.zeros((C, self.tppP - 1), jnp.float32)}
+                  if self.poly is not None else {})
+        else:
+            demod = self.tail.init_carry()
+            af = {}
         return {"x_tail": jnp.zeros((self.h_pfb,), jnp.complex64),
                 "front": front, "demod": demod, "af": af}
 
@@ -329,59 +377,75 @@ class ShardedChannelizedPipeline:
             gate = (power_db >= params["squelch_level"]
                     ).astype(jnp.float32)
 
-        # ---- demod states from the gated IF tail -------------------------
-        if raw:
-            iq_raw, m_if = y
-            tr = jax.lax.complex(
-                iq_raw[:Cl, m_if - self.n_if:m_if],
-                iq_raw[Cl:, m_if - self.n_if:m_if])
-        elif self.use_kernels and self._chan_pipe is not None:
-            xr, xi = y
-            tr = jax.lax.complex(xr[..., -self.n_if:],
-                                 xi[..., -self.n_if:])
-        else:
-            tr = y[..., -self.n_if:]
-        if gate is not None:
-            tr = tr * gate[:, None]
-        demod_out, af_out = self._demod_tail_states(tr)
-        shifted = _pshift_right(
-            {"d": demod_out, "a": af_out},
-            {"d": carry["demod"], "a": carry["af"]}, ta)
-        dp, ap = shifted["d"], shifted["a"]
-
-        # ---- demod + audio -----------------------------------------------
-        if raw:
-            from ..ops.demod_kernel import apply_chunked
-            gvec = gate if gate is not None else None
-            if self._fm_pipe.C == Cl:
-                audio, _, _ = self._fm_pipe.apply(
-                    gvec, dp, ap, iq_raw, m_if)
+        if self._nfm_fast:
+            # ---- demod states from the gated IF tail ---------------------
+            if raw:
+                iq_raw, m_if = y
+                tr = jax.lax.complex(
+                    iq_raw[:Cl, m_if - self.n_if:m_if],
+                    iq_raw[Cl:, m_if - self.n_if:m_if])
+            elif self.use_kernels and self._chan_pipe is not None:
+                xr, xi = y
+                tr = jax.lax.complex(xr[..., -self.n_if:],
+                                     xi[..., -self.n_if:])
             else:
-                audio, _, _ = apply_chunked(
-                    self._fm_pipe, gvec, dp, ap, iq_raw, m_if, Cl)
+                tr = y[..., -self.n_if:]
+            if gate is not None:
+                tr = tr * gate[:, None]
+            demod_out, af_out = self._demod_tail_states(tr)
+            shifted = _pshift_right(
+                {"d": demod_out, "a": af_out},
+                {"d": carry["demod"], "a": carry["af"]}, ta)
+            dp, ap = shifted["d"], shifted["a"]
+
+            # ---- demod + audio -------------------------------------------
+            if raw:
+                from ..ops.demod_kernel import apply_chunked
+                gvec = gate if gate is not None else None
+                if self._fm_pipe.C == Cl:
+                    audio, _, _ = self._fm_pipe.apply(
+                        gvec, dp, ap, iq_raw, m_if)
+                else:
+                    audio, _, _ = apply_chunked(
+                        self._fm_pipe, gvec, dp, ap, iq_raw, m_if, Cl)
+            else:
+                if self.use_kernels and self._chan_pipe is not None:
+                    xr, xi = y
+                    yc = jax.lax.complex(xr, xi)
+                else:
+                    yc = y
+                if gate is not None:
+                    yc = yc * gate[:, None]
+                audio, _ = r.demod.apply(None, dp, yc)
+                if r.af_resamp is not None:
+                    audio, _ = r.af_resamp.apply(None, ap, audio)
+            demod_new = _last_shard(demod_out, ta)
+            af_new = _last_shard(af_out, ta)
+            out = jnp.stack([audio, audio], axis=-2).astype(jnp.float32)
         else:
+            # ---- generic demod tail (shared per-block sharding rules) ----
             if self.use_kernels and self._chan_pipe is not None:
                 xr, xi = y
-                yc = jax.lax.complex(xr, xi)
+                yc = jax.lax.complex(xr[..., :self.m_if],
+                                     xi[..., :self.m_if])
             else:
                 yc = y
             if gate is not None:
                 yc = yc * gate[:, None]
-            audio, _ = r.demod.apply(None, dp, yc)
-            if r.af_resamp is not None:
-                audio, _ = r.af_resamp.apply(None, ap, audio)
+            out, _rds, demod_new = self.tail.apply(carry["demod"], yc,
+                                                   self.m_if)
+            af_new = {}
 
         # ---- new stream-level carry ---------------------------------------
         new_carry = {
             "x_tail": last_shard_tail(x_local, self.h_pfb, ta),
             "front": _last_shard(front_out, ta),
-            "demod": _last_shard(demod_out, ta),
-            "af": _last_shard(af_out, ta),
+            "demod": demod_new,
+            "af": af_new,
         }
         new_carry["front"]["xl"] = jnp.mod(
             carry["front"]["xl"] + params["xl_shard"] * nt, _TWO_PI)
 
-        out = jnp.stack([audio, audio], axis=-2).astype(jnp.float32)
         if self.spectrum is not None:
             spectra, _ = self.spectrum.apply(None, None, x_local)
             return (out, spectra), new_carry

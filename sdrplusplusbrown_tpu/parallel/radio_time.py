@@ -29,70 +29,27 @@ TIME_AXIS = "time"
 CH_AXIS = "ch"
 
 
-class ShardedRadioPipeline:
-    def __init__(self, in_samplerate: float, mesh: Mesh, n_channels: int,
-                 t_local: int, demod_id=DEMOD_WFM,
-                 spectrum_fft: int = 0, spectrum_rate: float = 20.0,
-                 **radio_kwargs):
-        radio_kwargs.setdefault("pll_mode", "normalize")
-        self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
-        # RDS under time sharding: the tap (xlate −57 kHz → resample to
-        # 5 kHz) shards exactly via the xlator/resampler rules; the
-        # demod (AGC→Costas→FIR→Costas→MM→diff) is a nonlinear
-        # per-sample recurrence and runs under the sequential relay
-        # (stream_shard._relay_block) per channel — bit-consistent with
-        # the unsharded models/rds.RDSDemod.
-        # ref: decoder_modules/radio/src/rds_demod.cpp.
-        self.rds = bool(radio_kwargs.get("rds"))
-        self.rds_demod = None
-        if self.rds:
-            from ..models.rds import RDSDemod
-            self.rds_demod = RDSDemod()
-        # optional wideband spectrum branch computed per time shard (FFT
-        # frames are shard-local, so this parallelizes for free)
-        self.spectrum = None
-        if spectrum_fft:
-            from ..ops.spectrum import SpectrumPath
-            self.spectrum = SpectrumPath(in_samplerate, spectrum_fft,
-                                         spectrum_rate)
-            assert t_local % self.spectrum.in_multiple == 0, (
-                f"t_local {t_local} must also be a multiple of the "
-                f"spectrum frame interval {self.spectrum.in_multiple}")
-        self.mesh = mesh
-        self.C = int(n_channels)
-        self.nt = mesh.shape[TIME_AXIS]
-        self.nc = mesh.shape[CH_AXIS]
-        assert self.C % self.nc == 0, (self.C, self.nc)
-        g = self.radio.in_multiple
-        assert t_local % g == 0, (t_local, g)
-        self.t_local = int(t_local)
-        self.t_global = self.t_local * self.nt
-        self.samplerate = float(in_samplerate)
-        self.t_out_local = int(self.t_local * self.radio.ratio)
-        self._step = self._build_step()
+class DemodTail:
+    """The IF → audio tail of a Radio chain under TIME sharding: demod
+    (all modes), AF resampler, de-emphasis, optional RDS — each block
+    routed through stream_shard.sharded_apply (halo rules for
+    FIR/poly/quad/delay, affine scan for deemp/DC, sequential relay for
+    the RDS recurrence, the documented AGC approximation for AM/SSB).
 
-    # ------------------------------------------------------------------
-    def make_params(self, offsets_hz, squelch_level=None) -> dict:
-        """Same runtime-params contract as Radio.make_params (models/
-        radio.py:225): retunes and squelch-level changes NEVER recompile
-        the sharded step either."""
-        offs = np.asarray(offsets_hz, np.float64)
-        assert offs.shape == (self.C,), offs.shape
-        omega = -offs * (_TWO_PI / self.samplerate)
-        p = {
-            "omega": jnp.asarray(omega, jnp.float32),
-            "omega_span": jnp.asarray(np.mod(omega * 1024, _TWO_PI),
-                                      jnp.float32),
-            "omega_shard": jnp.asarray(np.mod(omega * self.t_local,
-                                              _TWO_PI), jnp.float32),
-        }
-        if self.radio.squelch_enabled:
-            lvl = squelch_level if squelch_level is not None \
-                else self.radio.squelch.default_level
-            p["squelch_level"] = jnp.float32(lvl)
-        return p
+    Shared by ShardedRadioPipeline (fused-VFO front end) and
+    ShardedChannelizedPipeline (PFB front end) so every demod mode
+    scales out on BOTH front-end architectures
+    (ref: core/src/server.cpp:84-180 scales any demod).
+    """
 
-    def _demod_blocks(self):
+    def __init__(self, radio: Radio, C: int, rds: bool = False,
+                 rds_demod=None):
+        self.radio = radio
+        self.C = int(C)
+        self.rds = bool(rds)
+        self.rds_demod = rds_demod
+
+    def demod_blocks(self):
         """(name, block, carry_batch_suffix, dtype) in apply order —
         mirrors each demod's own apply()."""
         d = self.radio.demod
@@ -122,16 +79,7 @@ class ShardedRadioPipeline:
 
     def init_carry(self) -> dict:
         r, C = self.radio, self.C
-        carry = {
-            "phase": jnp.zeros((C,), jnp.float32),
-            "vfo_rs": init_carry(r.vfo.resamp, (C,), jnp.complex64),
-        }
-        if r.vfo.filter_needed:
-            carry["vfo_fir"] = init_carry(r.vfo.fir, (C,), jnp.complex64)
-        if r.nb_enabled:
-            carry["nb"] = init_carry(r.nb, (C,))
-        if r.fmif_enabled:
-            carry["fmif"] = init_carry(r.fmif, (C,))
+        carry = {}
         d = r.demod
         if isinstance(d, BroadcastFM):
             carry.update({"quad": init_carry(d.quad, (C,))})
@@ -161,7 +109,7 @@ class ShardedRadioPipeline:
                     "lmr_delay": init_carry(d.lmr_delay, (C,)),
                 })
         else:
-            for name, blk, suffix, dtype in self._demod_blocks():
+            for name, blk, suffix, dtype in self.demod_blocks():
                 if blk is None:
                     continue
                 carry[f"d_{name}"] = init_carry(
@@ -173,44 +121,14 @@ class ShardedRadioPipeline:
             carry["deemp"] = init_carry(r.deemp, shape_af)
         return carry
 
-    # ------------------------------------------------------------------
-    def _local_step(self, params, carry, x_local):
+    def apply(self, carry, y, tl_if):
+        """y [C_local, tl_if] (gated) IF → (audio [C_local, 2, T],
+        rds_out | None, new_carry).  Runs under shard_map on the
+        ``time`` axis."""
         r = self.radio
         d = r.demod
         ta = TIME_AXIS
-        tl_if = None
         new = {}
-
-        t_idx = jax.lax.axis_index(ta).astype(jnp.float32)
-        phase0 = jnp.mod(carry["phase"]
-                         + params["omega_shard"] * t_idx, _TWO_PI)
-        rot = rotor(phase0, params["omega"], params["omega_span"],
-                    self.t_local)
-        y = x_local[None, :] * rot
-        new["phase"] = jnp.mod(carry["phase"]
-                               + params["omega_shard"] * self.nt, _TWO_PI)
-
-        y, new["vfo_rs"] = sharded_apply(r.vfo.resamp, y, ta,
-                                         carry["vfo_rs"])
-        if r.vfo.filter_needed:
-            y, new["vfo_fir"] = sharded_apply(r.vfo.fir, y, ta,
-                                              carry["vfo_fir"])
-        tl_if = y.shape[-1]
-        if r.nb_enabled:
-            y, new["nb"] = sharded_apply(r.nb, y, ta, carry["nb"])
-        if r.squelch_enabled:
-            # whole-block gate like the unsharded Squelch: the mean |x| is
-            # computed over the *global* block via psum across time shards
-            local_sum = jnp.sum(jnp.abs(y), axis=-1)
-            total = jax.lax.psum(local_sum, ta)
-            mean_amp = total / (tl_if * self.nt)
-            power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
-            gate = (power_db >= params["squelch_level"]
-                    ).astype(jnp.float32)
-            y = y * gate[..., None]
-        if r.fmif_enabled:
-            y, new["fmif"] = sharded_apply(r.fmif, y, ta, carry["fmif"])
-
         rds_out = None
         if isinstance(d, BroadcastFM):
             mpx, new["quad"] = sharded_apply(d.quad, y, ta, carry["quad"])
@@ -267,7 +185,7 @@ class ShardedRadioPipeline:
                 lr = jnp.moveaxis(lr2, 0, -2)
             y = lr
         else:
-            for name, blk, _suffix, _dtype in self._demod_blocks():
+            for name, blk, _suffix, _dtype in self.demod_blocks():
                 if name == "__env__":
                     y = jnp.abs(y).astype(jnp.float32)
                     continue
@@ -284,6 +202,132 @@ class ShardedRadioPipeline:
             y, new["deemp"] = sharded_apply(r.deemp, y, ta, carry["deemp"])
         if not r.demod_stereo:
             y = jnp.stack([y, y], axis=-2)
+        return y.astype(jnp.float32), rds_out, new
+
+
+class ShardedRadioPipeline:
+    def __init__(self, in_samplerate: float, mesh: Mesh, n_channels: int,
+                 t_local: int, demod_id=DEMOD_WFM,
+                 spectrum_fft: int = 0, spectrum_rate: float = 20.0,
+                 **radio_kwargs):
+        radio_kwargs.setdefault("pll_mode", "normalize")
+        self.radio = Radio(in_samplerate, demod_id, **radio_kwargs)
+        # RDS under time sharding: the tap (xlate −57 kHz → resample to
+        # 5 kHz) shards exactly via the xlator/resampler rules; the
+        # demod (AGC→Costas→FIR→Costas→MM→diff) is a nonlinear
+        # per-sample recurrence and runs under the sequential relay
+        # (stream_shard._relay_block) per channel — bit-consistent with
+        # the unsharded models/rds.RDSDemod.
+        # ref: decoder_modules/radio/src/rds_demod.cpp.
+        self.rds = bool(radio_kwargs.get("rds"))
+        self.rds_demod = None
+        if self.rds:
+            from ..models.rds import RDSDemod
+            self.rds_demod = RDSDemod()
+        # optional wideband spectrum branch computed per time shard (FFT
+        # frames are shard-local, so this parallelizes for free)
+        self.spectrum = None
+        if spectrum_fft:
+            from ..ops.spectrum import SpectrumPath
+            self.spectrum = SpectrumPath(in_samplerate, spectrum_fft,
+                                         spectrum_rate)
+            assert t_local % self.spectrum.in_multiple == 0, (
+                f"t_local {t_local} must also be a multiple of the "
+                f"spectrum frame interval {self.spectrum.in_multiple}")
+        self.mesh = mesh
+        self.C = int(n_channels)
+        self.nt = mesh.shape[TIME_AXIS]
+        self.nc = mesh.shape[CH_AXIS]
+        assert self.C % self.nc == 0, (self.C, self.nc)
+        g = self.radio.in_multiple
+        assert t_local % g == 0, (t_local, g)
+        self.t_local = int(t_local)
+        self.t_global = self.t_local * self.nt
+        self.samplerate = float(in_samplerate)
+        self.t_out_local = int(self.t_local * self.radio.ratio)
+        self.tail = DemodTail(self.radio, self.C, self.rds,
+                              self.rds_demod)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def make_params(self, offsets_hz, squelch_level=None) -> dict:
+        """Same runtime-params contract as Radio.make_params (models/
+        radio.py:225): retunes and squelch-level changes NEVER recompile
+        the sharded step either."""
+        offs = np.asarray(offsets_hz, np.float64)
+        assert offs.shape == (self.C,), offs.shape
+        omega = -offs * (_TWO_PI / self.samplerate)
+        p = {
+            "omega": jnp.asarray(omega, jnp.float32),
+            "omega_span": jnp.asarray(np.mod(omega * 1024, _TWO_PI),
+                                      jnp.float32),
+            "omega_shard": jnp.asarray(np.mod(omega * self.t_local,
+                                              _TWO_PI), jnp.float32),
+        }
+        if self.radio.squelch_enabled:
+            lvl = squelch_level if squelch_level is not None \
+                else self.radio.squelch.default_level
+            p["squelch_level"] = jnp.float32(lvl)
+        return p
+
+    def _demod_blocks(self):
+        return self.tail.demod_blocks()
+
+    def init_carry(self) -> dict:
+        r, C = self.radio, self.C
+        carry = {
+            "phase": jnp.zeros((C,), jnp.float32),
+            "vfo_rs": init_carry(r.vfo.resamp, (C,), jnp.complex64),
+        }
+        if r.vfo.filter_needed:
+            carry["vfo_fir"] = init_carry(r.vfo.fir, (C,), jnp.complex64)
+        if r.nb_enabled:
+            carry["nb"] = init_carry(r.nb, (C,))
+        if r.fmif_enabled:
+            carry["fmif"] = init_carry(r.fmif, (C,))
+        carry.update(self.tail.init_carry())
+        return carry
+
+    # ------------------------------------------------------------------
+    def _local_step(self, params, carry, x_local):
+        r = self.radio
+        d = r.demod
+        ta = TIME_AXIS
+        tl_if = None
+        new = {}
+
+        t_idx = jax.lax.axis_index(ta).astype(jnp.float32)
+        phase0 = jnp.mod(carry["phase"]
+                         + params["omega_shard"] * t_idx, _TWO_PI)
+        rot = rotor(phase0, params["omega"], params["omega_span"],
+                    self.t_local)
+        y = x_local[None, :] * rot
+        new["phase"] = jnp.mod(carry["phase"]
+                               + params["omega_shard"] * self.nt, _TWO_PI)
+
+        y, new["vfo_rs"] = sharded_apply(r.vfo.resamp, y, ta,
+                                         carry["vfo_rs"])
+        if r.vfo.filter_needed:
+            y, new["vfo_fir"] = sharded_apply(r.vfo.fir, y, ta,
+                                              carry["vfo_fir"])
+        tl_if = y.shape[-1]
+        if r.nb_enabled:
+            y, new["nb"] = sharded_apply(r.nb, y, ta, carry["nb"])
+        if r.squelch_enabled:
+            # whole-block gate like the unsharded Squelch: the mean |x| is
+            # computed over the *global* block via psum across time shards
+            local_sum = jnp.sum(jnp.abs(y), axis=-1)
+            total = jax.lax.psum(local_sum, ta)
+            mean_amp = total / (tl_if * self.nt)
+            power_db = 10.0 * jnp.log10(jnp.maximum(mean_amp, 1e-20))
+            gate = (power_db >= params["squelch_level"]
+                    ).astype(jnp.float32)
+            y = y * gate[..., None]
+        if r.fmif_enabled:
+            y, new["fmif"] = sharded_apply(r.fmif, y, ta, carry["fmif"])
+
+        y, rds_out, tail_new = self.tail.apply(carry, y, tl_if)
+        new.update(tail_new)
         outs = [y.astype(jnp.float32)]
         if rds_out is not None:
             outs.append(rds_out)

@@ -124,3 +124,110 @@ def test_sharded_channelized_time_only_mesh():
     a_s, a_u = _run_pair(mesh, 2, use_kernels=False, interpret=False,
                          squelch_level=-20.0)
     assert _snr_db(a_u, a_s) > 55.0
+
+
+# ---------------------------------------------------------------------
+# round-4: every demod mode on the channelized front (generic DemodTail)
+
+def _run_mode_pair(demod_id, fs, offsets, make_mod, n_blocks=3,
+                   t_target=40_000, live_every=4, atol_db=55.0,
+                   **radio_kwargs):
+    """Sharded-vs-unsharded stream equality for one demod mode.
+
+    Equality is scored on the POPULATED channels only: an idle
+    FM-family channel demodulates pure noise floor, whose quadrature
+    angle is a chaotic ±π-wrap walk — both pipelines are 'correct'
+    there but decohere from f32 phase-table rounding, which says
+    nothing about the signal path."""
+    from sdrplusplusbrown_tpu.models.radio import Radio
+    radio_kwargs.setdefault("pll_mode", "normalize")
+    radio_kwargs.setdefault("squelch_enabled", False)
+    radio = Radio(fs, demod_id, **radio_kwargs)
+    if not radio.can_channelize():
+        pytest.skip(f"config cannot channelize (if {radio.if_rate})")
+    g = ShardedChannelizedPipeline.granularity(radio)
+    mesh = _mesh(2, 2)
+    t_local = ((t_target + g - 1) // g) * g
+    Cm = len(offsets)
+    pipe = ShardedChannelizedPipeline(fs, mesh, Cm, t_local, demod_id,
+                                      **radio_kwargs)
+    assert not pipe._nfm_fast or demod_id == DEMOD_NFM
+    params = pipe.make_params(offsets)
+    carry = pipe.init_carry()
+    T = pipe.t_global
+    x = make_mod(n_blocks * T, offsets[::live_every], fs)
+    st = radio.init_state_channelized(Cm)
+    pu = radio.make_params_channelized(offsets)
+    for b in range(n_blocks):
+        xb = jnp.asarray(x[b * T:(b + 1) * T])
+        audio, carry = pipe.step(params, carry, xb)
+        au, st = radio.apply_channelized(pu, st, xb)
+        a = np.asarray(audio)[::live_every]
+        u = np.asarray(au)[::live_every]
+        snr = _snr_db(u, a)
+        assert snr > atol_db, (demod_id, b, snr)
+
+
+def _fm_stereo_x(T, live, fs):
+    n = np.arange(T)
+    t = n / fs
+    tone = np.sin(2 * np.pi * 800 * t)
+    mpx = (0.4 * tone + 0.1 * np.sin(2 * np.pi * 19000 * t)
+           + 0.4 * tone * (-np.cos(2 * np.pi * 38000 * t)))
+    ph = 2 * np.pi * np.cumsum(75000 * mpx) / fs
+    x = np.zeros(T, np.complex128)
+    for o in live:
+        x += np.exp(1j * (ph + 2 * np.pi * o * n / fs))
+    return (x / max(len(live), 1)).astype(np.complex64)
+
+
+def _am_x(T, live, fs):
+    n = np.arange(T)
+    t = n / fs
+    x = np.zeros(T, np.complex128)
+    for o in live:
+        x += (1.0 + 0.6 * np.sin(2 * np.pi * 700 * t)) \
+            * np.exp(2j * np.pi * o * n / fs)
+    return (x / max(len(live), 1)).astype(np.complex64)
+
+
+@pytest.mark.slow
+def test_sharded_channelized_wfm_stereo():
+    from sdrplusplusbrown_tpu.models.radio import DEMOD_WFM
+    offs = np.linspace(-3.4e6, 3.4e6, 16)
+    _run_mode_pair(DEMOD_WFM, 8_000_000.0, offs, _fm_stereo_x)
+
+
+@pytest.mark.slow
+def test_sharded_channelized_am():
+    from sdrplusplusbrown_tpu.models.radio import DEMOD_AM
+    offs = np.linspace(-700e3, 700e3, 16) + 517.0
+    _run_mode_pair(DEMOD_AM, 1_920_000.0, offs, _am_x,
+                   t_target=200_000)
+
+
+@pytest.mark.slow
+def test_sharded_channelized_usb():
+    from sdrplusplusbrown_tpu.models.radio import DEMOD_USB
+    offs = np.linspace(-700e3, 700e3, 16) + 517.0
+    _run_mode_pair(DEMOD_USB, 1_920_000.0, offs, _am_x,
+                   t_target=200_000, atol_db=45.0)
+
+
+@pytest.mark.slow
+def test_sharded_channelized_nfm_deemph():
+    """NFM with standalone de-emphasis routes through the generic
+    DemodTail (not the fast path) — the affine-scan deemp rule under
+    the channelized front."""
+    def fm_x(T, live, fs):
+        n = np.arange(T)
+        t = n / fs
+        tone = 0.5 * np.sin(2 * np.pi * 700.0 * t)
+        ph = 2 * np.pi * np.cumsum(2500 * tone) / fs
+        x = np.zeros(T, np.complex128)
+        for o in live:
+            x += np.exp(1j * (ph + 2 * np.pi * o * n / fs))
+        return (x / max(len(live), 1)).astype(np.complex64)
+
+    offs = np.linspace(-1.0e6, 1.0e6, 16) + 917.0
+    _run_mode_pair(DEMOD_NFM, FS, offs, fm_x, deemphasis="50us")
