@@ -107,9 +107,13 @@ def measure_chain(step, params, state, x, samples_per_step, K=8,
     trusted = sync_observable()
 
     # One AOT compile of the plain step; its cost_analysis is XLA's own
-    # flop/byte count for exactly the kernels that run.
+    # flop/byte count for exactly the kernels that run.  Row-major
+    # boundary layouts match runtime/pump (ops/layouts.py — auto
+    # layouts insert per-step relayout copies of cycling state).
+    from sdrplusplusbrown_tpu.ops.layouts import jit_row_major
     t0 = time.perf_counter()
-    comp = jax.jit(step).lower(params, state, x).compile()
+    comp = jit_row_major(step, params, state, x) \
+        .lower(params, state, x).compile()
     print(f"# compiled chain in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     ca = comp.cost_analysis()

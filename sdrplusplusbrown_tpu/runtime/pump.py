@@ -121,7 +121,9 @@ class StreamPump:
             outs, bstate = bank.apply(bparams, bstate, bb)
             return fstate, bstate, outs, spectra
 
-        self._step = jax.jit(step)
+        self._step_fn = step
+        self._step = None       # built on first call (needs arg shapes
+        # for the row-major boundary layouts, ops/layouts.py)
 
     def run(self, blocks: Iterable[np.ndarray],
             sinks: Optional[Dict[int, Callable]] = None,
@@ -146,6 +148,11 @@ class StreamPump:
 
         for blk in blocks:
             for chunk in rc.push(blk):
+                if self._step is None:
+                    from ..ops.layouts import jit_row_major
+                    self._step = jit_row_major(
+                        self._step_fn, fstate, bparams, bstate,
+                        jnp.asarray(chunk))
                 res = self._step(fstate, bparams, bstate, jnp.asarray(chunk))
                 fstate, bstate = res[0], res[1]
                 if pending is not None:
