@@ -15,12 +15,14 @@ with h = M/2, K0 = tpp·M, G[m, ℓ] = proto[ℓ]·e^{−2πimℓ/M} and
 is ONE window dot with a STATIC complex matrix, windows advancing h
 per frame.  Feeding the MXU without forbidden unaligned slices:
 
-  * outside, each wideband plane is laid out COLUMN-PAIR-major: one
-    [M, CL] array per plane whose column c carries hops 2c and 2c+1
-    (2h = M samples) — one XLA transpose pass per plane whose source
-    is [CL, M] (minor dim M, vs the [CL, h] of the previous hop-major
-    layout whose h-wide minor dim tile-padded the lanes 128/h-fold:
-    measured 154 → 78 HBM B/in-sample of glue at the scanner config);
+  * outside, each wideband plane is the HOP-PAIR-major [CL, M] view of
+    the history+x+pad stream (row c = hops 2c, 2c+1) — a FREE bitcast
+    of the one fused f32 concat, no transpose pass (the r3 [M, CL]
+    lane-major feed paid a full XLA transpose copy per plane, ~17
+    B/in-sample at scanner-128); the kernel fetches two spec-pipelined
+    [HL, M] half blocks per step (index maps i and i+1 — the feed's
+    trailing +HL rows exist for the overlap) and transposes them to
+    lane form in VMEM;
   * output frames are 2-way interleaved across the column axis
     (frame F = 2c + r), so the kernel builds two parity accumulators:
     for parity r and window shift d the operand is the hop-(r+d)%2
@@ -67,18 +69,20 @@ def _rup(n: int, a: int) -> int:
     return ((n + a - 1) // a) * a
 
 
-def _chz_kernel(ar_hbm, ai_hbm, gre_ref, gim_ref, sgn_ref, o_ref,
-                blkr, blki, semr, semi, *, NF, ntpp, h, M):
-    i = pl.program_id(0)
+def _chz_kernel(ar0, ar1, ai0, ai1, gre_ref, gim_ref, sgn_ref, o_ref,
+                blkr, blki, *, NF, ntpp, h, M):
     HL = NF // 2        # lanes (column pairs) per super-step
-    cpr = pltpu.make_async_copy(
-        ar_hbm.at[:, pl.ds(i * HL, 2 * HL)], blkr.at[...], semr)
-    cpi = pltpu.make_async_copy(
-        ai_hbm.at[:, pl.ds(i * HL, 2 * HL)], blki.at[...], semi)
-    cpr.start()
-    cpi.start()
-    cpr.wait()
-    cpi.wait()
+    # planes arrive HOP-MAJOR [CL, M] (the natural row-major view of
+    # the history+x+pad stream — a free bitcast, no host transpose
+    # pass).  The 2x-overlapped window is fetched as TWO spec-pipelined
+    # [HL, M] half blocks (index maps i and i+1 — the feed's trailing
+    # +1·HL rows exist exactly for this), each transposed to lane form
+    # in VMEM (one VPU relayout; Mosaic DMA can't slice a <128 minor
+    # dim, so manual row DMAs are not an option at M = 48/192)
+    blkr[:, :HL] = ar0[...].T
+    blkr[:, HL:] = ar1[...].T
+    blki[:, :HL] = ai0[...].T
+    blki[:, HL:] = ai1[...].T
 
     twoM = 2 * M
     # frame F = i·NF + 2c + r: parity-r accumulator over window shifts
@@ -203,19 +207,19 @@ class PallasChannelizer:
         HL = NF // 2
 
         xw = self._state_to_xw(state)
-        # column-pair-major planes: column c = hops 2c,2c+1 (M samples).
-        # Build each plane in ONE fused f32 pass (history + x + tail
-        # zeros concatenated directly): a complex ext = concat(state, x)
-        # intermediate costs two extra full HBM round-trips (the c64
-        # materialization + a separate pad sweep, measured ~17
-        # B/in-sample at the scanner-128 config)
+        # HOP-MAJOR planes [CL, M]: row c = hop pair 2c,2c+1 (M
+        # samples).  One fused f32 concat per plane; the reshape is the
+        # stream's natural row-major view (a free bitcast).  The old
+        # [M, CL] lane-major feed paid a full transpose COPY per plane
+        # here (~17 B/in-sample at scanner-128); the kernel now
+        # transposes its own [2HL, M] row block in VMEM instead.
         CL = (n_super + 1) * HL
         pad = CL * M - (xw.shape[-1] + T)
         zt = jnp.zeros(max(pad, 0), jnp.float32)
         ar = jnp.concatenate([jnp.real(xw), jnp.real(x), zt]) \
-            .reshape(CL, M).T                         # [M, CL]
+            .reshape(CL, M)
         ai = jnp.concatenate([jnp.imag(xw), jnp.imag(x), zt]) \
-            .reshape(CL, M).T
+            .reshape(CL, M)
 
         cfg = dict(NF=NF, ntpp=self.ntpp, h=h, M=M)
         from .pallas_cost import costed_pallas_call
@@ -224,13 +228,16 @@ class PallasChannelizer:
             grid=(n_super,),
             flops=int(2 * 2 * M * 2 * K0 * width_out
                       + 2 * 2 * M * HL * NF * n_super * 2),
-            # in-kernel DMA: re + im [M, 2·HL] windows per step (the
-            # 2x-overlapped read is real traffic, counted as issued)
-            manual_bytes=int(n_super * 2 * M * NF * 4),
             label="pfb_channelizer",
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((HL, M), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HL, M), lambda i: (i + 1, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HL, M), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HL, M), lambda i: (i + 1, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(self.GRe.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self.GIm.shape, lambda i: (0, 0),
@@ -245,13 +252,11 @@ class PallasChannelizer:
             scratch_shapes=[
                 pltpu.VMEM((M, NF), jnp.float32),
                 pltpu.VMEM((M, NF), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(ar, ai, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
+        )(ar, ar, ai, ai, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
           jnp.asarray(self.sgn))
 
         nh = K0 - h
