@@ -287,7 +287,8 @@ def _mono_kernel(*refs, cfg):
             win = mbuf[:, off + r * row0:off + r * row0 + Lw0]
             col = hp1 + c * CH + r * 128
             bufs[0][:, col:col + 128] = jnp.dot(
-                win, h0_ref[...], preferred_element_type=jnp.float32)
+                win, h0_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
 
     # ---- chained stages -----------------------------------------------
     for s, st in enumerate(stages):
@@ -296,7 +297,7 @@ def _mono_kernel(*refs, cfg):
         for r in range(st.adv_out // st.tile):
             win = bufs[s][:, st.win0 + r * st.row_adv:
                           st.win0 + r * st.row_adv + st.Lw]
-            res = jnp.dot(win, h_refs[s][...],
+            res = jnp.dot(win, h_refs[s][...].astype(jnp.float32),
                           preferred_element_type=jnp.float32)
             if dst is not None:
                 dst[:, dst_hp + r * st.tile:
@@ -533,7 +534,11 @@ class MonoVFOPipeline:
         tails_c = self._stage_tails(state)
         tail_ops = [_tail_planes(tails_c[s], st.hist_pad)
                     for s, st in enumerate(self.stages)]
-        h_ops = [jnp.asarray(st.H) for st in self.stages]
+        # tap matrices ride HBM in the handoff STORAGE dtype (bf16
+        # halves both the operand reads and XLA's per-call constant
+        # staging; all matmul math stays f32 — upcast at use)
+        h_dt = get_handoff_dtype()
+        h_ops = [jnp.asarray(st.H, h_dt) for st in self.stages]
 
         n = len(self.stages)
         twoC = 2 * C
@@ -623,7 +628,7 @@ class MonoVFOPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xr, xi, edges, jnp.asarray(self.H0),
+        )(xr, xi, edges, jnp.asarray(self.H0, h_dt),
           omega[:, None],
           base.astype(jnp.float32), *tail_ops, *h_ops)
 

@@ -112,7 +112,7 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
         for r in range(out_adv // 128):
             win = bufs[s][:, w0 + r * 256:w0 + r * 256 + cfg["Lws"][s]]
             dst[:, dst_hp + r * 128:dst_hp + (r + 1) * 128] = \
-                jnp.dot(win, hhb_refs[s][...],
+                jnp.dot(win, hhb_refs[s][...].astype(jnp.float32),
                         preferred_element_type=jnp.float32)
 
     # ---- stereo section on the in-VMEM MPX -------------------------------
@@ -122,7 +122,7 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
         base = hpS + r * 128
         # lagged pilot: p[n−1] needs mpx[n−K+k], k∈[0,K)
         win_p = bufm[:, base - K:base - K + (127 + K)]
-        pp = jnp.dot(win_p, hp_ref[...],
+        pp = jnp.dot(win_p, hp_ref[...].astype(jnp.float32),
                      preferred_element_type=jnp.float32)   # [C, 256]
         a = pp[:, :128]
         b = pp[:, 128:]
@@ -263,9 +263,11 @@ class WFMDemodPipeline:
         n_super = plan["n_super"]
         m_mpx = plan["m_mpx"]
         # bf16 handoff only on the raw kernel-to-kernel route; the
-        # trimmed lr2 feeds f32 chained consumers
+        # trimmed lr2 feeds f32 chained consumers.  Tap matrices ride
+        # HBM in the storage dtype regardless (math stays f32).
         from .precision import get_handoff_dtype
-        o_dtype = get_handoff_dtype() if raw_audio else jnp.float32
+        h_dt = get_handoff_dtype()
+        o_dtype = h_dt if raw_audio else jnp.float32
         if isinstance(iq, tuple):
             iq = jnp.concatenate(iq, axis=0)
         # narrower-than-grid raw handoffs are fine: pallas pads the
@@ -356,8 +358,9 @@ class WFMDemodPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(iq, qtail, hist, *hb_tails, *[jnp.asarray(h) for h in self.Hhb],
-          jnp.asarray(self.Hp))
+        )(iq, qtail, hist,
+          *hb_tails, *[jnp.asarray(h, h_dt) for h in self.Hhb],
+          jnp.asarray(self.Hp, h_dt))
 
         lr2 = (out, m_mpx) if raw_audio \
             else out[:, :m_mpx].reshape(2, C, m_mpx)
@@ -428,7 +431,8 @@ def _mpx_poly_kernel(x_ref, ptail_ref, hp_ref, o_ref, tails_o, bufp,
         win = bufp[:, w1 + r * cfg["rowP"]:
                    w1 + r * cfg["rowP"] + cfg["LwP"]]
         o_ref[:, r * cfg["tileP"]:(r + 1) * cfg["tileP"]] = jnp.dot(
-            win, hp_ref[...], preferred_element_type=jnp.float32)
+            win, hp_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
 
     @pl.when(i == cfg["ip_t"])
     def _tp():
@@ -515,6 +519,8 @@ class MPXAudioPoly:
                "tileP": self.tileP, "m_in": m_in,
                "ip_t": plan["p"][0], "alp": plan["p"][1],
                "tw": self.tw}
+        from .precision import get_handoff_dtype as _ghd
+        _hp_dt = _ghd()
         ptail = jnp.concatenate([ars[0], ars[1]], axis=0)
         ptail = jnp.pad(ptail.astype(jnp.float32),
                         ((0, 0), (self.hpP - self.hist, 0)))
@@ -552,7 +558,8 @@ class MPXAudioPoly:
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
         )(raw if raw.dtype in (jnp.float32, jnp.bfloat16)
-          else raw.astype(jnp.float32), ptail, jnp.asarray(self.Hp))
+          else raw.astype(jnp.float32), ptail,
+          jnp.asarray(self.Hp, _hp_dt))
         m_aud = plan["m_aud"]
         lr = jnp.stack([audio[:C, :m_aud], audio[C:, :m_aud]], axis=1)
         _it, al, end = plan["p"]

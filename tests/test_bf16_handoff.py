@@ -56,10 +56,34 @@ def test_bf16_handoff_quality():
     d = a16.astype(np.float64) - a32.astype(np.float64)
     snr = 10 * np.log10(np.mean(a32.astype(np.float64) ** 2)
                         / max(np.mean(d ** 2), 1e-18))
-    assert snr > 55.0, f"bf16 vs f32 audio SNR {snr:.1f} dB"
+    # the two chains are both ~40 dB approximations of the ideal tone
+    # (see below); their mutual distance (~50 dB with bf16 tap storage,
+    # 65 with f32 taps) sits well under either one's own error
+    assert snr > 45.0, f"bf16 vs f32 audio SNR {snr:.1f} dB"
 
+    # the REAL oracle: quality against the IDEAL modulating tone must
+    # be unaffected (least-squares 1 kHz fit per channel)
+    fs_a = 48000.0
+    tone_snr = {}
     for tag, a in (("f32", a32), ("bf16", a16)):
         L, R = a[:, 0, :], a[:, 1, :]
         sep = 10 * np.log10(np.mean(L ** 2)
                             / max(np.mean(R ** 2), 1e-15))
         assert sep > 25.0, (tag, sep)
+        n = L.shape[-1]
+        tt = np.arange(n) / fs_a
+        A = np.stack([np.cos(2 * np.pi * 1000 * tt),
+                      np.sin(2 * np.pi * 1000 * tt),
+                      np.ones(n)], 1)
+        snrs = []
+        for ch in range(C):
+            coef, *_ = np.linalg.lstsq(A, L[ch].astype(np.float64),
+                                       rcond=None)
+            r = L[ch] - A @ coef
+            sig = np.mean((A[:, :2] @ coef[:2]) ** 2)
+            snrs.append(10 * np.log10(sig / np.mean(r ** 2)))
+        tone_snr[tag] = float(np.mean(snrs))
+        assert tone_snr[tag] > 35.0, (tag, tone_snr)
+    # measured 40.3 (f32) vs 40.2 (bf16): the storage dtype costs
+    # ~0.1 dB of actual audio quality
+    assert abs(tone_snr["f32"] - tone_snr["bf16"]) < 1.5, tone_snr
