@@ -117,8 +117,10 @@ def _chan_kernel(*refs, cfg):
     # ---- gather + rotate into stage-0 input -----------------------------
     hp0 = stages[0].hist_pad
     for b in range(adv0 // BS):
-        br = bins_ref[0:M, b * BS:(b + 1) * BS]
-        bi = bins_ref[M:2 * M, b * BS:(b + 1) * BS]
+        # bins may arrive in the bf16 handoff storage dtype
+        # (ops/pallas_channelizer.py emits it); math stays f32
+        br = bins_ref[0:M, b * BS:(b + 1) * BS].astype(jnp.float32)
+        bi = bins_ref[M:2 * M, b * BS:(b + 1) * BS].astype(jnp.float32)
         re = jnp.dot(oh_ref[...], br, preferred_element_type=jnp.float32)
         im = jnp.dot(oh_ref[...], bi, preferred_element_type=jnp.float32)
         jj = jax.lax.broadcasted_iota(jnp.int32, (C, BS),
@@ -137,12 +139,12 @@ def _chan_kernel(*refs, cfg):
         for r in range(st.adv_out // 128):
             win = bufs[s][:, st.win0 + r * st.row_adv:
                           st.win0 + r * st.row_adv + st.Lw]
-            res = jnp.dot(win, h_refs[s][...],
+            res = jnp.dot(win, h_refs[s][...].astype(jnp.float32),
                           preferred_element_type=jnp.float32)
             if dst is not None:
                 dst[:, dst_hp + r * 128:dst_hp + (r + 1) * 128] = res
             else:
-                o_ref[:, r * 128:(r + 1) * 128] = res
+                o_ref[:, r * 128:(r + 1) * 128] = res.astype(o_ref.dtype)
                 # squelch partials: Σ|y| over VALID outputs only (the
                 # padded tail of the last step is garbage)
                 gidx = (i * adv_f + r * 128
@@ -303,7 +305,13 @@ class ChanPostPipeline:
 
         tail_ops = [_tail_planes(state[st.name], st.hist_pad)
                     for st in self.stages]
-        h_ops = [jnp.asarray(st.H) for st in self.stages]
+        # tap matrices and the raw kernel-to-kernel output ride HBM in
+        # the handoff storage dtype (math stays f32 — upcast at use);
+        # the trimmed/planes forms feed chained f32 consumers
+        from .precision import get_handoff_dtype
+        h_dt = get_handoff_dtype()
+        o_dtype = h_dt if raw else jnp.float32
+        h_ops = [jnp.asarray(st.H, h_dt) for st in self.stages]
 
         n = len(self.stages)
         twoC = 2 * C
@@ -360,7 +368,7 @@ class ChanPostPipeline:
             out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
-                                     jnp.float32),
+                                     o_dtype),
                 jax.ShapeDtypeStruct((twoC, self.tails_w_total),
                                      jnp.float32),
                 jax.ShapeDtypeStruct((C, BS), jnp.float32),

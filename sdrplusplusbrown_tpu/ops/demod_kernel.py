@@ -132,7 +132,8 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
     for r in range(adv // 128):
         win = buff[:, w0 + r * 128:w0 + r * 128 + cfg["LwF"]]
         bufp[:, cfg["hpP"] + r * 128:cfg["hpP"] + (r + 1) * 128] = \
-            jnp.dot(win, hf_ref[...], preferred_element_type=jnp.float32)
+            jnp.dot(win, hf_ref[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
 
     # ---- AF polyphase (banded matmul) -----------------------------------
     if cfg["has_poly"]:
@@ -141,7 +142,7 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
             win = bufp[:, w1 + r * cfg["rowP"]:
                        w1 + r * cfg["rowP"] + cfg["LwP"]]
             o_ref[:, r * cfg["tileP"]:(r + 1) * cfg["tileP"]] = \
-                jnp.dot(win, hp_ref[...],
+                jnp.dot(win, hp_ref[...].astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     else:
         o_ref[...] = bufp[:, cfg["hpP"]:cfg["hpP"] + adv_aud]
@@ -287,6 +288,10 @@ class FMAudioPipeline:
 
         iq = (jnp.concatenate(planes, axis=0) if isinstance(planes, tuple)
               else planes)
+        # tap matrices ride HBM in the handoff storage dtype (the input
+        # block is upcast at read already — see _demod_kernel)
+        from .precision import get_handoff_dtype
+        _h_dt = get_handoff_dtype()
         # raw handoffs may be narrower OR wider than the grid walk:
         # pallas pads out-of-bounds input blocks (the in-kernel gcol
         # mask zeroes them) and never fetches blocks past n_super — a
@@ -373,8 +378,8 @@ class FMAudioPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(iq, gate2, qtail, ftail, ptail, jnp.asarray(self.Hf),
-          jnp.asarray(self.Hp))
+        )(iq, gate2, qtail, ftail, ptail,
+          jnp.asarray(self.Hf, _h_dt), jnp.asarray(self.Hp, _h_dt))
 
         y = audio[:, :m_aud]
 

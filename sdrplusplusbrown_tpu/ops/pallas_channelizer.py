@@ -99,12 +99,16 @@ def _chz_kernel(ar0, ar1, ai0, ai1, gre_ref, gim_ref, sgn_ref, o_ref,
             opsi = jax.lax.slice(
                 pltpu.roll(blki[j * h:(j + 1) * h, :], 2 * HL - s, 1),
                 (0, 0), (h, HL))
+            # taps ride HBM in the handoff STORAGE dtype; math stays
+            # f32 (upcast at the MXU)
             acc = acc + jax.lax.dot_general(
-                gre_ref[d * twoM:(d + 1) * twoM, :], opsr,
+                gre_ref[d * twoM:(d + 1) * twoM, :].astype(jnp.float32),
+                opsr,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = acc + jax.lax.dot_general(
-                gim_ref[d * twoM:(d + 1) * twoM, :], opsi,
+                gim_ref[d * twoM:(d + 1) * twoM, :].astype(jnp.float32),
+                opsi,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
@@ -124,7 +128,8 @@ def _chz_kernel(ar0, ar1, ai0, ai1, gre_ref, gim_ref, sgn_ref, o_ref,
                             preferred_element_type=jnp.float32)
         + jax.lax.dot_general(a1, u1,
                               dimension_numbers=(((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32)
+    ).astype(o_ref.dtype)
 
 
 class PallasChannelizer:
@@ -194,10 +199,17 @@ class PallasChannelizer:
         return {"tail_a": tail_a, "tail_b": tail_b,
                 "delay": xw[..., n:n + h]}
 
-    def apply(self, state, x, width_out: int):
-        """x [T] complex wideband → (bins [2M, width_out] f32 planes
+    def apply(self, state, x, width_out: int, out_dtype=None):
+        """x [T] complex wideband → (bins [2M, width_out] planes
         (re rows over im rows, zero-padded columns), state').
-        width_out must be ≥ 2T/M and a multiple of NF."""
+        width_out must be ≥ 2T/M and a multiple of NF.  ``out_dtype``
+        defaults to the kernel-handoff storage dtype
+        (ops/precision.py) — bins feed the post-channelizer kernel,
+        which upcasts on read; pass jnp.float32 for chained XLA
+        consumers."""
+        from .precision import get_handoff_dtype
+        if out_dtype is None:
+            out_dtype = get_handoff_dtype()
         M, h, K0, NF = self.M, self.h, self.K0, self.NF
         T = x.shape[-1]
         assert T % M == 0, (T, M)
@@ -248,7 +260,7 @@ class PallasChannelizer:
             out_specs=pl.BlockSpec((2 * M, NF), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2 * M, width_out),
-                                           jnp.float32),
+                                           out_dtype),
             scratch_shapes=[
                 pltpu.VMEM((M, NF), jnp.float32),
                 pltpu.VMEM((M, NF), jnp.float32),
@@ -256,7 +268,9 @@ class PallasChannelizer:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(ar, ar, ai, ai, jnp.asarray(self.GRe), jnp.asarray(self.GIm),
+        )(ar, ar, ai, ai,
+          jnp.asarray(self.GRe, get_handoff_dtype()),
+          jnp.asarray(self.GIm, get_handoff_dtype()),
           jnp.asarray(self.sgn))
 
         nh = K0 - h

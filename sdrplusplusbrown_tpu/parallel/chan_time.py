@@ -331,9 +331,10 @@ class ShardedChannelizedPipeline:
                 bins, _ = vb.chz.apply_planes(chz_state, x_local,
                                               pad_to=pad_to)
             M = self.M
+            # bins may ride the bf16 handoff dtype (pallas channelizer)
             bins_tail_c = jax.lax.complex(
-                bins[:M, Tb - self.n_gath:Tb],
-                bins[M:, Tb - self.n_gath:Tb])
+                bins[:M, Tb - self.n_gath:Tb].astype(jnp.float32),
+                bins[M:, Tb - self.n_gath:Tb].astype(jnp.float32))
         else:
             bins_c, _ = vb.chz.apply(None, chz_state, x_local)
             bins_tail_c = bins_c[..., Tb - self.n_gath:]
@@ -382,8 +383,10 @@ class ShardedChannelizedPipeline:
             if raw:
                 iq_raw, m_if = y
                 tr = jax.lax.complex(
-                    iq_raw[:Cl, m_if - self.n_if:m_if],
-                    iq_raw[Cl:, m_if - self.n_if:m_if])
+                    iq_raw[:Cl, m_if - self.n_if:m_if]
+                    .astype(jnp.float32),
+                    iq_raw[Cl:, m_if - self.n_if:m_if]
+                    .astype(jnp.float32))
             elif self.use_kernels and self._chan_pipe is not None:
                 xr, xi = y
                 tr = jax.lax.complex(xr[..., -self.n_if:],
