@@ -76,12 +76,15 @@ def sync_observable() -> bool:
         return jax.jit(f)
 
     x = jnp.ones((1 << 19,), jnp.complex64)
-    f1, f2 = make(8), make(16)
+    f1, f2 = make(8), make(64)
     jax.block_until_ready((f1(x), f2(x)))   # compile+warm
-    t1 = min(_time_once(f1, x) for _ in range(3))
-    t2 = min(_time_once(f2, x) for _ in range(3))
-    _SYNC_PROBE = bool(t1 > 0 and 1.6 <= t2 / t1 <= 2.6)
-    print(f"# sync probe: t(8)={t1*1e3:.2f}ms t(16)={t2*1e3:.2f}ms "
+    # 8x the serial work must cost ~8x the wall time; one octave with
+    # few reps was fooled once by RTT noise on the ~0.07 ms tunnel
+    # floor (a 2x spike reads as "scaling")
+    t1 = min(_time_once(f1, x) for _ in range(7))
+    t2 = min(_time_once(f2, x) for _ in range(7))
+    _SYNC_PROBE = bool(t1 > 0 and 5.0 <= t2 / t1 <= 12.0)
+    print(f"# sync probe: t(8)={t1*1e3:.2f}ms t(64)={t2*1e3:.2f}ms "
           f"observable={_SYNC_PROBE}", file=sys.stderr)
     return _SYNC_PROBE
 
@@ -304,8 +307,12 @@ def build_scanner(C=128):
     g = radio.in_multiple
     T = int(((240_000 + g - 1) // g) * g)
     rng = np.random.default_rng(3)
-    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
-         ).astype(np.complex64) * 0.1
+    # (xr, xi) plane feed — same production ingestion format as the
+    # wfm8 config: the PFB kernel reads the planes' natural
+    # [T/128, 128] row view directly (ops/pallas_channelizer.py V2);
+    # sources delivering interleaved/complex IQ pay a one-off split
+    xr = (rng.standard_normal(T) * 0.1).astype(np.float32)
+    xi = (rng.standard_normal(T) * 0.1).astype(np.float32)
     offs = np.linspace(-1.1e6, 1.1e6, C) + 917.0
 
     def step(params, state, xw):
@@ -316,7 +323,8 @@ def build_scanner(C=128):
         return (audio,), state
 
     return (step, radio.make_params_channelized(offs),
-            radio.init_state_channelized(C), jnp.asarray(x), T)
+            radio.init_state_channelized(C),
+            (jnp.asarray(xr), jnp.asarray(xi)), T)
 
 
 def bench_scanner128(C=128):

@@ -450,10 +450,16 @@ def apply_channelized(self, params, state, x, _force_fused=None,
     runs as ONE pallas kernel (ops/chan_frontend.py) with the squelch's
     whole-block |y| mean accumulated in-kernel and the gate folded into
     the demodulator's input pass — same outputs as the chained path
-    (squelch zeroes the IF before demod, reference squelch.h:55-69)."""
-    if x.shape[-1] % self.in_multiple:
+    (squelch zeroes the IF before demod, reference squelch.h:55-69).
+
+    x may be the complex wideband [T] or its (xr, xi) float32 planes —
+    the cheapest ingestion format on TPU (the PFB kernel reads the
+    planes' natural row view directly; sources that deliver interleaved
+    or complex IQ pay a one-off split at ingestion)."""
+    Tx = (x[0] if isinstance(x, tuple) else x).shape[-1]
+    if Tx % self.in_multiple:
         raise ValueError(
-            f"Radio[{self.demod_name}]: block length {x.shape[-1]} must "
+            f"Radio[{self.demod_name}]: block length {Tx} must "
             f"be a multiple of in_multiple={self.in_multiple}")
     vb = self._build_vfo_channelized()
     st = dict(state)
@@ -517,6 +523,8 @@ def apply_channelized(self, params, state, x, _force_fused=None,
                     y = y * gate
                 y, st["demod"] = self.demod.apply(None, state["demod"], y)
             return self._post_demod(state, st, y, mono_out=mono_out)
+    if isinstance(x, tuple):
+        x = jax.lax.complex(*x)
     y, st["vfo"] = vb.apply(params["vfo"], state["vfo"], x)
     return self._post_vfo(params, state, st, y, mono_out=mono_out)
 

@@ -194,18 +194,23 @@ class ChannelizedRxVFOBank(Block):
         if pipe is None or "xl_sup" not in params:
             return None
         st = dict(state)
-        Tb = 2 * x.shape[-1] // self.M
+        Tx = (x[0] if isinstance(x, tuple) else x).shape[-1]
+        Tb = 2 * Tx // self.M
         pad_to = pipe._plan(Tb)["Tb_pad"]
         pz = self._pallas_chz(interpret)
-        if pz is not None and pad_to % pz.NF == 0:
+        if pz is not None and pz.ok_for(Tx, pad_to):
             # whole channelizer as ONE kernel emitting the exact bins
             # layout the post-channelizer kernel eats (the padded tail
-            # holds garbage frames — chan_frontend masks/trims them)
+            # holds garbage frames — chan_frontend masks/trims them).
+            # V2 eats (xr, xi) planes directly — the cheapest ingestion
+            # format (free [T/128, 128] row bitcast, no relayout pass)
             bins, st["chz"] = pz.apply(state["chz"], x, pad_to)
             y, sq_sums, st2 = pipe.apply(params, st, bins,
                                          return_planes=return_planes,
                                          Tb=Tb, raw=raw)
             return y, sq_sums, st2
+        if isinstance(x, tuple):
+            x = jax.lax.complex(*x)
         # tuple planes + in-pipe concat/pad measured CHEAPER than the
         # single stacked+padded emit (XLA fuses the concat better than
         # the [2,M,k,2] stack-reshape): 694.6 vs 770 B/in-sample whole

@@ -211,6 +211,8 @@ class PallasChannelizer:
         if out_dtype is None:
             out_dtype = get_handoff_dtype()
         M, h, K0, NF = self.M, self.h, self.K0, self.NF
+        if isinstance(x, tuple):
+            x = jax.lax.complex(*x)
         T = x.shape[-1]
         assert T % M == 0, (T, M)
         Tb = 2 * T // M
@@ -279,8 +281,308 @@ class PallasChannelizer:
         new_state = self._xw_to_state(tail)
         return bins, new_state
 
+    def ok_for(self, T: int, width_out: int) -> bool:
+        return width_out % self.NF == 0
+
+
+def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
+                 pie_ref, pio_ref, o_ref, rb_r, rb_i, sl_r, sl_i, *, cfg):
+    i = pl.program_id(0)
+    h, K0 = cfg["h"], cfg["K0"]
+    Lsc, n_r, n_g = cfg["Lsc"], cfg["n_r"], cfg["n_g"]
+    Bs, n_b, Ws = cfg["Bs"], cfg["n_b"], cfg["Ws"]
+    n_u, NF = cfg["n_u"], cfg["NF"]
+    nl, rows_step = cfg["n_lead"], cfg["rows_step"]
+    nrow_b, k_max = cfg["nrow_b"], cfg["k_max"]
+    T, twoM = cfg["T"], cfg["twoM"]
+    step = rows_step * 128
+
+    # ---- tap slabs built ONCE per call (grid-persistent scratch): the
+    # banded layout is the same for every bucket (rows [s·h, s·h+K0),
+    # cols [128s, 128(s+1)) ← the compact per-parity P operands), so
+    # the whole call ships 4 small (K0, 128) matrices instead of the
+    # spread toeplitz form
+    @pl.when(i == 0)
+    def _slabs():
+        sl_r[...] = jnp.zeros_like(sl_r)
+        sl_i[...] = jnp.zeros_like(sl_i)
+        for s in range(Bs):
+            pr = pre_ref if s % 2 == 0 else pro_ref
+            pi_ = pie_ref if s % 2 == 0 else pio_ref
+            sl_r[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
+                pr[...].astype(jnp.float32)
+            sl_i[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
+                pi_[...].astype(jnp.float32)
+
+    # ---- rolling stream rows: n_lead lookback rows + current block ----
+    @pl.when(i == 0)
+    def _edge():
+        rb_r[0:nl, :] = er_ref[...]
+        rb_i[0:nl, :] = ei_ref[...]
+
+    @pl.when(i > 0)
+    def _roll():
+        rb_r[0:nl, :] = rb_r[rows_step:rows_step + nl, :]
+        rb_i[0:nl, :] = rb_i[rows_step:rows_step + nl, :]
+
+    # the last block may read past the stream (pallas pads OOB fetches
+    # with unspecified values — NaN under interpret, and 0·NaN = NaN
+    # would poison the one-hot select matmuls): zero invalid entries AT
+    # THE WRITE, which also reproduces the chained path's zero-padded
+    # ext semantics for the garbage tail frames
+    vidx = (i * step
+            + 128 * jax.lax.broadcasted_iota(jnp.int32,
+                                             (rows_step, 128), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (rows_step, 128), 1))
+    vok = vidx < T
+    rb_r[nl:nl + rows_step, :] = jnp.where(vok, xr_ref[...], 0.0)
+    rb_i[nl:nl + rows_step, :] = jnp.where(vok, xi_ref[...], 0.0)
+
+    # ---- W_k = strided row-select (stride n_r, offset k) of the
+    # stream rows, one per lane-window row; one-hot MXU matmuls (no
+    # Mosaic strided sublane gather)
+    rbr = rb_r[0:nl + rows_step, :]
+    rbi = rb_i[0:nl + rows_step, :]
+    rows_tot = nl + rows_step
+    u_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 0)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 1)
+    Wk = []
+    for k in range(k_max):
+        Rk = (r_i == n_r * u_i + k).astype(jnp.float32)
+        wr = jnp.dot(Rk, rbr, preferred_element_type=jnp.float32)
+        wi = jnp.dot(Rk, rbi, preferred_element_type=jnp.float32)
+        Wk.append((wr, wi))
+
+    # ---- buckets: roll-aligned windows × the static banded slabs ----
+    o_acc = jnp.zeros((128, NF), jnp.float32)
+    cW = nrow_b * 128
+    for q in range(n_b):
+        a_q, c_q = cfg["aq"][q], cfg["cq"][q]
+        wr4 = jnp.concatenate([Wk[a_q + k][0] for k in range(nrow_b)], 1)
+        wi4 = jnp.concatenate([Wk[a_q + k][1] for k in range(nrow_b)], 1)
+        if c_q:
+            wr4 = pltpu.roll(wr4, cW - c_q, 1)
+            wi4 = pltpu.roll(wi4, cW - c_q, 1)
+        wrq = jax.lax.slice(wr4, (0, 0), (n_u, Ws))
+        wiq = jax.lax.slice(wi4, (0, 0), (n_u, Ws))
+        Oq = (jnp.dot(wrq, sl_r[...], preferred_element_type=jnp.float32)
+              + jnp.dot(wiq, sl_i[...],
+                        preferred_element_type=jnp.float32))
+        # un-interleave: frame F = i·NF + n_g·u + Bs·q + s; strided
+        # lane writes are forbidden → transpose + one-hot spread
+        for s in range(Bs):
+            Qs = jax.lax.slice(Oq, (0, 128 * s), (n_u, 128 * (s + 1)))
+            g = q * Bs + s
+            Sg = (jax.lax.broadcasted_iota(jnp.int32, (n_u, NF), 1)
+                  == n_g * jax.lax.broadcasted_iota(
+                      jnp.int32, (n_u, NF), 0) + g).astype(jnp.float32)
+            o_acc = o_acc + jnp.dot(Qs.T, Sg,
+                                    preferred_element_type=jnp.float32)
+    o_ref[...] = o_acc[0:twoM, :].astype(o_ref.dtype)
+
+
+class PallasChannelizerV2:
+    """2×-oversampled PFB fed STRAIGHT from the wideband (xr, xi)
+    planes' natural [T/128, 128] row view — a true free bitcast of the
+    1-D stream, unlike the hop-major [CL, M] feed whose minor dim < 128
+    forces XLA relayout passes (measured ~88 HBM B/in-sample of
+    extract/reshape/concat glue at scanner-128).  The kernel assembles
+    lane-windows itself:
+
+      * strided row-selects (one-hot MXU matmuls) build per-superchunk
+        window rows W_k from a rolling VMEM row buffer (n_lead lookback
+        rows carried across grid steps; step 0 seeds them from the
+        state-derived edge operand);
+      * per bucket of Bs consecutive frames, a uniform lane roll aligns
+        the window and ONE matmul against a static banded slab computes
+        all Bs frames × all 2M bin planes — the slab (built once per
+        call in scratch from 4 compact (K0, 128) operands) is identical
+        for every bucket because the frame offset pattern repeats every
+        Bs frames, and the delayed-pass (−1)^m sign folds into the
+        even-parity columns;
+      * the frame-interleaved output is un-interleaved by transpose +
+        one-hot spread matmuls (Mosaic has no strided lane writes).
+
+    Same output layout, state dict and numerical contract as
+    PallasChannelizer (equality asserted in tests); HBM per call: the
+    two f32 planes once, 4·(K0·128) taps, bins out in the handoff
+    dtype.  reference behavior: channel/rx_vfo.h:89-121 (one RxVFO per
+    channel); the PFB split is this repo's wide-bank redesign."""
+
+    def __init__(self, chz, interpret: bool = False):
+        self.chz = chz
+        self.interpret = interpret
+        self.M = M = int(chz.M)
+        self.h = h = M // 2
+        self.tpp = tpp = int(chz.tpp)
+        self.K0 = K0 = tpp * M
+        self.supported = False
+        if h % 8 or K0 % 8 or tpp < 2 or 2 * M > 128:
+            return
+        from math import gcd
+        self.Lsc = Lsc = h * 128 // gcd(h, 128)
+        self.n_g = n_g = Lsc // h
+        self.n_r = n_r = Lsc // 128
+        self.NF = NF = 256
+        if NF % n_g or n_g % 2:
+            return
+        self.n_u = NF // n_g
+        hist = K0 - h
+        if hist > Lsc:                 # lookback must fit n_lead rows
+            return
+        self.n_lead = n_r
+        self.rows_step = NF * h // 128
+        # bucket size: even divisor of n_g minimizing the slab width
+        best = None
+        d = 2
+        while d <= n_g:
+            if n_g % d == 0:
+                Ws = _rup(K0 + (d - 1) * h, 128)
+                if best is None or (Ws, -d) < best[:2]:
+                    best = (Ws, -d, d)
+            d += 2
+        self.Ws, _, self.Bs = best
+        self.n_b = n_g // self.Bs
+        lead = Lsc - hist
+        self.aq = tuple((lead + q * self.Bs * h) // 128
+                        for q in range(self.n_b))
+        self.cq = tuple((lead + q * self.Bs * h) % 128
+                        for q in range(self.n_b))
+        self.nrow_b = max(-(-(c + self.Ws) // 128) for c in self.cq)
+        self.k_max = max(a + self.nrow_b for a in self.aq)
+        if self.k_max > n_r + self.rows_step:
+            return
+        # compact per-parity tap operands P[ℓ, m] (cols m: re-out from
+        # this plane; cols M+m: im-out), zero-padded to 128 lanes;
+        # G[m, ℓ] = proto_natural[ℓ]·e^{−2πimℓ/M}
+        pn = np.zeros(K0)
+        br = np.asarray(chz.branches, np.float64)
+        for p in range(M):
+            pn[np.arange(tpp) * M + p] = br[p]
+        ell = np.arange(K0)
+        ang = -2.0 * np.pi * np.outer(np.arange(M), ell) / M
+        gr = (pn[None, :] * np.cos(ang)).astype(np.float64)
+        gi = (pn[None, :] * np.sin(ang)).astype(np.float64)
+        sg = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)
+
+        Pr = np.zeros((K0, 128), np.float32)
+        Pr[:, :M] = gr.T
+        Pr[:, M:2 * M] = gi.T
+        Pi = np.zeros((K0, 128), np.float32)
+        Pi[:, :M] = (-gi).T
+        Pi[:, M:2 * M] = gr.T
+        sg2 = np.ones(128, np.float32)
+        sg2[:M] = sg
+        sg2[M:2 * M] = sg
+        self.Pro, self.Pio = Pr, Pi
+        self.Pre, self.Pie = Pr * sg2[None, :], Pi * sg2[None, :]
+        self.supported = True
+
+    _state_to_xw = PallasChannelizer._state_to_xw
+    _xw_to_state = PallasChannelizer._xw_to_state
+
+    def ok_for(self, T: int, width_out: int) -> bool:
+        return (width_out % self.NF == 0 and T % 128 == 0
+                and T % self.M == 0)
+
+    def apply(self, state, x, width_out: int, out_dtype=None):
+        """x: [T] complex wideband or (xr, xi) f32 planes →
+        (bins [2M, width_out] planes in ``out_dtype`` (default: the
+        kernel-handoff storage dtype), state')."""
+        from .precision import get_handoff_dtype
+        h_dt = get_handoff_dtype()
+        if out_dtype is None:
+            out_dtype = h_dt
+        M, h, K0, NF = self.M, self.h, self.K0, self.NF
+        if isinstance(x, tuple):
+            xr, xi = x
+            T = xr.shape[-1]
+        else:
+            T = x.shape[-1]
+            xr = jnp.real(x)
+            xi = jnp.imag(x)
+        assert self.ok_for(T, width_out), (T, width_out, M, NF)
+        Tb = 2 * T // M
+        assert width_out >= Tb, (width_out, Tb)
+        n_super = width_out // NF
+
+        xw = self._state_to_xw(state)
+        lead = self.Lsc - (K0 - h)
+        er = jnp.pad(jnp.real(xw).astype(jnp.float32),
+                     (lead, 0)).reshape(self.n_lead, 128)
+        ei = jnp.pad(jnp.imag(xw).astype(jnp.float32),
+                     (lead, 0)).reshape(self.n_lead, 128)
+        xr2 = xr.astype(jnp.float32).reshape(-1, 128)
+        xi2 = xi.astype(jnp.float32).reshape(-1, 128)
+
+        cfg = dict(h=h, K0=K0, Lsc=self.Lsc, n_r=self.n_r,
+                   n_g=self.n_g, Bs=self.Bs, n_b=self.n_b, Ws=self.Ws,
+                   n_u=self.n_u, NF=NF, n_lead=self.n_lead,
+                   rows_step=self.rows_step, nrow_b=self.nrow_b,
+                   k_max=self.k_max, T=T, twoM=2 * M,
+                   aq=self.aq, cq=self.cq)
+        rows_tot = self.n_lead + self.rows_step
+        rows_pad = _rup(rows_tot, 8)
+        flops = n_super * (
+            2 * self.k_max * 2 * self.n_u * rows_tot * 128   # selects
+            + self.n_b * 2 * 2 * self.n_u * self.Ws * self.Bs * 128
+            + self.n_g * 2 * 128 * self.n_u * NF)            # spread
+        from .pallas_cost import costed_pallas_call
+        bins = costed_pallas_call(
+            functools.partial(_chz2_kernel, cfg=cfg),
+            grid=(n_super,),
+            flops=int(flops),
+            label="pfb_channelizer",
+            in_specs=[
+                pl.BlockSpec((self.rows_step, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.rows_step, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.n_lead, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.n_lead, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((K0, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec((2 * M, NF), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2 * M, width_out),
+                                           out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((rows_pad, 128), jnp.float32),
+                pltpu.VMEM((self.Ws, self.Bs * 128), jnp.float32),
+                pltpu.VMEM((self.Ws, self.Bs * 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(xr2, xi2, er, ei,
+          jnp.asarray(self.Pre, h_dt), jnp.asarray(self.Pro, h_dt),
+          jnp.asarray(self.Pie, h_dt), jnp.asarray(self.Pio, h_dt))
+
+        nh = K0 - h
+        if isinstance(x, tuple):
+            tailx = (jax.lax.complex(xr[..., T - nh:], xi[..., T - nh:])
+                     if T >= nh else None)
+        else:
+            tailx = x[..., T - nh:] if T >= nh else None
+        tail = (tailx if tailx is not None
+                else jnp.concatenate(
+                    [xw, jax.lax.complex(xr, xi)])[..., -nh:])
+        # barrier: without it the algebraic simplifier rewrites the
+        # reshape-of-slice in _xw_to_state as a minor-48 reshape of the
+        # WHOLE plane (two full relayout passes + staging copies,
+        # measured 32 HBM B/in-sample at T=240k)
+        tail = jax.lax.optimization_barrier(tail)
+        new_state = self._xw_to_state(tail)
+        return bins, new_state
+
 
 def build_pallas_channelizer(chz, interpret: bool = False
                              ) -> Optional[PallasChannelizer]:
+    p2 = PallasChannelizerV2(chz, interpret=interpret)
+    if p2.supported:
+        return p2
     p = PallasChannelizer(chz, interpret=interpret)
     return p if p.supported else None

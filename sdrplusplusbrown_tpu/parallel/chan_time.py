@@ -325,7 +325,8 @@ class ShardedChannelizedPipeline:
         Tb = self.Tb_local
         if self.use_kernels and self._chan_pipe is not None:
             pad_to = self._chan_pipe._plan(Tb)["Tb_pad"]
-            if self._pz is not None and pad_to % self._pz.NF == 0:
+            if self._pz is not None and self._pz.ok_for(
+                    x_local.shape[-1], pad_to):
                 bins, _ = self._pz.apply(chz_state, x_local, pad_to)
             else:
                 bins, _ = vb.chz.apply_planes(chz_state, x_local,

@@ -133,6 +133,39 @@ def test_pallas_channelizer_equality(rng):
     assert snr > 90, snr
 
 
+def test_pallas_channelizer_v2_vs_v1(rng):
+    """The plane-fed V2 kernel (natural [T/128, 128] row view, in-kernel
+    window assembly) == the hop-major V1 kernel, bins AND state, on a
+    length with a PARTIAL last x block (the OOB-row zero-mask path);
+    the (xr, xi) tuple feed == the complex feed."""
+    from sdrplusplusbrown_tpu.ops.pallas_channelizer import (
+        PallasChannelizer, PallasChannelizerV2)
+    vb = _bank()
+    chz = vb.chz
+    v1 = PallasChannelizer(chz, interpret=True)
+    v2 = PallasChannelizerV2(chz, interpret=True)
+    assert v1.supported and v2.supported
+    T = 384 * 30            # 90 rows -> 1.875 blocks of 48
+    x = _wideband(rng, T)
+    Tb = 2 * T // chz.M
+    W = (Tb + v1.NF - 1) // v1.NF * v1.NF
+    st = chz.init_state()
+    b1, s1 = v1.apply(st, jnp.asarray(x), W, out_dtype=jnp.float32)
+    b2, s2 = v2.apply(st, jnp.asarray(x), W, out_dtype=jnp.float32)
+    xr = jnp.asarray(np.real(x).astype(np.float32))
+    xi = jnp.asarray(np.imag(x).astype(np.float32))
+    b3, s3 = v2.apply(st, (xr, xi), W, out_dtype=jnp.float32)
+    b1, b2, b3 = map(np.asarray, (b1, b2, b3))
+    assert not np.isnan(b2).any()
+    assert np.abs(b1[:, :Tb] - b2[:, :Tb]).max() < 1e-5
+    np.testing.assert_array_equal(b2, b3)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2[k]), np.asarray(s3[k]),
+                                   atol=1e-6)
+
+
 def test_fm_audio_chunked_equality(rng):
     """apply_chunked over 16-channel kernel launches == one 32-channel
     launch (wide banks chunk around the scoped-VMEM cap)."""
