@@ -224,6 +224,7 @@ def build_wfm8():
 def build_channelizer64():
     """BASELINE config 4: 10 MS/s wideband → 64 polyphase channels →
     per-channel FFT spectra."""
+    import jax
     import jax.numpy as jnp
     from sdrplusplusbrown_tpu.ops.channelizer import PolyphaseChannelizer
 
@@ -232,16 +233,31 @@ def build_channelizer64():
     ch = PolyphaseChannelizer(fs, M)
     T = 1 << 21
     rng = np.random.default_rng(1)
-    x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
-         ).astype(np.complex64) * 0.1
+    # (xr, xi) plane feed — same production ingestion format as the
+    # wfm8/scanner configs (the PFB kernel reads the planes' natural
+    # [T/128, 128] row view directly)
+    xr = (rng.standard_normal(T) * 0.1).astype(np.float32)
+    xi = (rng.standard_normal(T) * 0.1).astype(np.float32)
 
     def step(params, state, xw):
-        y, state = ch.apply(None, state, xw)
+        from sdrplusplusbrown_tpu.ops.pallas_fft import (
+            fft_pow_pallas_ok, fft_power_db_planes)
+        k = T // M
+        res = ch.apply_planes(state, xw) if fft_pow_pallas_ok(1024) \
+            else None
+        if res is not None:
+            # whole channelizer as ONE kernel emitting re|im planes the
+            # FFT kernel eats directly (no complex materialization)
+            bins, state = res
+            yr = bins[:M, :k].reshape(M, -1, 1024)
+            yi = bins[M:, :k].reshape(M, -1, 1024)
+            spec = fft_power_db_planes(yr, yi, 1024)
+            return (spec,), state
+        xc = jax.lax.complex(*xw) if isinstance(xw, tuple) else xw
+        y, state = ch.apply(None, state, xc)
         # per-channel 1024-bin dB power spectra (the app's spectrum
         # product) through the fused 4-step matmul-FFT kernel — the
         # jnp.fft route costs ~11 radix passes of HBM per frame
-        from sdrplusplusbrown_tpu.ops.pallas_fft import (
-            fft_pow_pallas_ok, fft_power_db_planes)
         fr = y.reshape(M, -1, 1024)
         if fft_pow_pallas_ok(1024):
             spec = fft_power_db_planes(jnp.real(fr), jnp.imag(fr), 1024)
@@ -249,7 +265,8 @@ def build_channelizer64():
             spec = jnp.abs(jnp.fft.fft(fr, axis=-1)) ** 2
         return (spec,), state
 
-    return step, None, ch.init_state(()), jnp.asarray(x), T
+    return (step, None, ch.init_state(()),
+            (jnp.asarray(xr), jnp.asarray(xi)), T)
 
 
 def bench_channelizer():

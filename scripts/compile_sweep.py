@@ -101,8 +101,9 @@ def sweep():
             _c(lambda a: fused_mix_decim_apply(a, jnp.asarray(g), D), x)
         case(f"fused_mix C={C} D={D}", f)
 
-    # ---- FFT power kernel --------------------------------------------------
-    for N in (4096, 65536, 262144):
+    # ---- FFT power kernel (1024/4096 exercise the N1<128 natural-order
+    # regroup; 65536+ the direct square write) ------------------------------
+    for N in (1024, 4096, 65536, 262144):
         def f(N=N):
             F = 2
             xr = jnp.zeros((F, N), jnp.float32)

@@ -71,6 +71,37 @@ class PolyphaseChannelizer(Block):
         y = jnp.fft.fft(v, axis=-2)
         return y, new_state
 
+    def _pallas(self, interpret: bool = False):
+        cache = getattr(self, "_pz_cache", None)
+        if cache is None:
+            cache = self._pz_cache = {}
+        if interpret not in cache:
+            from .pallas_channelizer import build_pallas_poly_channelizer
+            cache[interpret] = build_pallas_poly_channelizer(
+                self, interpret=interpret)
+        return cache[interpret]
+
+    def apply_planes(self, state, x, width_out: int | None = None,
+                     out_dtype=None, interpret: bool = False):
+        """Whole-channelizer pallas kernel emitting the [2M, W] re|im
+        plane stack (ops/pallas_channelizer.py:PallasPolyChannelizer):
+        x is the complex wideband [T] or its (xr, xi) f32 planes; the
+        padded tail beyond T/M frames is garbage for the caller to
+        trim.  Returns (bins, state') — state dict interchanges exactly
+        with apply() — or None when the geometry/length can't use the
+        kernel (callers fall back to apply())."""
+        pz = self._pallas(interpret)
+        if pz is None:
+            return None
+        T = (x[0] if isinstance(x, tuple) else x).shape[-1]
+        k = T // self.M
+        W = width_out if width_out is not None \
+            else -(-k // pz.NF) * pz.NF
+        if not pz.ok_for(T, W):
+            return None
+        bins, st = pz.apply(state, x, W, out_dtype=out_dtype)
+        return bins, st
+
 
 class OversampledChannelizer(Block):
     """2×-oversampled polyphase channelizer: M bins spaced fs/M, each

@@ -319,6 +319,12 @@ def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
     def _edge():
         rb_r[0:nl, :] = er_ref[...]
         rb_i[0:nl, :] = ei_ref[...]
+        if rb_r.shape[0] > nl + rows_step:
+            # zero the sublane-pad rows once: a rolled select may wrap
+            # into them (always under zero taps, but NaN·0 = NaN)
+            pad0 = (nl + rows_step) // 8 * 8
+            rb_r[pad0:, :] = jnp.zeros_like(rb_r[pad0:, :])
+            rb_i[pad0:, :] = jnp.zeros_like(rb_i[pad0:, :])
 
     @pl.when(i > 0)
     def _roll():
@@ -339,19 +345,32 @@ def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
     rb_i[nl:nl + rows_step, :] = jnp.where(vok, xi_ref[...], 0.0)
 
     # ---- W_k = strided row-select (stride n_r, offset k) of the
-    # stream rows, one per lane-window row; one-hot MXU matmuls (no
-    # Mosaic strided sublane gather)
-    rbr = rb_r[0:nl + rows_step, :]
-    rbi = rb_i[0:nl + rows_step, :]
+    # stream rows, one per lane-window row
     rows_tot = nl + rows_step
-    u_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 0)
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 1)
     Wk = []
-    for k in range(k_max):
-        Rk = (r_i == n_r * u_i + k).astype(jnp.float32)
-        wr = jnp.dot(Rk, rbr, preferred_element_type=jnp.float32)
-        wi = jnp.dot(Rk, rbi, preferred_element_type=jnp.float32)
-        Wk.append((wr, wi))
+    if n_r == 1:
+        # stride 1: W_k is just rows [k, k+n_u) — a sublane roll +
+        # aligned slice, no matmul (k_max ≤ rows_tot, so no wrap)
+        rbr = rb_r[...]
+        rbi = rb_i[...]
+        rp = rbr.shape[0]
+        for k in range(k_max):
+            vr = pltpu.roll(rbr, rp - k, 0) if k else rbr
+            vi = pltpu.roll(rbi, rp - k, 0) if k else rbi
+            Wk.append((jax.lax.slice(vr, (0, 0), (n_u, 128)),
+                       jax.lax.slice(vi, (0, 0), (n_u, 128))))
+    else:
+        # general stride: one-hot MXU matmuls (no Mosaic strided
+        # sublane gather)
+        rbr = rb_r[0:rows_tot, :]
+        rbi = rb_i[0:rows_tot, :]
+        u_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 0)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 1)
+        for k in range(k_max):
+            Rk = (r_i == n_r * u_i + k).astype(jnp.float32)
+            wr = jnp.dot(Rk, rbr, preferred_element_type=jnp.float32)
+            wi = jnp.dot(Rk, rbi, preferred_element_type=jnp.float32)
+            Wk.append((wr, wi))
 
     # ---- buckets: roll-aligned windows × the static banded slabs ----
     o_acc = jnp.zeros((128, NF), jnp.float32)
@@ -417,40 +436,7 @@ class PallasChannelizerV2:
         self.tpp = tpp = int(chz.tpp)
         self.K0 = K0 = tpp * M
         self.supported = False
-        if h % 8 or K0 % 8 or tpp < 2 or 2 * M > 128:
-            return
-        from math import gcd
-        self.Lsc = Lsc = h * 128 // gcd(h, 128)
-        self.n_g = n_g = Lsc // h
-        self.n_r = n_r = Lsc // 128
-        self.NF = NF = 256
-        if NF % n_g or n_g % 2:
-            return
-        self.n_u = NF // n_g
-        hist = K0 - h
-        if hist > Lsc:                 # lookback must fit n_lead rows
-            return
-        self.n_lead = n_r
-        self.rows_step = NF * h // 128
-        # bucket size: even divisor of n_g minimizing the slab width
-        best = None
-        d = 2
-        while d <= n_g:
-            if n_g % d == 0:
-                Ws = _rup(K0 + (d - 1) * h, 128)
-                if best is None or (Ws, -d) < best[:2]:
-                    best = (Ws, -d, d)
-            d += 2
-        self.Ws, _, self.Bs = best
-        self.n_b = n_g // self.Bs
-        lead = Lsc - hist
-        self.aq = tuple((lead + q * self.Bs * h) // 128
-                        for q in range(self.n_b))
-        self.cq = tuple((lead + q * self.Bs * h) % 128
-                        for q in range(self.n_b))
-        self.nrow_b = max(-(-(c + self.Ws) // 128) for c in self.cq)
-        self.k_max = max(a + self.nrow_b for a in self.aq)
-        if self.k_max > n_r + self.rows_step:
+        if tpp < 2 or not self._geom(h, bs_step=2):
             return
         # compact per-parity tap operands P[ℓ, m] (cols m: re-out from
         # this plane; cols M+m: im-out), zero-padded to 128 lanes;
@@ -461,16 +447,12 @@ class PallasChannelizerV2:
             pn[np.arange(tpp) * M + p] = br[p]
         ell = np.arange(K0)
         ang = -2.0 * np.pi * np.outer(np.arange(M), ell) / M
-        gr = (pn[None, :] * np.cos(ang)).astype(np.float64)
-        gi = (pn[None, :] * np.sin(ang)).astype(np.float64)
+        gr = pn[None, :] * np.cos(ang)
+        gi = pn[None, :] * np.sin(ang)
+        Pr, Pi = self._pack(gr, gi)
+        # delayed-pass (−1)^m sign on EVEN frames (Bs even → frame
+        # parity == in-bucket parity s)
         sg = np.where(np.arange(M) % 2 == 0, 1.0, -1.0)
-
-        Pr = np.zeros((K0, 128), np.float32)
-        Pr[:, :M] = gr.T
-        Pr[:, M:2 * M] = gi.T
-        Pi = np.zeros((K0, 128), np.float32)
-        Pi[:, :M] = (-gi).T
-        Pi[:, M:2 * M] = gr.T
         sg2 = np.ones(128, np.float32)
         sg2[:M] = sg
         sg2[M:2 * M] = sg
@@ -480,6 +462,62 @@ class PallasChannelizerV2:
 
     _state_to_xw = PallasChannelizer._state_to_xw
     _xw_to_state = PallasChannelizer._xw_to_state
+
+    def _frames(self, T: int) -> int:
+        return 2 * T // self.M
+
+    def _geom(self, A: int, bs_step: int) -> bool:
+        """Window geometry for frame advance A (= h oversampled,
+        = M critically sampled): superchunk Lsc = lcm(A, 128) with n_g
+        frames / n_r rows, n_lead lookback rows, and the bucket size Bs
+        (a multiple of ``bs_step`` so any parity-dependent taps stay
+        bucket-independent) minimizing the slab width."""
+        from math import gcd
+        M, K0 = self.M, self.K0
+        self.A = A
+        if A % 8 or K0 % 8 or 2 * M > 128:
+            return False
+        self.Lsc = Lsc = A * 128 // gcd(A, 128)
+        self.n_g = n_g = Lsc // A
+        self.n_r = Lsc // 128
+        self.NF = NF = 256
+        if NF % n_g or n_g % 2:
+            return False
+        self.n_u = NF // n_g
+        hist = K0 - A
+        self.n_lead = -(-hist // 128)
+        self.rows_step = NF * A // 128
+        best = None
+        d = bs_step
+        while d <= n_g:
+            if n_g % d == 0:
+                Ws = _rup(K0 + (d - 1) * A, 128)
+                if best is None or (Ws, -d) < best[:2]:
+                    best = (Ws, -d, d)
+            d += bs_step
+        if best is None:
+            return False
+        self.Ws, _, self.Bs = best
+        self.n_b = n_g // self.Bs
+        lead = self.n_lead * 128 - hist
+        self.aq = tuple((lead + q * self.Bs * A) // 128
+                        for q in range(self.n_b))
+        self.cq = tuple((lead + q * self.Bs * A) % 128
+                        for q in range(self.n_b))
+        self.nrow_b = max(-(-(c + self.Ws) // 128) for c in self.cq)
+        self.k_max = max(a + self.nrow_b for a in self.aq)
+        return self.k_max <= self.n_lead + self.rows_step
+
+    def _pack(self, gr, gi):
+        """[M, K0] complex taps → (P_for_xr, P_for_xi) [K0, 128]."""
+        M, K0 = self.M, self.K0
+        Pr = np.zeros((K0, 128), np.float32)
+        Pr[:, :M] = gr.T
+        Pr[:, M:2 * M] = gi.T
+        Pi = np.zeros((K0, 128), np.float32)
+        Pi[:, :M] = (-gi).T
+        Pi[:, M:2 * M] = gr.T
+        return Pr, Pi
 
     def ok_for(self, T: int, width_out: int) -> bool:
         return (width_out % self.NF == 0 and T % 128 == 0
@@ -493,7 +531,7 @@ class PallasChannelizerV2:
         h_dt = get_handoff_dtype()
         if out_dtype is None:
             out_dtype = h_dt
-        M, h, K0, NF = self.M, self.h, self.K0, self.NF
+        M, A, K0, NF = self.M, self.A, self.K0, self.NF
         if isinstance(x, tuple):
             xr, xi = x
             T = xr.shape[-1]
@@ -502,12 +540,12 @@ class PallasChannelizerV2:
             xr = jnp.real(x)
             xi = jnp.imag(x)
         assert self.ok_for(T, width_out), (T, width_out, M, NF)
-        Tb = 2 * T // M
+        Tb = self._frames(T)
         assert width_out >= Tb, (width_out, Tb)
         n_super = width_out // NF
 
         xw = self._state_to_xw(state)
-        lead = self.Lsc - (K0 - h)
+        lead = self.n_lead * 128 - (K0 - A)
         er = jnp.pad(jnp.real(xw).astype(jnp.float32),
                      (lead, 0)).reshape(self.n_lead, 128)
         ei = jnp.pad(jnp.imag(xw).astype(jnp.float32),
@@ -515,7 +553,7 @@ class PallasChannelizerV2:
         xr2 = xr.astype(jnp.float32).reshape(-1, 128)
         xi2 = xi.astype(jnp.float32).reshape(-1, 128)
 
-        cfg = dict(h=h, K0=K0, Lsc=self.Lsc, n_r=self.n_r,
+        cfg = dict(h=A, K0=K0, Lsc=self.Lsc, n_r=self.n_r,
                    n_g=self.n_g, Bs=self.Bs, n_b=self.n_b, Ws=self.Ws,
                    n_u=self.n_u, NF=NF, n_lead=self.n_lead,
                    rows_step=self.rows_step, nrow_b=self.nrow_b,
@@ -523,8 +561,10 @@ class PallasChannelizerV2:
                    aq=self.aq, cq=self.cq)
         rows_tot = self.n_lead + self.rows_step
         rows_pad = _rup(rows_tot, 8)
+        sel = (0 if self.n_r == 1                            # rolls
+               else 2 * self.k_max * 2 * self.n_u * rows_tot * 128)
         flops = n_super * (
-            2 * self.k_max * 2 * self.n_u * rows_tot * 128   # selects
+            sel
             + self.n_b * 2 * 2 * self.n_u * self.Ws * self.Bs * 128
             + self.n_g * 2 * 128 * self.n_u * NF)            # spread
         from .pallas_cost import costed_pallas_call
@@ -532,7 +572,7 @@ class PallasChannelizerV2:
             functools.partial(_chz2_kernel, cfg=cfg),
             grid=(n_super,),
             flops=int(flops),
-            label="pfb_channelizer",
+            label=self.LABEL,
             in_specs=[
                 pl.BlockSpec((self.rows_step, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -561,7 +601,7 @@ class PallasChannelizerV2:
           jnp.asarray(self.Pre, h_dt), jnp.asarray(self.Pro, h_dt),
           jnp.asarray(self.Pie, h_dt), jnp.asarray(self.Pio, h_dt))
 
-        nh = K0 - h
+        nh = K0 - A
         if isinstance(x, tuple):
             tailx = (jax.lax.complex(xr[..., T - nh:], xi[..., T - nh:])
                      if T >= nh else None)
@@ -578,6 +618,64 @@ class PallasChannelizerV2:
         new_state = self._xw_to_state(tail)
         return bins, new_state
 
+    LABEL = "pfb_channelizer"
+
+
+class PallasPolyChannelizer(PallasChannelizerV2):
+    """Critically-sampled variant (ops/channelizer.py
+    PolyphaseChannelizer): frame advance A = M, no delayed pass and no
+    (−1)^m sign, so the even/odd P operands are identical and the same
+    kernel body runs unchanged.  Closed form (matches the chained
+    decompose → branch-FIR → FFT path to f32 epsilon):
+
+        y[m, F] = Σ_t G[m, t] · ext[F·M + t],
+        G[m, t] = branches[t%M, t//M] · e^{−2πim(t%M)/M}
+
+    with ext = [last (tpp−1)·M samples | x].  Output is the [2M, W]
+    re|im plane stack; the [M, tpp−1] complex branch-history state dict
+    of the chained path is converted exactly, so the two interchange
+    mid-stream."""
+
+    LABEL = "poly_channelizer"
+
+    def __init__(self, chz, interpret: bool = False):
+        self.chz = chz
+        self.interpret = interpret
+        self.M = M = int(chz.M)
+        self.tpp = tpp = int(chz.tpp)
+        self.K0 = K0 = tpp * M
+        self.supported = False
+        if tpp < 2 or not self._geom(M, bs_step=1):
+            return
+        br = np.asarray(chz.branches, np.float64)   # [M, tpp]
+        t = np.arange(K0)
+        # _branch_fir is a CROSS-correlation (XLA conv, kernel
+        # unflipped): v_p[k] = Σ_i br[p,i]·x_p[k−(tpp−1)+i], so window
+        # sample t = i·M + p pairs with tap br[p, i] directly
+        p = t % M
+        proto_t = br[p, t // M]
+        ang = -2.0 * np.pi * np.outer(np.arange(M), p) / M
+        gr = proto_t[None, :] * np.cos(ang)
+        gi = proto_t[None, :] * np.sin(ang)
+        Pr, Pi = self._pack(gr, gi)
+        self.Pre = self.Pro = Pr
+        self.Pie = self.Pio = Pi
+        self.supported = True
+
+    def _frames(self, T: int) -> int:
+        return T // self.M
+
+    def _state_to_xw(self, state):
+        """[M, tpp−1] branch history → last (tpp−1)·M samples."""
+        tpp, M = self.tpp, self.M
+        return jnp.swapaxes(state, -1, -2).reshape(
+            state.shape[:-2] + ((tpp - 1) * M,))
+
+    def _xw_to_state(self, xw):
+        tpp, M = self.tpp, self.M
+        return jnp.swapaxes(
+            xw.reshape(xw.shape[:-1] + (tpp - 1, M)), -1, -2)
+
 
 def build_pallas_channelizer(chz, interpret: bool = False
                              ) -> Optional[PallasChannelizer]:
@@ -585,4 +683,11 @@ def build_pallas_channelizer(chz, interpret: bool = False
     if p2.supported:
         return p2
     p = PallasChannelizer(chz, interpret=interpret)
+    return p if p.supported else None
+
+
+def build_pallas_poly_channelizer(chz, interpret: bool = False
+                                  ) -> Optional[PallasPolyChannelizer]:
+    """For ops/channelizer.py:PolyphaseChannelizer instances."""
+    p = PallasPolyChannelizer(chz, interpret=interpret)
     return p if p.supported else None

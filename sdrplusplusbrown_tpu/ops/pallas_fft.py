@@ -66,8 +66,9 @@ def _fft_pow_kernel(xr_ref, xi_ref, w_ref, o_ref, *, N1, N2,
     f1r, f1i = _dft_mats(N1, N1, N1)
     twr, twi = _dft_mats(N1, N2, N1 * N2)
     f2r, f2i = _dft_mats(N2, N2, N2)
-    ar = xr_ref[0]
-    ai = xi_ref[0]
+    # planes may arrive in the bf16 handoff storage dtype; math is f32
+    ar = xr_ref[0].astype(jnp.float32)
+    ai = xi_ref[0].astype(jnp.float32)
     if windowed:
         ar = ar * w_ref[...]
         ai = ai * w_ref[...]
@@ -84,7 +85,34 @@ def _fft_pow_kernel(xr_ref, xi_ref, w_ref, o_ref, *, N1, N2,
     er = dg(f2r, cr) - dg(f2i, ci)
     ei = dg(f2r, ci) + dg(f2i, cr)
     p = (er * er + ei * ei) * inv_n2
-    o_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p, floor))
+    db = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p, floor))
+    if N1 >= 128:
+        o_ref[0] = db            # (N2, N1): minor ≥ 128, flat == k
+        return
+    # E is [k2, k1] (flat row-major == natural bin order k = k2·N1+k1).
+    # A minor dim N1 < 128 pays a 128/N1-padded physical layout (16× at
+    # fft=1024 — 64 HBM B/in-sample at the channelizer-64 spectrum
+    # branch), and Mosaic cannot reshape (N2, N1)→(R, 128) in VMEM, so
+    # regroup with one-hot matmuls into natural (fft//128, 128) rows:
+    #   out[r, N1·j + k1] = db[q·r + j, k1],  q = 128//N1
+    n = N1 * N2
+    R = n // 128
+    q = 128 // N1
+    ri = jax.lax.broadcasted_iota(jnp.int32, (R, N2), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (R, N2), 1)
+    M1 = ((ii >= q * ri) & (ii < q * (ri + 1))).astype(jnp.float32)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (N2, 128), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (N2, 128), 1)
+    cbase = N1 * jax.lax.rem(i2, jnp.int32(q))
+    acc = jnp.zeros((R, 128), jnp.float32)
+    for k1 in range(N1):
+        u = (jax.lax.broadcasted_iota(jnp.int32, (N1, 1), 0)
+             == k1).astype(jnp.float32)
+        e = jnp.dot(db, u, preferred_element_type=jnp.float32)  # (N2,1)
+        M2 = (c2 == cbase + k1).astype(jnp.float32)
+        acc = acc + jnp.dot(M1, e * M2,
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc
 
 
 def fft_power_db(x: jnp.ndarray, fft_size: int,
@@ -132,6 +160,9 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
         _fft_pow_kernel, N1=N1, N2=N2,
         inv_n2=1.0 / float(fft_size) ** 2,
         floor=10.0 ** (floor_db / 10.0), windowed=window is not None)
+    oshape = (N2, N1) if N1 >= 128 else (fft_size // 128, 128)
+    regroup = 0 if N1 >= 128 else \
+        N1 * (2 * N2 * N1 + 2 * (fft_size // 128) * N2 * 128)
 
     def _const(shape):
         return pl.BlockSpec(shape, lambda f: (0,) * len(shape),
@@ -140,19 +171,19 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     out = costed_pallas_call(
         kern,
         grid=(F,),
-        flops=int(F * 16 * N1 * N2 * max(N1, N2)),
+        flops=int(F * (16 * N1 * N2 * max(N1, N2) + regroup)),
         transcendentals=int(F * (fft_size
                                  + 2 * (N1 * N1 + N1 * N2 + N2 * N2))),
         label="fft_power_db",
         in_specs=[pl.BlockSpec((1, N1, N2), lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM)] * 2
         + [_const(w2.shape)],
-        out_specs=pl.BlockSpec((1, N2, N1), lambda f: (f, 0, 0),
+        out_specs=pl.BlockSpec((1,) + oshape, lambda f: (f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, N2, N1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F,) + oshape, jnp.float32),
         interpret=interpret,
     )(xr, xi, w2)
-    # E rows are k2 (major), cols k1: flat index k2·N1 + k1 == k  ✓
+    # flat index is the natural bin order k = k2·N1 + k1 (see kernel)
     return out.reshape(lead + (fft_size,))
 
 

@@ -40,8 +40,8 @@ ALL_LABELS = {
     "fir_apply", "fir_decim", "fir_decim_cb", "fir_cplx", "fir_cplx_cb",
     "poly_banded", "poly_banded_cb", "fused_mix_decim", "plane_decim",
     "plane_poly", "fused_mix_planes", "fft_power_db", "wfm_stereo",
-    "pfb_channelizer", "chan_postpipe", "fm_demod_audio",
-    "wfm_whole_demod", "mono_frontend",
+    "pfb_channelizer", "poly_channelizer", "chan_postpipe",
+    "fm_demod_audio", "wfm_whole_demod", "mono_frontend",
 }
 SEEN = set()
 
@@ -313,7 +313,7 @@ def test_channelized_path_cost(rng):
     vb = ChannelizedRxVFOBank(2_400_000.0, 50_000.0, 12_500.0)
     C = 16
     params = vb.make_params(np.linspace(-1.0e6, 1.0e6, C) + 917.0)
-    T = 48 * 2500
+    T = 48 * 2560          # multiple of lcm(M, 128): V2 plane-fed PFB
     x = jnp.asarray((rng.standard_normal(T) + 1j
                      * rng.standard_normal(T)).astype(np.complex64)
                     * 0.1)
@@ -325,8 +325,23 @@ def test_channelized_path_cost(rng):
         if pz is not None and "pfb_channelizer" not in SEEN:
             Tb = 2 * T // vb.chz.M
             W = (Tb + pz.NF - 1) // pz.NF * pz.NF
+            assert pz.ok_for(T, W), (T, W)
             bins, _ = pz.apply(vb.chz.init_state(), x, W)
             bins.block_until_ready()
+        _reconcile(copies)
+
+
+def test_poly_channelizer_cost(rng):
+    from sdrplusplusbrown_tpu.ops.channelizer import PolyphaseChannelizer
+    ch = PolyphaseChannelizer(10_000_000.0, 64)
+    T = 64 * 128 * 4
+    x = jnp.asarray((rng.standard_normal(T) + 1j
+                     * rng.standard_normal(T)).astype(np.complex64)
+                    * 0.1)
+    with audit() as copies:
+        res = ch.apply_planes(ch.init_state(), x, interpret=True)
+        assert res is not None
+        res[0].block_until_ready()
         _reconcile(copies)
 
 
