@@ -334,9 +334,15 @@ def build_scanner(C=128):
 
     def step(params, state, xw):
         # mono demods skip the presentational stereo duplication (the
-        # sink duplicates host-side; ~40 HBM B/sample at C=128)
+        # sink duplicates host-side; ~40 HBM B/sample at C=128), and
+        # the audio rides out UNTRIMMED in the handoff storage dtype
+        # (raw_audio — the pump/sink trims host-side, same contract as
+        # the raw IF handoff)
         audio, state = radio.apply_channelized(params, state, xw,
-                                               mono_out=True)
+                                               mono_out=True,
+                                               raw_audio=True)
+        if isinstance(audio, tuple):
+            audio = audio[0]
         return (audio,), state
 
     return (step, radio.make_params_channelized(offs),

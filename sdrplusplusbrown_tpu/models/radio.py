@@ -440,7 +440,7 @@ def init_state_channelized(self, C: int):
 
 
 def apply_channelized(self, params, state, x, _force_fused=None,
-                      mono_out=False):
+                      mono_out=False, raw_audio=False):
     """x: [T] SHARED wideband → per-channel audio via the 2×-oversampled
     PFB front end (ChannelizedRxVFOBank) — O(C)-free at the full input
     rate, the wide-bank/scanner path.  Signal-equivalent (not bit-near)
@@ -501,13 +501,20 @@ def apply_channelized(self, params, state, x, _force_fused=None,
                 if pipe2.C == C:
                     audio, st["demod"], ast = pipe2.apply(
                         gvec, state["demod"],
-                        state.get("af_resamp") or {}, iq_raw, m_if)
+                        state.get("af_resamp") or {}, iq_raw, m_if,
+                        raw_audio=raw_audio)
                 else:
                     audio, st["demod"], ast = apply_chunked(
                         pipe2, gvec, state["demod"],
-                        state.get("af_resamp") or {}, iq_raw, m_if, C)
+                        state.get("af_resamp") or {}, iq_raw, m_if, C,
+                        raw_audio=raw_audio)
                 if self.af_resamp is not None:
                     st["af_resamp"] = ast
+                if raw_audio:
+                    # (audio_pad [C, n·adv_aud] handoff-dtype, m_aud) —
+                    # the sink/pump trims host-side, mirroring the raw
+                    # IF contract
+                    return audio, st
                 if mono_out:
                     return audio, st
                 return jnp.stack([audio, audio], axis=-2), st

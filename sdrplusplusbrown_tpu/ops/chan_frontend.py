@@ -72,14 +72,17 @@ class _Stage:
 
 
 def _chan_kernel(*refs, cfg):
-    """refs = [bins, onehot, om, base, tail_1..n, H_1..n,
-               y_out, tails_out, sq_out, buf_1..n, acc]"""
+    """refs = [bins, onehot, om, ph0, span_sup, span_bs,
+               tail_1..n, H_1..n, y_out, tails_out, sq_out,
+               buf_1..n, acc]"""
     n = len(cfg["stages"])
     it = iter(refs)
     bins_ref = next(it)
     oh_ref = next(it)
     om_ref = next(it)
-    base_ref = next(it)
+    ph0_ref = next(it)
+    spa_ref = next(it)
+    sbs_ref = next(it)
     tail_refs = [next(it) for _ in range(n)]
     h_refs = [next(it) for _ in range(n)]
     o_ref = next(it)
@@ -115,7 +118,11 @@ def _chan_kernel(*refs, cfg):
         acc[...] = jnp.zeros((C, BS), jnp.float32)
 
     # ---- gather + rotate into stage-0 input -----------------------------
+    # NCO base phase computed IN-KERNEL from three per-channel scalars
+    # (phase0 + span·i + bs·b — the old host-built [C, n_super·nb_pad]
+    # table cost ~16 HBM B/in-sample of pad+copy glue at C=256)
     hp0 = stages[0].hist_pad
+    fi = i.astype(jnp.float32)
     for b in range(adv0 // BS):
         # bins may arrive in the bf16 handoff storage dtype
         # (ops/pallas_channelizer.py emits it); math stays f32
@@ -125,7 +132,8 @@ def _chan_kernel(*refs, cfg):
         im = jnp.dot(oh_ref[...], bi, preferred_element_type=jnp.float32)
         jj = jax.lax.broadcasted_iota(jnp.int32, (C, BS),
                                       1).astype(jnp.float32)
-        ang = base_ref[:, b:b + 1] + om_ref[...] * jj
+        ang = (ph0_ref[...] + spa_ref[...] * fi
+               + sbs_ref[...] * jnp.float32(b) + om_ref[...] * jj)
         cr = jnp.cos(ang)
         si = jnp.sin(ang)
         col = hp0 + b * BS
@@ -287,21 +295,14 @@ class ChanPostPipeline:
 
         onehot = jax.nn.one_hot(params["bin"], M, dtype=jnp.float32)
 
-        # per-(step, BS-block) base phases from exact mod-2π spans
+        # NCO base phase = phase0 + span_adv·i + xl_bs·b, computed
+        # IN-KERNEL from these three per-channel scalars (exact mod-2π
+        # spans; the old host-built table was real HBM glue)
         om = params["xl"]["omega"]
         phase0 = state["xl"]
         a_sup, rem = divmod(self.adv0, SPAN)
         b_bs = rem // BS
         span_adv = params["xl_sup"] * a_sup + params["xl_bs"] * b_bs
-        nb = self.adv0 // BS
-        nb_pad = _rup(nb, 128)
-        ii = jnp.arange(n_super, dtype=jnp.float32)
-        bb = jnp.arange(nb, dtype=jnp.float32)
-        base = (phase0[:, None, None]
-                + span_adv[:, None, None] * ii[None, :, None]
-                + params["xl_bs"][:, None, None] * bb[None, None, :])
-        base = jnp.pad(base, ((0, 0), (0, 0), (0, nb_pad - nb))) \
-            .reshape(C, n_super * nb_pad)
 
         tail_ops = [_tail_planes(state[st.name], st.hist_pad)
                     for st in self.stages]
@@ -329,11 +330,8 @@ class ChanPostPipeline:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, nb_pad), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
+        ] + [pl.BlockSpec((C, 1), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] * 4
         for st in self.stages:
             in_specs.append(pl.BlockSpec((twoC, st.hist_pad),
                                          lambda i: (0, 0),
@@ -377,7 +375,10 @@ class ChanPostPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(bins, onehot, om[:, None], base.astype(jnp.float32),
+        )(bins, onehot, om[:, None],
+          phase0.astype(jnp.float32)[:, None],
+          span_adv.astype(jnp.float32)[:, None],
+          params["xl_bs"].astype(jnp.float32)[:, None],
           *tail_ops, *h_ops)
 
         if raw:

@@ -77,9 +77,9 @@ def _rup(n: int, a: int) -> int:
     return ((n + a - 1) // a) * a
 
 
-def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
-                  hf_ref, hp_ref, o_ref, qtail_o, tails_o, qcarry, buff,
-                  bufp, *, cfg):
+def _demod_kernel(ir_ref, ii_ref, gate_ref, qtail_ref, ftail_ref,
+                  ptail_ref, hf_ref, hp_ref, o_ref, qtail_o, tails_o,
+                  qcarry, buff, bufp, *, cfg):
     i = pl.program_id(0)
     C = cfg["C"]
     twoC = 2 * C
@@ -98,15 +98,20 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
         buff[:, :cfg["hpF"]] = buff[:, adv:adv + cfg["hpF"]]
         bufp[:, :cfg["hpP"]] = bufp[:, adv:adv + cfg["hpP"]]
 
-    # ---- gated IF in (straight off the input block — a [2C, adv]
-    # staging buffer would blow the 16 MB scoped-VMEM limit at C=128)
-    # the last block may read past the IF array (pallas pads out-of-
-    # bounds input blocks with unspecified values — NaN under interpret)
-    # and NaN×0 would poison the banded matmuls: mask invalid columns
+    # ---- gated IF in, as TWO row-block operands straight off the raw
+    # [R·C, m] buffer (possibly the FULL wide-bank buffer — chunked
+    # launches pass row-block indices, so no slice/concat pass exists
+    # anywhere).  The last block may read past the IF array (pallas
+    # pads out-of-bounds input blocks with unspecified values — NaN
+    # under interpret) and NaN×0 would poison the banded matmuls: mask
+    # invalid columns
     gcol = (i * adv
-            + jax.lax.broadcasted_iota(jnp.int32, (twoC, adv), 1))
-    cur = jnp.where(gcol < cfg["m_if"],
-                    if_ref[...].astype(jnp.float32) * gate_ref[...], 0.0)
+            + jax.lax.broadcasted_iota(jnp.int32, (C, adv), 1))
+    ok = gcol < cfg["m_if"]
+    er = jnp.where(ok, ir_ref[...].astype(jnp.float32)
+                   * gate_ref[...], 0.0)
+    ei = jnp.where(ok, ii_ref[...].astype(jnp.float32)
+                   * gate_ref[...], 0.0)
 
     # ---- quadrature: lane-roll for the 1-sample history; the cross-
     # block sample sits at col 127 of qcarry (one-hot matmul extract —
@@ -115,17 +120,15 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
           == 127).astype(jnp.float32)
     prev0 = jnp.dot(qcarry[...], oh,
                     preferred_element_type=jnp.float32)     # [2C, 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (twoC, adv), 1)
-    prev = jnp.where(lane == 0, prev0, pltpu.roll(cur, 1, 1))
-    er = cur[0:C, :]
-    ei = cur[C:twoC, :]
-    erp = prev[0:C, :]
-    eip = prev[C:twoC, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, adv), 1)
+    erp = jnp.where(lane == 0, prev0[0:C], pltpu.roll(er, 1, 1))
+    eip = jnp.where(lane == 0, prev0[C:twoC], pltpu.roll(ei, 1, 1))
     re = er * erp + ei * eip
     im = ei * erp - er * eip
     y = _atan2_poly(im, re) * jnp.float32(cfg["inv_dev"])
     buff[:, cfg["hpF"]:] = y
-    qcarry[...] = jax.lax.slice(cur, (0, adv - 128), (twoC, adv))
+    qcarry[0:C, :] = jax.lax.slice(er, (0, adv - 128), (C, adv))
+    qcarry[C:twoC, :] = jax.lax.slice(ei, (0, adv - 128), (C, adv))
 
     # ---- audio FIR (banded matmul) --------------------------------------
     w0 = cfg["hpF"] - cfg["histF"]
@@ -143,15 +146,19 @@ def _demod_kernel(if_ref, gate_ref, qtail_ref, ftail_ref, ptail_ref,
                        w1 + r * cfg["rowP"] + cfg["LwP"]]
             o_ref[:, r * cfg["tileP"]:(r + 1) * cfg["tileP"]] = \
                 jnp.dot(win, hp_ref[...].astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32) \
+                .astype(o_ref.dtype)
     else:
-        o_ref[...] = bufp[:, cfg["hpP"]:cfg["hpP"] + adv_aud]
+        o_ref[...] = bufp[:, cfg["hpP"]:cfg["hpP"] + adv_aud] \
+            .astype(o_ref.dtype)
 
     # ---- next-call tails ------------------------------------------------
     @pl.when(i == cfg["iq_t"])
     def _tq():
-        qtail_o[...] = jax.lax.slice(cur, (0, cfg["alq"]),
-                                     (twoC, cfg["alq"] + 128))
+        qtail_o[0:C, :] = jax.lax.slice(er, (0, cfg["alq"]),
+                                        (C, cfg["alq"] + 128))
+        qtail_o[C:twoC, :] = jax.lax.slice(ei, (0, cfg["alq"]),
+                                           (C, cfg["alq"] + 128))
 
     @pl.when(i == cfg["if_t"])
     def _tf():
@@ -276,28 +283,47 @@ class FMAudioPipeline:
         self._plan_cache[m_if] = plan
         return plan
 
-    def apply(self, gate, dstate, astate, planes, m_if: int):
-        """planes: (xr, xi) [C, ≥m_if] float32 IF — or the raw stacked
-        [2C, ≥m_if] buffer straight from the front-end kernel (no
-        concat pass); gate [C] float32 or None.  Returns
-        (audio [C, m_aud], new_demod_state, new_af_state)."""
+    def apply(self, gate, dstate, astate, planes, m_if: int,
+              row_blocks=None, raw_audio: bool = False):
+        """planes: (xr, xi) [C, ≥m_if] float32 IF planes — or a raw
+        stacked [R·C, ≥m_if] buffer straight from the front-end kernel,
+        read as TWO row-block operands (``row_blocks`` gives the
+        (re, im) block indices; default (0, 1) for a [2C, m] buffer) so
+        chunked wide-bank launches slice NOTHING; gate [C] float32 or
+        None.  Returns (audio [C, m_aud], new_demod_state,
+        new_af_state); with ``raw_audio`` the audio is the untrimmed
+        [C, n_super·adv_aud] block in the kernel-handoff storage dtype
+        as (audio, m_aud) — the sink/pump trims host-side."""
         C = self.C
         plan = self._plan(m_if)
         n_super = plan["n_super"]
         m_aud = plan["m_aud"]
 
-        iq = (jnp.concatenate(planes, axis=0) if isinstance(planes, tuple)
-              else planes)
+        if isinstance(planes, tuple):
+            iq_r, iq_i = planes
+            rb_r = rb_i = 0
+        elif C % 8:
+            # a (C, adv) row-block needs C % 8 == 0 unless it spans the
+            # whole first dim: small pipes materialize the two halves
+            # (cheap at C < 8)
+            r0, r1 = row_blocks if row_blocks is not None else (0, 1)
+            iq_r = planes[r0 * C:(r0 + 1) * C]
+            iq_i = planes[r1 * C:(r1 + 1) * C]
+            rb_r = rb_i = 0
+        else:
+            iq_r = iq_i = planes
+            rb_r, rb_i = row_blocks if row_blocks is not None else (0, 1)
         # tap matrices ride HBM in the handoff storage dtype (the input
         # block is upcast at read already — see _demod_kernel)
         from .precision import get_handoff_dtype
         _h_dt = get_handoff_dtype()
+        o_dtype = _h_dt if raw_audio else jnp.float32
         # raw handoffs may be narrower OR wider than the grid walk:
         # pallas pads out-of-bounds input blocks (the in-kernel gcol
         # mask zeroes them) and never fetches blocks past n_super — a
         # host-side pad here would be a full extra IF-rate HBM copy
-        gate2 = (jnp.ones((2 * C, 1), jnp.float32) if gate is None
-                 else jnp.concatenate([gate, gate], axis=0)[:, None])
+        gate2 = (jnp.ones((C, 1), jnp.float32) if gate is None
+                 else gate[:, None])
 
         q = dstate["quad"]  # [C, 1] complex
         qtail = jnp.zeros((2 * C, 128), jnp.float32)
@@ -329,9 +355,13 @@ class FMAudioPipeline:
         }
         twoC = 2 * C
         in_specs = [
-            pl.BlockSpec((twoC, self.adv_if), lambda i: (0, i),
+            pl.BlockSpec((C, self.adv_if),
+                         lambda i, rb=rb_r: (rb, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoC, 1), lambda i: (0, 0),
+            pl.BlockSpec((C, self.adv_if),
+                         lambda i, rb=rb_i: (rb, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((twoC, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -365,7 +395,7 @@ class FMAudioPipeline:
             out_specs=out_specs,
             out_shape=[
                 jax.ShapeDtypeStruct((C, n_super * self.adv_aud),
-                                     jnp.float32),
+                                     o_dtype),
                 jax.ShapeDtypeStruct((twoC, 128), jnp.float32),
                 jax.ShapeDtypeStruct((C, self.tfw + self.tpw),
                                      jnp.float32),
@@ -378,10 +408,10 @@ class FMAudioPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(iq, gate2, qtail, ftail, ptail,
+        )(iq_r, iq_i, gate2, qtail, ftail, ptail,
           jnp.asarray(self.Hf, _h_dt), jnp.asarray(self.Hp, _h_dt))
 
-        y = audio[:, :m_aud]
+        y = (audio, m_aud) if raw_audio else audio[:, :m_aud]
 
         _iq, _alq, qcol = plan["q"]
         new_q = jax.lax.complex(qtails[:C, qcol], qtails[C:, qcol])[:, None]
@@ -400,30 +430,37 @@ class FMAudioPipeline:
 
 
 def apply_chunked(pipe: FMAudioPipeline, gate, dstate, astate, iq_raw,
-                  m_if: int, C: int):
+                  m_if: int, C: int, raw_audio: bool = False):
     """Run a pipe built for Ck = pipe.C channels over C = n·Ck channels
     (the 16 MB scoped-VMEM limit caps one kernel launch at ~128
     channels; channels are independent, so wide banks chunk).
-    iq_raw: the raw [2C, W] stacked IF buffer.  Gate/state slices are
-    contiguous row ranges — no gathers."""
+    iq_raw: the raw [2C, W] stacked IF buffer — each launch reads its
+    chunk as row-block operands of the FULL buffer, so no IF-rate
+    slice/concat pass exists.  Gate/state slices are contiguous row
+    ranges — no gathers."""
     Ck = pipe.C
     assert C % Ck == 0, (C, Ck)
     auds, qs, fs, ps = [], [], [], []
+    m_aud = None
     for c0 in range(0, C, Ck):
-        xr = iq_raw[c0:c0 + Ck]
-        xi = iq_raw[C + c0:C + c0 + Ck]
         d = {"quad": dstate["quad"][c0:c0 + Ck],
              "fir": dstate["fir"][c0:c0 + Ck]}
         a = ({"resamp": astate["resamp"][c0:c0 + Ck]}
              if pipe.poly is not None else {})
         g = None if gate is None else gate[c0:c0 + Ck]
-        y, nd, na = pipe.apply(g, d, a, (xr, xi), m_if)
+        y, nd, na = pipe.apply(
+            g, d, a, iq_raw, m_if,
+            row_blocks=(c0 // Ck, (C + c0) // Ck), raw_audio=raw_audio)
+        if raw_audio:
+            y, m_aud = y
         auds.append(y)
         qs.append(nd["quad"])
         fs.append(nd["fir"])
         if pipe.poly is not None:
             ps.append(na["resamp"])
     audio = jnp.concatenate(auds, axis=0)
+    if raw_audio:
+        audio = (audio, m_aud)
     new_d = {"quad": jnp.concatenate(qs, axis=0),
              "fir": jnp.concatenate(fs, axis=0)}
     new_a = ({"resamp": jnp.concatenate(ps, axis=0)}
