@@ -172,18 +172,21 @@ def test_app_substream_and_tx_preemption(tmp_path):
         stream.bind(lambda blk: heard.append(blk))
         port = stream.inject(PRIO_TX_INJECT)
         marker = np.full((2, 256), 7.5, np.float32)
+        t_inject = time.time()      # hysteresis clock starts at the push
         stream.push(port, marker)
         assert any(np.allclose(b, 7.5) for b in heard[-4:])
         # demod audio immediately after the inject is suppressed
-        # (within the merger's 100 ms switch hysteresis)
+        # (within the merger's 100 ms switch hysteresis).  Only assert
+        # when the whole observation verifiably fits inside the window
+        # measured FROM THE INJECT — under full-suite load the bind/list
+        # bookkeeping above can itself eat >100 ms
         n_before = len(heard)
         b0 = app.blocks_processed
-        t0 = time.time()
         while app.blocks_processed < b0 + 1 and time.time() < deadline:
             time.sleep(0.05)
-        if time.time() - t0 < 0.1:
+        if time.time() - t_inject < 0.1:
             new = [b for b in heard[n_before:] if not np.allclose(b, 7.5)]
-            assert not new or time.time() - t0 >= 0.1
+            assert not new or time.time() - t_inject >= 0.1
         # after the hysteresis expires the demod stream resumes
         time.sleep(0.3)
         n_mid = len(heard)
