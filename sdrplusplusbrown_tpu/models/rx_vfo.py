@@ -197,6 +197,12 @@ class ChannelizedRxVFOBank(Block):
         Tx = (x[0] if isinstance(x, tuple) else x).shape[-1]
         Tb = 2 * Tx // self.M
         pad_to = pipe._plan(Tb)["Tb_pad"]
+        fused = self._chan_fused(C, interpret=interpret)
+        if fused is not None and fused.ok_for(Tx, pad_to):
+            # PFB + post-channelizer in ONE kernel — the bins plane
+            # stack never leaves VMEM (ops/chan_frontend.py)
+            return fused.apply(params, state, x,
+                               return_planes=return_planes, raw=raw)
         pz = self._pallas_chz(interpret)
         if pz is not None and pz.ok_for(Tx, pad_to):
             # whole channelizer as ONE kernel emitting the exact bins
@@ -229,6 +235,16 @@ class ChannelizedRxVFOBank(Block):
             cache[interpret] = build_pallas_channelizer(
                 self.chz, interpret=interpret)
         return cache[interpret]
+
+    def _chan_fused(self, C: int, interpret: bool = False):
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        key = (C, interpret)
+        if key not in cache:
+            from ..ops.chan_frontend import build_chan_fused
+            cache[key] = build_chan_fused(self, C, interpret=interpret)
+        return cache[key]
 
 
 class SharedRxVFOBank(Block):

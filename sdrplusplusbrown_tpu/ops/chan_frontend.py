@@ -90,8 +90,18 @@ def _chan_kernel(*refs, cfg):
     sq_o = next(it)
     bufs = [next(it) for _ in range(n)]
     acc = next(it)
+    chan_body(pl.program_id(0), bins_ref, oh_ref, om_ref, ph0_ref,
+              spa_ref, sbs_ref, tail_refs, h_refs, o_ref, tails_o,
+              sq_o, bufs, acc, cfg)
 
-    i = pl.program_id(0)
+
+def chan_body(i, bins_ref, oh_ref, om_ref, ph0_ref, spa_ref, sbs_ref,
+              tail_refs, h_refs, o_ref, tails_o, sq_o, bufs, acc, cfg):
+    """One post-channelizer step: gather + NCO rotate + chained banded
+    FIR stages + squelch partials + next-call tail extraction.
+    ``bins_ref`` may be an input block or a VMEM scratch the caller
+    just filled (the fused PFB+post kernel)."""
+    n = len(cfg["stages"])
     C = cfg["C"]
     M = cfg["M"]
     twoC = 2 * C
@@ -407,4 +417,286 @@ def build_chan_pipeline(bank, C: int,
                         interpret: bool = False
                         ) -> Optional[ChanPostPipeline]:
     p = ChanPostPipeline(bank, C, interpret=interpret)
+    return p if p.supported else None
+
+
+def _chan_fused_kernel(*refs, cfg, pcfg, n_sub):
+    n = len(cfg["stages"])
+    it = iter(refs)
+    xr_ref = next(it)
+    xi_ref = next(it)
+    er_ref = next(it)
+    ei_ref = next(it)
+    pre = next(it)
+    pro = next(it)
+    pie = next(it)
+    pio = next(it)
+    oh_ref = next(it)
+    om_ref = next(it)
+    ph0_ref = next(it)
+    spa_ref = next(it)
+    sbs_ref = next(it)
+    tail_refs = [next(it) for _ in range(n)]
+    h_refs = [next(it) for _ in range(n)]
+    o_ref = next(it)
+    tails_o = next(it)
+    sq_o = next(it)
+    rb_r = next(it)
+    rb_i = next(it)
+    sl_r = next(it)
+    sl_i = next(it)
+    binsbuf = next(it)
+    bufs = [next(it) for _ in range(n)]
+    acc = next(it)
+
+    from .pallas_channelizer import (chz2_init_slabs, chz2_fill_rbuf,
+                                     chz2_compute)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _slabs():
+        chz2_init_slabs(sl_r, sl_i, pre, pro, pie, pio, pcfg)
+
+    chz2_fill_rbuf(i, rb_r, rb_i, xr_ref, xi_ref, er_ref, ei_ref,
+                   pcfg, n_sub * pcfg["rows_step"])
+    twoM, NF = pcfg["twoM"], pcfg["NF"]
+    for s in range(n_sub):
+        oa = chz2_compute(rb_r, rb_i, sl_r, sl_i, pcfg,
+                          row0=s * pcfg["rows_step"])
+        binsbuf[:, s * NF:(s + 1) * NF] = oa[0:twoM, :]
+    chan_body(i, binsbuf, oh_ref, om_ref, ph0_ref, spa_ref, sbs_ref,
+              tail_refs, h_refs, o_ref, tails_o, sq_o, bufs, acc, cfg)
+
+
+class ChanFusedPipeline:
+    """PFB channelizer + post-channelizer front end in ONE kernel: the
+    [2M, Tb_pad] bins plane stack never leaves VMEM (the HBM handoff
+    between the two kernels was 16.4 B/in-sample at 2.4 MS/s, channel-
+    count independent).  Per grid step the kernel runs n_sub PFB
+    super-steps (ops/pallas_channelizer.py:chz2_compute over a shared
+    rolling row buffer) into a bins scratch, then the unchanged
+    post-channelizer body (chan_body).  Outputs, state contract and
+    numerics are identical to PallasChannelizerV2 → ChanPostPipeline.
+
+    reference behavior: one RxVFO chain per channel
+    (core/src/dsp/channel/rx_vfo.h:89-121); the fused wide-bank form is
+    this repo's TPU redesign."""
+
+    def __init__(self, bank, C: int, interpret: bool = False):
+        from .pallas_channelizer import PallasChannelizerV2
+        self.interpret = interpret
+        self.supported = False
+        self.post = ChanPostPipeline(bank, C, interpret=interpret)
+        self.pz = PallasChannelizerV2(bank.chz, interpret=interpret)
+        if not (self.post.supported and self.pz.supported):
+            return
+        post, pz = self.post, self.pz
+        if post.adv0 % pz.NF:
+            return
+        self.n_sub = n_sub = post.adv0 // pz.NF
+        self.rows_blk = rows_blk = n_sub * pz.rows_step
+        # last sub-block's select window must fit (chz2_compute slices
+        # [row0, row0 + rup8(n_lead + rows_step)))
+        self.rows_pad = max(
+            _rup(pz.n_lead + rows_blk, 8),
+            (n_sub - 1) * pz.rows_step
+            + _rup(pz.n_lead + pz.rows_step, 8))
+        twoM = 2 * pz.M
+        vmem = (2 * self.rows_pad * 128 * 4          # rbuf pair
+                + 2 * pz.Ws * pz.Bs * 128 * 4        # slabs
+                + twoM * post.adv0 * 4               # bins scratch
+                + 2 * 2 * rows_blk * 128 * 4)        # x blocks (dbl)
+        vmem += 2 * C * BS * 4                       # acc
+        for s, st in enumerate(post.stages):
+            vmem += (st.H.size * 4
+                     + 2 * C * (st.hist_pad + post.advs[s]) * 4
+                     + 2 * C * st.hist_pad * 4)
+        vmem += 2 * C * post.adv_f * 4 * 2
+        # scoped-VMEM hard limit is 16 MB; leave headroom for Mosaic's
+        # own temporaries (the compile sweep exercises the big configs)
+        if vmem > 12 * (1 << 20):
+            return
+        self.supported = True
+
+    def ok_for(self, T: int, Tb_pad: int) -> bool:
+        return (self.pz.ok_for(T, Tb_pad)
+                and Tb_pad % self.post.adv0 == 0)
+
+    def apply(self, params, state, x, return_planes=False,
+              raw: bool = False):
+        """x: [T] complex wideband or (xr, xi) f32 planes →
+        ((y | planes | (raw, m_out)), sq_sums [C], state') — the
+        ChanPostPipeline contract with state["chz"] updated too."""
+        post, pz = self.post, self.pz
+        C, M = post.C, post.M
+        if isinstance(x, tuple):
+            xr, xi = x
+            T = xr.shape[-1]
+        else:
+            T = x.shape[-1]
+            xr = jnp.real(x)
+            xi = jnp.imag(x)
+        Tb = 2 * T // pz.M
+        plan = post._plan(Tb)
+        Tb_pad = plan["Tb_pad"]
+        assert self.ok_for(T, Tb_pad), (T, Tb_pad)
+        n_super = Tb_pad // post.adv0
+        m_out = plan["m"][-1]
+
+        from .precision import get_handoff_dtype
+        h_dt = get_handoff_dtype()
+        o_dtype = h_dt if raw else jnp.float32
+
+        # ---- PFB operands (ops/pallas_channelizer.py V2 form) ----------
+        K0, A = pz.K0, pz.A
+        xw = pz._state_to_xw(state["chz"])
+        lead = pz.n_lead * 128 - (K0 - A)
+        er = jnp.pad(jnp.real(xw).astype(jnp.float32),
+                     (lead, 0)).reshape(pz.n_lead, 128)
+        ei = jnp.pad(jnp.imag(xw).astype(jnp.float32),
+                     (lead, 0)).reshape(pz.n_lead, 128)
+        xr2 = xr.astype(jnp.float32).reshape(-1, 128)
+        xi2 = xi.astype(jnp.float32).reshape(-1, 128)
+        pcfg = dict(h=A, K0=K0, Lsc=pz.Lsc, n_r=pz.n_r, n_g=pz.n_g,
+                    Bs=pz.Bs, n_b=pz.n_b, Ws=pz.Ws, n_u=pz.n_u,
+                    NF=pz.NF, n_lead=pz.n_lead, rows_step=pz.rows_step,
+                    nrow_b=pz.nrow_b, k_max=pz.k_max, T=T,
+                    twoM=2 * pz.M, aq=pz.aq, cq=pz.cq)
+
+        # ---- post-channelizer operands (ChanPostPipeline.apply) --------
+        onehot = jax.nn.one_hot(params["bin"], M, dtype=jnp.float32)
+        om = params["xl"]["omega"]
+        phase0 = state["xl"]
+        a_sup, rem = divmod(post.adv0, SPAN)
+        b_bs = rem // BS
+        span_adv = params["xl_sup"] * a_sup + params["xl_bs"] * b_bs
+        tail_ops = [_tail_planes(state[st.name], st.hist_pad)
+                    for st in post.stages]
+        h_ops = [jnp.asarray(st.H, h_dt) for st in post.stages]
+        n = len(post.stages)
+        twoC = 2 * C
+        cfg = {
+            "C": C, "M": M, "adv0": post.adv0, "adv_f": post.adv_f,
+            "m_out": m_out, "n_super": n_super,
+            "stages": [
+                _Stage(**{**st.__dict__, "H": None,
+                          "i_tail": plan["tails"][s][0],
+                          "tail_al": plan["tails"][s][1]})
+                for s, st in enumerate(post.stages)],
+        }
+
+        in_specs = [
+            pl.BlockSpec((self.rows_blk, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.rows_blk, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((K0, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec((C, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((C, 1), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] * 4
+        for st in post.stages:
+            in_specs.append(pl.BlockSpec((twoC, st.hist_pad),
+                                         lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for st in post.stages:
+            in_specs.append(pl.BlockSpec(st.H.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        out_specs = [
+            pl.BlockSpec((twoC, post.adv_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, post.tails_w_total), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, BS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((self.rows_pad, 128), jnp.float32),
+            pltpu.VMEM((self.rows_pad, 128), jnp.float32),
+            pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
+            pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
+            pltpu.VMEM((2 * pz.M, post.adv0), jnp.float32),
+        ]
+        scratch += [pltpu.VMEM((twoC, st.hist_pad + st.adv_in),
+                               jnp.float32) for st in post.stages]
+        scratch.append(pltpu.VMEM((C, BS), jnp.float32))
+
+        sub_w = _rup(pz.n_lead + pz.rows_step, 8)
+        sel = (0 if pz.n_r == 1
+               else 2 * pz.k_max * 2 * pz.n_u * sub_w * 128)
+        pfb_flops = self.n_sub * (
+            sel + pz.n_b * 2 * 2 * pz.n_u * pz.Ws * pz.Bs * 128
+            + pz.n_g * 2 * 128 * pz.n_u * pz.NF)
+        flops = n_super * (pfb_flops
+                           + 2 * 2 * C * M * post.adv0
+                           + 10 * C * post.adv0)
+        for st in post.stages:
+            flops += n_super * 2 * st.Lw * st.adv_out * twoC
+        from .pallas_cost import costed_pallas_call
+        out, tails_out, sq = costed_pallas_call(
+            functools.partial(_chan_fused_kernel, cfg=cfg, pcfg=pcfg,
+                              n_sub=self.n_sub),
+            grid=(n_super,),
+            flops=int(flops),
+            transcendentals=int(n_super * 2 * C * post.adv0),
+            label="chan_fused",
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((twoC, n_super * post.adv_f),
+                                     o_dtype),
+                jax.ShapeDtypeStruct((twoC, post.tails_w_total),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((C, BS), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(xr2, xi2, er, ei,
+          jnp.asarray(pz.Pre, h_dt), jnp.asarray(pz.Pro, h_dt),
+          jnp.asarray(pz.Pie, h_dt), jnp.asarray(pz.Pio, h_dt),
+          onehot, om[:, None],
+          phase0.astype(jnp.float32)[:, None],
+          span_adv.astype(jnp.float32)[:, None],
+          params["xl_bs"].astype(jnp.float32)[:, None],
+          *tail_ops, *h_ops)
+
+        if raw:
+            y = (out, m_out)
+        elif return_planes:
+            y = (out[:C, :m_out], out[C:, :m_out])
+        else:
+            y = jax.lax.complex(out[:C, :m_out], out[C:, :m_out])
+        sq_sums = jnp.sum(sq, axis=-1)
+
+        new_state = dict(state)
+        new_state["xl"] = advance_phase(state["xl"], om,
+                                        params["xl"]["omega_span"], Tb)
+        for s, st in enumerate(post.stages):
+            _it, al, end_local = plan["tails"][s]
+            seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
+            lo = end_local - al - st.hist
+            tl = seg[:, lo:lo + st.hist]
+            new_state[st.name] = jax.lax.complex(tl[:C], tl[C:])
+        # chz state from the raw input tail (pallas_channelizer V2 rule)
+        nh = K0 - A
+        if T >= nh:
+            tail = jax.lax.complex(xr[..., T - nh:], xi[..., T - nh:])
+        else:
+            tail = jnp.concatenate(
+                [xw, jax.lax.complex(xr, xi)])[..., -nh:]
+        tail = jax.lax.optimization_barrier(tail)
+        new_state["chz"] = pz._xw_to_state(tail)
+        return y, sq_sums, new_state
+
+
+def build_chan_fused(bank, C: int, interpret: bool = False
+                     ) -> Optional[ChanFusedPipeline]:
+    p = ChanFusedPipeline(bank, C, interpret=interpret)
     return p if p.supported else None

@@ -285,87 +285,96 @@ class PallasChannelizer:
         return width_out % self.NF == 0
 
 
-def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
-                 pie_ref, pio_ref, o_ref, rb_r, rb_i, sl_r, sl_i, *, cfg):
-    i = pl.program_id(0)
-    h, K0 = cfg["h"], cfg["K0"]
-    Lsc, n_r, n_g = cfg["Lsc"], cfg["n_r"], cfg["n_g"]
-    Bs, n_b, Ws = cfg["Bs"], cfg["n_b"], cfg["Ws"]
-    n_u, NF = cfg["n_u"], cfg["NF"]
-    nl, rows_step = cfg["n_lead"], cfg["rows_step"]
-    nrow_b, k_max = cfg["nrow_b"], cfg["k_max"]
-    T, twoM = cfg["T"], cfg["twoM"]
-    step = rows_step * 128
+def chz2_init_slabs(sl_r, sl_i, pre_ref, pro_ref, pie_ref, pio_ref,
+                    cfg):
+    """Tap slabs built ONCE per call (grid-persistent scratch): the
+    banded layout is the same for every bucket (rows [s·h, s·h+K0),
+    cols [128s, 128(s+1)) ← the compact per-parity P operands), so the
+    whole call ships 4 small (K0, 128) matrices instead of the spread
+    toeplitz form."""
+    h, K0, Bs = cfg["h"], cfg["K0"], cfg["Bs"]
+    sl_r[...] = jnp.zeros_like(sl_r)
+    sl_i[...] = jnp.zeros_like(sl_i)
+    for s in range(Bs):
+        pr = pre_ref if s % 2 == 0 else pro_ref
+        pi_ = pie_ref if s % 2 == 0 else pio_ref
+        sl_r[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
+            pr[...].astype(jnp.float32)
+        sl_i[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
+            pi_[...].astype(jnp.float32)
 
-    # ---- tap slabs built ONCE per call (grid-persistent scratch): the
-    # banded layout is the same for every bucket (rows [s·h, s·h+K0),
-    # cols [128s, 128(s+1)) ← the compact per-parity P operands), so
-    # the whole call ships 4 small (K0, 128) matrices instead of the
-    # spread toeplitz form
-    @pl.when(i == 0)
-    def _slabs():
-        sl_r[...] = jnp.zeros_like(sl_r)
-        sl_i[...] = jnp.zeros_like(sl_i)
-        for s in range(Bs):
-            pr = pre_ref if s % 2 == 0 else pro_ref
-            pi_ = pie_ref if s % 2 == 0 else pio_ref
-            sl_r[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
-                pr[...].astype(jnp.float32)
-            sl_i[s * h:s * h + K0, 128 * s:128 * (s + 1)] = \
-                pi_[...].astype(jnp.float32)
 
-    # ---- rolling stream rows: n_lead lookback rows + current block ----
+def chz2_fill_rbuf(i, rb_r, rb_i, xr_ref, xi_ref, er_ref, ei_ref,
+                   cfg, rows_blk):
+    """Rolling stream rows: n_lead lookback rows + the current grid
+    step's ``rows_blk`` rows (a multiple of cfg["rows_step"] — fused
+    kernels write several PFB sub-blocks at once)."""
+    nl, T = cfg["n_lead"], cfg["T"]
+
     @pl.when(i == 0)
     def _edge():
         rb_r[0:nl, :] = er_ref[...]
         rb_i[0:nl, :] = ei_ref[...]
-        if rb_r.shape[0] > nl + rows_step:
+        if rb_r.shape[0] > nl + rows_blk:
             # zero the sublane-pad rows once: a rolled select may wrap
             # into them (always under zero taps, but NaN·0 = NaN)
-            pad0 = (nl + rows_step) // 8 * 8
+            pad0 = (nl + rows_blk) // 8 * 8
             rb_r[pad0:, :] = jnp.zeros_like(rb_r[pad0:, :])
             rb_i[pad0:, :] = jnp.zeros_like(rb_i[pad0:, :])
 
     @pl.when(i > 0)
     def _roll():
-        rb_r[0:nl, :] = rb_r[rows_step:rows_step + nl, :]
-        rb_i[0:nl, :] = rb_i[rows_step:rows_step + nl, :]
+        rb_r[0:nl, :] = rb_r[rows_blk:rows_blk + nl, :]
+        rb_i[0:nl, :] = rb_i[rows_blk:rows_blk + nl, :]
 
     # the last block may read past the stream (pallas pads OOB fetches
     # with unspecified values — NaN under interpret, and 0·NaN = NaN
     # would poison the one-hot select matmuls): zero invalid entries AT
     # THE WRITE, which also reproduces the chained path's zero-padded
     # ext semantics for the garbage tail frames
-    vidx = (i * step
+    vidx = (i * rows_blk * 128
             + 128 * jax.lax.broadcasted_iota(jnp.int32,
-                                             (rows_step, 128), 0)
-            + jax.lax.broadcasted_iota(jnp.int32, (rows_step, 128), 1))
+                                             (rows_blk, 128), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (rows_blk, 128), 1))
     vok = vidx < T
-    rb_r[nl:nl + rows_step, :] = jnp.where(vok, xr_ref[...], 0.0)
-    rb_i[nl:nl + rows_step, :] = jnp.where(vok, xi_ref[...], 0.0)
+    rb_r[nl:nl + rows_blk, :] = jnp.where(vok, xr_ref[...], 0.0)
+    rb_i[nl:nl + rows_blk, :] = jnp.where(vok, xi_ref[...], 0.0)
 
-    # ---- W_k = strided row-select (stride n_r, offset k) of the
+
+def chz2_compute(rb_r, rb_i, sl_r, sl_i, cfg, row0=0):
+    """One PFB super-step over rbuf rows [row0, row0 + rows_step + nl)
+    → the (128, NF) bins value (rows ≥ 2M are garbage)."""
+    n_r, n_g = cfg["n_r"], cfg["n_g"]
+    Bs, n_b, Ws = cfg["Bs"], cfg["n_b"], cfg["Ws"]
+    n_u, NF = cfg["n_u"], cfg["NF"]
+    nrow_b, k_max = cfg["nrow_b"], cfg["k_max"]
+
+    # ---- W_k = strided row-select (stride n_r, offset row0+k) of the
     # stream rows, one per lane-window row
-    rows_tot = nl + rows_step
     Wk = []
     if n_r == 1:
-        # stride 1: W_k is just rows [k, k+n_u) — a sublane roll +
-        # aligned slice, no matmul (k_max ≤ rows_tot, so no wrap)
+        # stride 1: W_k is just rows [row0+k, +n_u) — a sublane roll +
+        # aligned slice, no matmul (wraps only land under zero taps)
         rbr = rb_r[...]
         rbi = rb_i[...]
         rp = rbr.shape[0]
         for k in range(k_max):
-            vr = pltpu.roll(rbr, rp - k, 0) if k else rbr
-            vi = pltpu.roll(rbi, rp - k, 0) if k else rbi
+            o = row0 + k
+            vr = pltpu.roll(rbr, rp - o, 0) if o else rbr
+            vi = pltpu.roll(rbi, rp - o, 0) if o else rbi
             Wk.append((jax.lax.slice(vr, (0, 0), (n_u, 128)),
                        jax.lax.slice(vi, (0, 0), (n_u, 128))))
     else:
         # general stride: one-hot MXU matmuls (no Mosaic strided
-        # sublane gather)
-        rbr = rb_r[0:rows_tot, :]
-        rbi = rb_i[0:rows_tot, :]
-        u_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 0)
-        r_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, rows_tot), 1)
+        # sublane gather) over just this sub-block's row window (the
+        # fused kernel's buffer holds n_sub blocks — selecting over the
+        # whole buffer would multiply the select flops by n_sub)
+        w = min(_rup(cfg["n_lead"] + cfg["rows_step"], 8),
+                rb_r.shape[0] - row0)
+        rbr = rb_r[row0:row0 + w, :]
+        rbi = rb_i[row0:row0 + w, :]
+        u_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, w), 0)
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (n_u, w), 1)
         for k in range(k_max):
             Rk = (r_i == n_r * u_i + k).astype(jnp.float32)
             wr = jnp.dot(Rk, rbr, preferred_element_type=jnp.float32)
@@ -387,7 +396,7 @@ def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
         Oq = (jnp.dot(wrq, sl_r[...], preferred_element_type=jnp.float32)
               + jnp.dot(wiq, sl_i[...],
                         preferred_element_type=jnp.float32))
-        # un-interleave: frame F = i·NF + n_g·u + Bs·q + s; strided
+        # un-interleave: frame F = F0 + n_g·u + Bs·q + s; strided
         # lane writes are forbidden → transpose + one-hot spread
         for s in range(Bs):
             Qs = jax.lax.slice(Oq, (0, 128 * s), (n_u, 128 * (s + 1)))
@@ -397,7 +406,22 @@ def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
                       jnp.int32, (n_u, NF), 0) + g).astype(jnp.float32)
             o_acc = o_acc + jnp.dot(Qs.T, Sg,
                                     preferred_element_type=jnp.float32)
-    o_ref[...] = o_acc[0:twoM, :].astype(o_ref.dtype)
+    return o_acc
+
+
+def _chz2_kernel(xr_ref, xi_ref, er_ref, ei_ref, pre_ref, pro_ref,
+                 pie_ref, pio_ref, o_ref, rb_r, rb_i, sl_r, sl_i, *, cfg):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _slabs():
+        chz2_init_slabs(sl_r, sl_i, pre_ref, pro_ref, pie_ref, pio_ref,
+                        cfg)
+
+    chz2_fill_rbuf(i, rb_r, rb_i, xr_ref, xi_ref, er_ref, ei_ref,
+                   cfg, cfg["rows_step"])
+    o_acc = chz2_compute(rb_r, rb_i, sl_r, sl_i, cfg)
+    o_ref[...] = o_acc[0:cfg["twoM"], :].astype(o_ref.dtype)
 
 
 class PallasChannelizerV2:

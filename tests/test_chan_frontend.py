@@ -166,6 +166,44 @@ def test_pallas_channelizer_v2_vs_v1(rng):
                                    atol=1e-6)
 
 
+def test_chan_fused_equality(rng):
+    """ChanFusedPipeline (PFB + post-channelizer in ONE kernel) ==
+    the PallasChannelizerV2 → ChanPostPipeline two-kernel route,
+    bit-exact incl. squelch sums and every state entry."""
+    import jax.tree_util as jtu
+    vb = _bank()
+    C = 16
+    params = vb.make_params(np.linspace(-1.0e6, 1.0e6, C) + 917.0)
+    fused = vb._chan_fused(C, interpret=True)
+    assert fused is not None and fused.supported
+    pipe = vb._chan_pipe(C, interpret=True)
+    pz = vb._pallas_chz(True)
+    T = 48 * 2560
+    x = jnp.asarray(_wideband(rng, T))
+    state = vb.init_state(C)
+    Tb = 2 * T // vb.M
+    pad_to = pipe._plan(Tb)["Tb_pad"]
+    st = dict(state)
+    bins, st["chz"] = pz.apply(state["chz"], x, pad_to,
+                               out_dtype=jnp.float32)
+    y1, sq1, ns1 = pipe.apply(params, st, bins, Tb=Tb,
+                              return_planes=True)
+    y2, sq2, ns2 = fused.apply(params, state, x, return_planes=True)
+    np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y2[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y1[1]), np.asarray(y2[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sq1), np.asarray(sq2),
+                               rtol=1e-5)
+    l1 = jtu.tree_flatten_with_path(ns1)[0]
+    l2 = jtu.tree_flatten_with_path(ns2)[0]
+    assert len(l1) == len(l2)
+    for (p1, v1), (p2, v2) in zip(l1, l2):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=2e-5, err_msg=str(p1))
+
+
 def test_fm_audio_chunked_equality(rng):
     """apply_chunked over 16-channel kernel launches == one 32-channel
     launch (wide banks chunk around the scoped-VMEM cap)."""

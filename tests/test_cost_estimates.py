@@ -41,7 +41,7 @@ ALL_LABELS = {
     "poly_banded", "poly_banded_cb", "fused_mix_decim", "plane_decim",
     "plane_poly", "fused_mix_planes", "fft_power_db", "wfm_stereo",
     "pfb_channelizer", "poly_channelizer", "chan_postpipe",
-    "fm_demod_audio", "wfm_whole_demod", "mono_frontend",
+    "chan_fused", "fm_demod_audio", "wfm_whole_demod", "mono_frontend",
 }
 SEEN = set()
 
@@ -328,6 +328,34 @@ def test_channelized_path_cost(rng):
             assert pz.ok_for(T, W), (T, W)
             bins, _ = pz.apply(vb.chz.init_state(), x, W)
             bins.block_until_ready()
+        if "chan_postpipe" not in SEEN:
+            # apply_fused routes to the fused kernel when supported;
+            # audit the standalone two-kernel route too
+            pipe = vb._chan_pipe(C, interpret=True)
+            Tb = 2 * T // vb.chz.M
+            pad_to = pipe._plan(Tb)["Tb_pad"]
+            st = dict(vb.init_state(C))
+            bins2, st["chz"] = pz.apply(vb.chz.init_state(), x, pad_to)
+            y, _, _ = pipe.apply(params, st, bins2, Tb=Tb,
+                                 return_planes=True)
+            y[0].block_until_ready()
+        _reconcile(copies)
+
+
+def test_chan_fused_cost(rng):
+    from sdrplusplusbrown_tpu.models.rx_vfo import ChannelizedRxVFOBank
+    vb = ChannelizedRxVFOBank(2_400_000.0, 50_000.0, 12_500.0)
+    C = 16
+    params = vb.make_params(np.linspace(-1.0e6, 1.0e6, C) + 917.0)
+    fused = vb._chan_fused(C, interpret=True)
+    assert fused is not None and fused.supported
+    T = 48 * 2560
+    x = jnp.asarray((rng.standard_normal(T) + 1j
+                     * rng.standard_normal(T)).astype(np.complex64)
+                    * 0.1)
+    with audit() as copies:
+        y, sq, st = fused.apply(params, vb.init_state(C), x)
+        y.block_until_ready()
         _reconcile(copies)
 
 
