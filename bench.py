@@ -292,6 +292,9 @@ def build_multimode8():
     g = bank.in_multiple
     T = int(((240_000 + g - 1) // g) * g)
     rng = np.random.default_rng(2)
+    # complex feed: the one-off c64→planes split (8 B/smp) is SHARED by
+    # the three mode groups' kernels; a plane feed measured WORSE
+    # (116.2 vs 101.5 B/smp — each group re-staged the planes)
     x = (rng.standard_normal(T) + 1j * rng.standard_normal(T)
          ).astype(np.complex64) * 0.1
 
