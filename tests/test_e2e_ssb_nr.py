@@ -100,6 +100,19 @@ def _record(app, audio_seconds, attempts=6):
     #4).  Scale the window by the app's own observed rt-factor and
     retry with a longer window until the audio length is actually
     there — the signal oracle itself is never loosened."""
+    # wait for the pump to actually FLOW first: a mode switch (set_afnr)
+    # triggers an XLA compile inside the pump, and under full-suite load
+    # that can stall longer than every retry window combined — the
+    # recorder then produces only empty files ("0.00s after 6 windows")
+    deadline = time.time() + 180
+    try:
+        b0 = int(app.get("/status").get("blocks", 0))
+        while time.time() < deadline:
+            if int(app.get("/status").get("blocks", 0)) >= b0 + 2:
+                break
+            time.sleep(0.5)
+    except Exception:
+        pass
     factor = 1.0
     try:
         st = app.get("/status")
