@@ -102,9 +102,11 @@ def _record(app, audio_seconds, attempts=6):
     there — the signal oracle itself is never loosened."""
     # wait for the pump to actually FLOW first: a mode switch (set_afnr)
     # triggers an XLA compile inside the pump, and under full-suite load
-    # that can stall longer than every retry window combined — the
-    # recorder then produces only empty files ("0.00s after 6 windows")
-    deadline = time.time() + 180
+    # that can stall for MINUTES — the recorder then produces only empty
+    # files ("0.00s after 6 windows").  One overall deadline governs
+    # both the flow-wait and the rt-scaled retry windows; zero-audio
+    # windows just keep waiting instead of burning a fixed attempt count
+    deadline = time.time() + 900
     try:
         b0 = int(app.get("/status").get("blocks", 0))
         while time.time() < deadline:
@@ -120,15 +122,19 @@ def _record(app, audio_seconds, attempts=6):
     except Exception:
         pass
     wall = audio_seconds * factor + 0.5
-    for _ in range(attempts):
+    n_win = 0
+    last = 0.0
+    while time.time() < deadline:
         wav = _record_once(app, wall)
         y, rate = read_wav_iq(wav)
+        n_win += 1
+        last = len(y) / rate
         if len(y) >= audio_seconds * rate:
             return wav
         wall = min(wall * 1.6, 60.0)
     raise AssertionError(
         f"recording never reached {audio_seconds:.1f}s of audio "
-        f"(last had {len(y) / rate:.2f}s after {attempts} windows)")
+        f"(last had {last:.2f}s after {n_win} windows)")
 
 
 @pytest.mark.slow
