@@ -426,13 +426,21 @@ def main():
             out["hbm_util"] = round(r["hbm_util"], 4)
             out["bound_by"] = r["bound_by"]
             out["peak_ref"] = r["peak_ref"]
-    if "--all" in sys.argv:
+    # All five BASELINE configs are driver-verifiable by default
+    # (VERDICT r4 missing #5): the plain `python bench.py` the driver
+    # runs emits per-config numbers, not just WFM-8.  `--wfm-only`
+    # restores the single-config fast path for interactive kernel work.
+    if "--wfm-only" not in sys.argv:
         out["details"] = {
             "wfm8": r,
             "channelizer64_10msps_fft": run("channelizer64"),
             "multimode8_2p4msps": run("multimode8"),
             "scanner128_nfm_2p4msps": run("scanner128"),
             "scanner256_nfm_2p4msps": run("scanner256"),
+        }
+        out["configs"] = {
+            k: (round(v["msps"], 1) if "msps" in v else v.get("error"))
+            for k, v in out["details"].items()
         }
     print(json.dumps(out))
     sys.exit(rc)

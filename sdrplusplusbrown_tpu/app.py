@@ -682,6 +682,14 @@ class SDRApp:
         self.running = False
         self.main_loop_started = False
         self._pump_thread: Optional[threading.Thread] = None
+        # pump mode "manual": no pump thread — the control plane steps
+        # the pipeline synchronously via /pump/step (wall-clock-free e2e:
+        # progress is counted in processed blocks, never in sleeps, so a
+        # starved host just takes longer instead of skipping)
+        with self.config.acquire(False) as conf:
+            self.pump_manual = (conf.get("pump", "thread") == "manual")
+        self._pump_gen = None
+        self._pump_step_lock = threading.Lock()
         self._stop_evt = threading.Event()
         self._lock = threading.RLock()
         self._granularity_dirty = True
@@ -739,6 +747,14 @@ class SDRApp:
             os.makedirs(rec_dir, exist_ok=True)
             path = os.path.join(rec_dir, WavRecorder.capture_name(
                 f"sink_{stream}", self.frequency))
+            # capture_name has 1 s resolution: two selects inside the
+            # same second (the sync-pump e2e retries do this) must not
+            # silently overwrite the first recording
+            stem, ext = os.path.splitext(path)
+            k = 1
+            while os.path.exists(path):
+                path = f"{stem}_{k}{ext}"
+                k += 1
             new_sink = WavRecorder(
                 path, m.radio.audio_samplerate, channels=2)
         elif sink == "network":
@@ -828,7 +844,11 @@ class SDRApp:
                 return
             self.running = True
             self._stop_evt.clear()
-            if self.run_pump and self.source is not None:
+            if self.pump_manual:
+                # synchronous mode: ready immediately; blocks flow only
+                # through explicit pump_step() calls
+                self.main_loop_started = True
+            elif self.run_pump and self.source is not None:
                 self._pump_thread = threading.Thread(
                     target=self._pump_loop, daemon=True)
                 self._pump_thread.start()
@@ -870,6 +890,30 @@ class SDRApp:
         return g
 
     def _pump_loop(self):
+        for _ in self._pump_iter():
+            pass
+
+    def pump_step(self, n: int = 1) -> int:
+        """Synchronously process up to ``n`` pipeline blocks (manual pump
+        mode).  Returns the number actually processed (< n only at end of
+        a non-looping source).  Serialized: concurrent HTTP calls queue
+        on the step lock."""
+        with self._pump_step_lock:
+            if self._pump_gen is None:
+                self._pump_gen = self._pump_iter()
+            done = 0
+            for _ in range(int(n)):
+                try:
+                    next(self._pump_gen)
+                except StopIteration:
+                    break
+                done += 1
+            return done
+
+    def _pump_iter(self):
+        """The pump as a generator: yields once per processed block so it
+        can be driven by the pump thread (free-running) or stepped
+        synchronously from the control plane (manual mode)."""
         import jax
         import jax.numpy as jnp
         fe_step = jax.jit(lambda s, x: self.frontend.apply(None, s, x))
@@ -896,6 +940,7 @@ class SDRApp:
                 gran = g
                 block_len = ((max(g, int(self.samplerate // 20)) + g - 1)
                              // g) * g
+                self.pump_block_len = block_len
                 rc = Rechunker(block_len)
             for chunk in rc.push(blk):
                 use_nr = False
@@ -998,6 +1043,7 @@ class SDRApp:
                         stereo_data=audio))
                 self.input_tracker.add(len(chunk))
                 self.blocks_processed += 1
+                yield self.blocks_processed
         self.main_loop_started = True
 
     # ------------------------------------------------------------------

@@ -139,8 +139,27 @@ class HttpDebugServer:
                      "frequency": app.frequency,
                      "samplerate": app.samplerate,
                      "blocks": app.blocks_processed,
+                     "blockLen": getattr(app, "pump_block_len", 0),
                      "input_samples_per_s": round(
                          app.input_tracker.rate(), 1)})
+            return
+        if path == "/pump/step":
+            # manual pump mode: synchronously process N blocks inside
+            # this request (may include an XLA compile — the client sets
+            # a generous timeout).  Wall-clock-free e2e drive: progress
+            # is counted in blocks, not sleeps.
+            if not getattr(app, "pump_manual", False):
+                h._json({"error": "pump is not in manual mode"})
+                return
+            try:
+                j = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                j = {}
+            n = int(j.get("blocks", q.get("blocks", 1)))
+            done = app.pump_step(n)
+            h._json({"status": "ok", "stepped": done,
+                     "blocks": app.blocks_processed,
+                     "blockLen": getattr(app, "pump_block_len", 0)})
             return
         if path in ("/stop", "/exit"):
             h._json({"status": "exiting"})

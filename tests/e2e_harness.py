@@ -84,11 +84,17 @@ class AppContext:
                          f"/module/{inst.replace(' ', '%20')}/command",
                          {"cmd": cmd, "args": args}, timeout=timeout)
 
-    def get(self, path: str) -> Dict:
-        return http_get(self.base, path)
+    def get(self, path: str, timeout: float = 5.0) -> Dict:
+        return http_get(self.base, path, timeout=timeout)
 
-    def post(self, path: str, obj: Dict) -> Dict:
-        return http_post(self.base, path, obj)
+    def post(self, path: str, obj: Dict, timeout: float = 5.0) -> Dict:
+        return http_post(self.base, path, obj, timeout=timeout)
+
+    def pump_step(self, blocks: int, timeout: float = 1800.0) -> Dict:
+        """Synchronously process ``blocks`` pipeline blocks (manual pump
+        mode).  The generous timeout covers an in-request XLA compile."""
+        return http_post(self.base, "/pump/step", {"blocks": blocks},
+                         timeout=timeout)
 
     def close(self):
         try:
