@@ -1,0 +1,582 @@
+"""DMR burst-layer processing past frame sync: CACH/TACT, slot type,
+voice-superframe tracking and embedded-LC assembly.
+
+reference behavior: decoder_modules/ch_extravhf_decoder/src/dsp/
+dsd_dmr.cpp:15-371 — after ``findFrameSync`` the reference extracts the
+CACH slot bit, reads the slot-type colour code + burst type RAW (its
+CACH decode is a TODO and it applies no FEC), and tracks the 6-burst
+voice superframe to feed AMBE frames to the vendored MBE vocoder.  This
+implementation goes deeper than the reference on the signalling side
+(full TACT/CACH decode, Golay-checked slot type, embedded-LC assembly
+with Hamming(16,11,4) + 5-bit checksum — all of which the reference
+skips) while leaving the vendored AMBE vocoder out of scope (README
+boundary note).
+
+On-air validation: the embedded-LC path decodes 13/13 voice superframes
+checksum-clean on the golden ``dmr_sample.wav`` capture (group call,
+FLCO 0, dst 16777215, src 150587), which pins the Hamming(16,11,4)
+parity equations, the stride-16 mod-127 fragment interleave, the LC/
+checksum bit layout and the dibit→on-air bit mapping.  The slot-type
+Golay(20,8) and CACH codes are loopback-gated (the golden capture is
+direct-mode voice and carries neither) with a computed-dmin sanity
+check in the tests.
+
+Dibit convention: the 4FSK demod emits OUR dibits {3:+3, 2:+1, 1:−1,
+0:−3}; on-air ETSI TS 102 361-1 §10.2 maps +3→01, +1→00, −1→10,
+−3→11, hence the translation LUT below.  All protocol constants here
+are ETSI TS 102 361-1 values (category-b unavoidable data).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .dsd import DSDFrameSync, SYNC_LEN
+
+#: our demod dibit -> on-air ETSI dibit (bit1=sign, bit0=magnitude)
+OUR_TO_AIR = np.array([3, 2, 0, 1], np.uint8)
+
+#: dibits per two-slot TDMA frame: same-slot bursts repeat every 288
+DIBITS_PER_FRAME = 288
+#: voice superframe = 6 same-slot bursts (A..F)
+SUPERFRAME_BURSTS = 6
+
+BURST_TYPE_NAMES = {
+    0: "PI Header", 1: "VOICE Header", 2: "TLC", 3: "CSBK",
+    4: "MBC Header", 5: "MBC", 6: "DATA Header", 7: "RATE 1/2 DATA",
+    8: "RATE 3/4 DATA", 9: "Idle", 10: "RATE 1 DATA",
+}
+
+FLCO_NAMES = {0: "Group Voice", 3: "Unit to Unit"}
+
+
+def bits_of_air(dibits: np.ndarray) -> np.ndarray:
+    """On-air dibits -> bit array (bit1 first, per ETSI transmit order)."""
+    out = np.empty(2 * len(dibits), np.uint8)
+    out[0::2] = (dibits >> 1) & 1
+    out[1::2] = dibits & 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FEC primitives (ETSI TS 102 361-1 Annex B)
+# ---------------------------------------------------------------------------
+
+def hamming_16_11_4_encode(d: np.ndarray) -> np.ndarray:
+    """Hamming(16,11,4) row code of the embedded-LC matrix (B.3.2).
+
+    Parity equations validated ON-AIR: with them the golden capture's
+    embedded LC checksums verify 13/13 (see module docstring)."""
+    c0 = d[0] ^ d[1] ^ d[2] ^ d[3] ^ d[5] ^ d[7] ^ d[8]
+    c1 = d[1] ^ d[2] ^ d[3] ^ d[4] ^ d[6] ^ d[8] ^ d[9]
+    c2 = d[2] ^ d[3] ^ d[4] ^ d[5] ^ d[7] ^ d[9] ^ d[10]
+    c3 = d[0] ^ d[1] ^ d[2] ^ d[4] ^ d[6] ^ d[7] ^ d[10]
+    c4 = d[0] ^ d[2] ^ d[5] ^ d[6] ^ d[8] ^ d[9] ^ d[10]
+    return np.concatenate([d, np.array([c0, c1, c2, c3, c4], np.uint8)])
+
+
+_H16114_SYN: Dict[tuple, int] = {}
+
+
+def _h16114_syndrome(row: np.ndarray) -> tuple:
+    enc = hamming_16_11_4_encode(row[:11])
+    return tuple((enc[11:] ^ row[11:]).tolist())
+
+
+def _h16114_table() -> Dict[tuple, int]:
+    if not _H16114_SYN:
+        for e in range(16):
+            r = np.zeros(16, np.uint8)
+            r[e] = 1
+            _H16114_SYN[_h16114_syndrome(r)] = e
+    return _H16114_SYN
+
+
+def hamming_16_11_4_correct(row: np.ndarray):
+    """-> (corrected_row, n_corrected) with n=-1 for uncorrectable
+    (detected double error — d=4)."""
+    s = _h16114_syndrome(row)
+    if not any(s):
+        return row, 0
+    e = _h16114_table().get(s)
+    if e is None:
+        return row, -1
+    r = row.copy()
+    r[e] ^= 1
+    return r, 1
+
+
+def _cyclic_parity(data_bits: np.ndarray, genpoly: int, ncheck: int
+                   ) -> np.ndarray:
+    """Systematic cyclic-code parity: remainder of d(x)·x^ncheck / g(x)."""
+    reg = 0
+    top = 1 << ncheck
+    for b in data_bits:
+        reg = (reg << 1) | int(b)
+        if reg & top:
+            reg ^= genpoly
+    # flush ncheck zero bits
+    for _ in range(ncheck):
+        reg <<= 1
+        if reg & top:
+            reg ^= genpoly
+    return np.array([(reg >> (ncheck - 1 - i)) & 1
+                     for i in range(ncheck)], np.uint8)
+
+
+def golay_20_8_encode(d8: np.ndarray) -> np.ndarray:
+    """DMR slot-type Golay(20,8) (B.3.1): 8 data + 12 parity, built
+    from the degree-12 generator x^12+x^11+x^10+x^9+x^8+x^5+x^2+1 =
+    (x+1)·g23(x) — i.e. the extended Golay(24,12,8) shortened by 4 data
+    bits (measured dmin 8; corrects ≤3 errors).  On-air validation is
+    pending a data-burst capture (the golden capture is voice-only);
+    note the reference applies NO FEC here at all."""
+    return np.concatenate([
+        d8.astype(np.uint8),
+        _cyclic_parity(d8, 0b1111100100101, 12)])
+
+
+_G208_TABLE: Optional[np.ndarray] = None
+
+
+def _golay_20_8_table() -> np.ndarray:
+    global _G208_TABLE
+    if _G208_TABLE is None:
+        t = np.zeros((256, 20), np.uint8)
+        for v in range(256):
+            d = np.array([(v >> (7 - i)) & 1 for i in range(8)], np.uint8)
+            t[v] = golay_20_8_encode(d)
+        _G208_TABLE = t
+    return _G208_TABLE
+
+
+def golay_20_8_decode(bits20: np.ndarray):
+    """ML decode -> (value8, hamming_distance); correct for <= 3 errors."""
+    t = _golay_20_8_table()
+    dist = np.count_nonzero(t != bits20[None, :], axis=1)
+    v = int(np.argmin(dist))
+    return v, int(dist[v])
+
+
+def hamming_7_4_encode(d4: np.ndarray) -> np.ndarray:
+    """TACT Hamming(7,4,3) (B.3.3), g(x)=x^3+x+1 systematic."""
+    return np.concatenate([d4.astype(np.uint8),
+                           _cyclic_parity(d4, 0b1011, 3)])
+
+
+_H74_TABLE: Optional[np.ndarray] = None
+
+
+def hamming_7_4_decode(bits7: np.ndarray):
+    global _H74_TABLE
+    if _H74_TABLE is None:
+        _H74_TABLE = np.zeros((16, 7), np.uint8)
+        for v in range(16):
+            d = np.array([(v >> (3 - i)) & 1 for i in range(4)], np.uint8)
+            _H74_TABLE[v] = hamming_7_4_encode(d)
+    dist = np.count_nonzero(_H74_TABLE != bits7[None, :], axis=1)
+    v = int(np.argmin(dist))
+    return v, int(dist[v])
+
+
+def hamming_17_12_3_encode(d12: np.ndarray) -> np.ndarray:
+    """Short-LC row Hamming(17,12,3) (B.3.4): shortened (31,26) Hamming
+    with the primitive g(x)=x^5+x^2+1 (x^5+x^4+x^2+1 is divisible by
+    x+1 and gives an ambiguous syndrome map)."""
+    return np.concatenate([d12.astype(np.uint8),
+                           _cyclic_parity(d12, 0b100101, 5)])
+
+
+def hamming_17_12_3_correct(row: np.ndarray):
+    syn_tab = {}
+    for e in range(17):
+        r = np.zeros(17, np.uint8)
+        r[e] = 1
+        enc = hamming_17_12_3_encode(r[:12])
+        syn_tab[tuple((enc[12:] ^ r[12:]).tolist())] = e
+    enc = hamming_17_12_3_encode(row[:12])
+    s = tuple((enc[12:] ^ row[12:]).tolist())
+    if not any(s):
+        return row, 0
+    e = syn_tab.get(s)
+    if e is None:
+        return row, -1
+    r = row.copy()
+    r[e] ^= 1
+    return r, 1
+
+
+def lc_checksum5(lc_bytes: np.ndarray) -> int:
+    """Full-LC 5-bit checksum: sum of the nine octets mod 31 (B.3.11).
+    On-air validated (13/13 on the golden capture)."""
+    return int(lc_bytes.astype(np.int64).sum() % 31)
+
+
+def crc8(bits: np.ndarray, poly: int = 0x107) -> int:
+    """CRC-8 over a bit array (short LC, ETSI B.3.9 polynomial
+    x^8+x^2+x+1)."""
+    reg = 0
+    for b in bits:
+        reg = (reg << 1) | int(b)
+        if reg & 0x100:
+            reg ^= poly
+    for _ in range(8):
+        reg <<= 1
+        if reg & 0x100:
+            reg ^= poly
+    return reg & 0xFF
+
+
+# ---------------------------------------------------------------------------
+# Field codecs
+# ---------------------------------------------------------------------------
+
+#: TACT bit positions inside the 24-bit CACH (ETSI §9.3.5 interleave);
+#: the other 17 positions carry the short-LC payload fragment
+TACT_POS = np.array([0, 4, 8, 12, 14, 18, 22])
+CACH_PAYLOAD_POS = np.array([i for i in range(24)
+                             if i not in set(TACT_POS.tolist())])
+
+
+def decode_cach(bits24: np.ndarray) -> dict:
+    """CACH -> TACT fields + payload fragment.  The reference reads only
+    the slot bit (dsd_dmr.cpp:19-21, 'TODO: use CACH')."""
+    tact = bits24[TACT_POS]
+    v, dist = hamming_7_4_decode(tact)
+    at, tc = (v >> 3) & 1, (v >> 2) & 1
+    lcss = v & 3
+    return {"at": at, "tc": tc, "lcss": lcss, "tact_errs": dist,
+            "payload": bits24[CACH_PAYLOAD_POS]}
+
+
+def decode_slot_type(bits20: np.ndarray) -> dict:
+    """Slot type (CC 4 + DataType 4 + Golay(20,8) parity 12).  The
+    reference reads CC/type raw with no FEC (dsd_dmr.cpp:24-45)."""
+    v, dist = golay_20_8_decode(bits20)
+    return {"cc": (v >> 4) & 0xF, "data_type": v & 0xF,
+            "errs": dist, "ok": dist <= 3,
+            "type_name": BURST_TYPE_NAMES.get(v & 0xF, "UNK")}
+
+
+def decode_emb(bits16: np.ndarray) -> dict:
+    """EMB (CC 4, PI 1, LCSS 2 + QR(16,7,6) parity 9) — fields read raw
+    and majority-voted across the superframe by the caller."""
+    cc = int("".join(map(str, bits16[:4])), 2)
+    return {"cc": cc, "pi": int(bits16[4]),
+            "lcss": int("".join(map(str, bits16[5:7])), 2)}
+
+
+def decode_embedded_lc(frag128: np.ndarray) -> Optional[dict]:
+    """4x32-bit fragments (bursts B..E) -> full LC, or None.
+
+    Deinterleave stride 16 mod 127 -> 8x16 matrix; rows 0-6
+    Hamming(16,11,4), row 7 column parity; LC = rows0-1 bits0-10 +
+    rows2-6 bits0-9; checksum bits = rows2-6 bit10 (MSB first);
+    verify sum(9 octets) % 31."""
+    data = np.zeros(128, np.uint8)
+    b = 0
+    for a in range(128):
+        data[b] = frag128[a]
+        b += 16
+        if b > 127:
+            b -= 127
+    rows = data.reshape(8, 16)
+    fixed: List[np.ndarray] = []
+    for r in range(7):
+        row, n = hamming_16_11_4_correct(rows[r].astype(np.uint8))
+        if n < 0:
+            return None
+        fixed.append(row)
+    lc_bits = np.concatenate([fixed[0][:11], fixed[1][:11]]
+                             + [fixed[r][:10] for r in range(2, 7)])
+    got = 0
+    for r in range(2, 7):
+        got = (got << 1) | int(fixed[r][10])
+    lc = np.packbits(lc_bits)
+    if lc_checksum5(lc) != got:
+        return None
+    flco = int(lc[0]) & 0x3F
+    return {
+        "flco": flco,
+        "flco_name": FLCO_NAMES.get(flco, f"FLCO {flco}"),
+        "pf": int(lc[0]) >> 7, "fid": int(lc[1]), "svc": int(lc[2]),
+        "dst": (int(lc[3]) << 16) | (int(lc[4]) << 8) | int(lc[5]),
+        "src": (int(lc[6]) << 16) | (int(lc[7]) << 8) | int(lc[8]),
+    }
+
+
+def decode_short_lc(bits68: np.ndarray) -> Optional[dict]:
+    """4x17-bit CACH payload fragments -> short LC, or None.
+
+    Deinterleave stride 17 mod 67 -> 4x17 matrix; rows 0-2
+    Hamming(17,12,3), row 3 column parity; 36 data bits =
+    28-bit short LC + CRC-8."""
+    data = np.zeros(68, np.uint8)
+    b = 0
+    for a in range(68):
+        data[b] = bits68[a]
+        b += 17
+        if b > 67:
+            b -= 67
+    rows = data.reshape(4, 17)
+    fixed = []
+    for r in range(3):
+        row, n = hamming_17_12_3_correct(rows[r].astype(np.uint8))
+        if n < 0:
+            return None
+        fixed.append(row)
+    bits36 = np.concatenate([row[:12] for row in fixed])
+    if crc8(bits36[:28]) != int("".join(map(str, bits36[28:36])), 2):
+        return None
+    opcode = int("".join(map(str, bits36[:4])), 2)
+    return {"opcode": opcode,
+            "data": int("".join(map(str, bits36[4:28])), 2)}
+
+
+def encode_embedded_lc(lc9: np.ndarray) -> np.ndarray:
+    """9 LC octets -> 128-bit embedded-signalling stream (the 4x32-bit
+    fragments of bursts B..E, in transmit order) — exact inverse of
+    ``decode_embedded_lc`` (loopback-tested)."""
+    lc9 = np.asarray(lc9, np.uint8)
+    cs = lc_checksum5(lc9)
+    bits72 = np.unpackbits(lc9)
+    rows = [hamming_16_11_4_encode(bits72[0:11]),
+            hamming_16_11_4_encode(bits72[11:22])]
+    for r in range(5):
+        d11 = np.concatenate([
+            bits72[22 + 10 * r: 32 + 10 * r],
+            np.array([(cs >> (4 - r)) & 1], np.uint8)])
+        rows.append(hamming_16_11_4_encode(d11))
+    rows.append(np.bitwise_xor.reduce(np.stack(rows), axis=0))
+    data = np.concatenate(rows)
+    raw = np.zeros(128, np.uint8)
+    b = 0
+    for a in range(128):
+        raw[a] = data[b]
+        b += 16
+        if b > 127:
+            b -= 127
+    return raw
+
+
+def encode_short_lc(opcode: int, data24: int) -> np.ndarray:
+    """(opcode, 24-bit payload) -> 68-bit CACH payload stream (4x17-bit
+    fragments in transmit order) — inverse of ``decode_short_lc``."""
+    bits28 = np.array([(opcode >> (3 - i)) & 1 for i in range(4)]
+                      + [(data24 >> (23 - i)) & 1 for i in range(24)],
+                      np.uint8)
+    c = crc8(bits28)
+    bits36 = np.concatenate([bits28, np.array(
+        [(c >> (7 - i)) & 1 for i in range(8)], np.uint8)])
+    rows = [hamming_17_12_3_encode(bits36[12 * r: 12 * r + 12])
+            for r in range(3)]
+    rows.append(np.bitwise_xor.reduce(np.stack(rows), axis=0))
+    data = np.concatenate(rows)
+    raw = np.zeros(68, np.uint8)
+    b = 0
+    for a in range(68):
+        raw[a] = data[b]
+        b += 17
+        if b > 67:
+            b -= 67
+    return raw
+
+
+def encode_cach(at: int, tc: int, lcss: int,
+                payload17: np.ndarray) -> np.ndarray:
+    """TACT fields + 17-bit payload fragment -> 24-bit CACH."""
+    v = ((at & 1) << 3) | ((tc & 1) << 2) | (lcss & 3)
+    tact = hamming_7_4_encode(np.array(
+        [(v >> (3 - i)) & 1 for i in range(4)], np.uint8))
+    out = np.zeros(24, np.uint8)
+    out[TACT_POS] = tact
+    out[CACH_PAYLOAD_POS] = payload17
+    return out
+
+
+def encode_slot_type(cc: int, data_type: int) -> np.ndarray:
+    """(colour code, data type) -> 20-bit slot-type field."""
+    v = ((cc & 0xF) << 4) | (data_type & 0xF)
+    return golay_20_8_encode(np.array(
+        [(v >> (7 - i)) & 1 for i in range(8)], np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Streaming burst processor
+# ---------------------------------------------------------------------------
+
+class DMRBurstProcessor:
+    """Streaming DMR burst decoder over the 4FSK dibit stream.
+
+    Wraps DSDFrameSync; on each DMR sync hit it decodes the surrounding
+    burst structure once the dibits are available (bursts straddle block
+    boundaries, so decoding is deferred until the ring holds the full
+    window).  Voice superframes are tracked at the 288-dibit same-slot
+    cadence (A..F; reference dsd_dmr.cpp:137-356)."""
+
+    #: dibits needed BEFORE a sync end (CACH + payload1 + sync)
+    LOOKBACK = 90
+    #: dibits needed AFTER a voice sync end (bursts B..F center fields)
+    LOOKAHEAD = DIBITS_PER_FRAME * (SUPERFRAME_BURSTS - 1) + 1
+
+    def __init__(self):
+        self.sync = DSDFrameSync()
+        self._ring = np.zeros(0, np.uint8)     # on-air dibits
+        self._start = 0                        # global index of ring[0]
+        self._pending_data: List[dict] = []
+        self._pending_voice: List[dict] = []
+        # products
+        self.burst_counts: Dict[str, int] = {}
+        self.slot_last_type = ["", ""]
+        self.color_code: Optional[int] = None
+        self.cc_votes: Dict[int, int] = {}
+        self.voice_superframes = 0
+        self.voice_bursts = 0
+        self.lc_decodes = 0
+        self.last_lc: Optional[dict] = None
+        self.short_lc_decodes = 0
+        self.last_short_lc: Optional[dict] = None
+        self._slc_frags: List[np.ndarray] = []
+
+    # -- ring helpers ---------------------------------------------------
+    def _have(self, lo: int, hi: int) -> bool:
+        return lo >= self._start and hi <= self._start + len(self._ring)
+
+    def _dibits(self, lo: int, hi: int) -> np.ndarray:
+        return self._ring[lo - self._start:hi - self._start]
+
+    def _bits(self, lo: int, hi: int) -> np.ndarray:
+        return bits_of_air(self._dibits(lo, hi))
+
+    # -- field extraction ----------------------------------------------
+    def _center_field(self, end: int) -> np.ndarray:
+        """48 bits of the burst's center (sync or EMB+fragment);
+        ``end`` = index of the last center dibit (inclusive)."""
+        return self._bits(end - (SYNC_LEN - 1), end + 1)
+
+    def _process_data(self, p: dict) -> bool:
+        idx, name = p["idx"], p["name"]
+        s0 = idx - (SYNC_LEN - 1)               # first sync dibit
+        if not self._have(idx - self.LOOKBACK, idx + 6):
+            return False
+        st_bits = np.concatenate([self._bits(s0 - 5, s0),
+                                  self._bits(idx + 1, idx + 6)])
+        st = decode_slot_type(st_bits)
+        self.burst_counts[st["type_name"]] = \
+            self.burst_counts.get(st["type_name"], 0) + 1
+        if st["ok"]:
+            self.cc_votes[st["cc"]] = self.cc_votes.get(st["cc"], 0) + 1
+            self.color_code = max(self.cc_votes, key=self.cc_votes.get)
+        slot = 0
+        if name.startswith("DMR_BS"):           # CACH precedes BS bursts
+            cach = decode_cach(self._bits(s0 - 66, s0 - 54))
+            slot = cach["tc"]
+            self._push_slc(cach)
+        elif "TS2" in name:
+            slot = 1
+        self.slot_last_type[slot] = st["type_name"]
+        return True
+
+    def _push_slc(self, cach: dict):
+        """Short-LC fragment assembly keyed by LCSS (1 first, 3
+        continue, 2 last, 0 single/null)."""
+        if cach["tact_errs"] > 1:
+            return
+        if cach["lcss"] == 1:
+            self._slc_frags = [cach["payload"]]
+        elif cach["lcss"] == 3 and self._slc_frags:
+            self._slc_frags.append(cach["payload"])
+        elif cach["lcss"] == 2 and len(self._slc_frags) == 3:
+            self._slc_frags.append(cach["payload"])
+            slc = decode_short_lc(np.concatenate(self._slc_frags))
+            self._slc_frags = []
+            if slc is not None:
+                self.short_lc_decodes += 1
+                self.last_short_lc = slc
+        else:
+            self._slc_frags = []
+
+    def _process_voice(self, p: dict) -> bool:
+        idx = p["idx"]
+        while p["k"] <= SUPERFRAME_BURSTS - 1:
+            end = idx + DIBITS_PER_FRAME * p["k"]
+            if not self._have(end - (SYNC_LEN - 1), end + 1):
+                return False
+            cf = self._center_field(end)
+            # a new sync in the center field ends the superframe early
+            # (handled naturally: sync hits spawn their own trackers)
+            emb = decode_emb(np.concatenate([cf[:8], cf[40:48]]))
+            p["embs"].append(emb)
+            if 1 <= p["k"] <= 4:
+                p["frags"].append(cf[8:40])
+            p["k"] += 1
+        # superframe complete: A..F seen
+        self.voice_superframes += 1
+        self.voice_bursts += SUPERFRAME_BURSTS
+        lc = decode_embedded_lc(np.concatenate(p["frags"]))
+        if lc is not None:
+            self.lc_decodes += 1
+            self.last_lc = lc
+            # EMB carries no FEC here (raw read) — only let verified
+            # superframes vote for the colour code, else loop seams /
+            # squelch noise pollute the majority
+            for emb in p["embs"]:
+                self.cc_votes[emb["cc"]] = \
+                    self.cc_votes.get(emb["cc"], 0) + 1
+            self.color_code = max(self.cc_votes, key=self.cc_votes.get)
+        slot = 1 if "TS2" in p["name"] else 0
+        self.slot_last_type[slot] = "VOICE"
+        self.burst_counts["VOICE"] = \
+            self.burst_counts.get("VOICE", 0) + SUPERFRAME_BURSTS
+        return True
+
+    # -- main entry -----------------------------------------------------
+    def push(self, dibits: np.ndarray) -> List[tuple]:
+        """Consume demod dibits (OUR convention); returns the sync hits
+        found in this block (global index, name, is_voice)."""
+        hits = self.sync.push(dibits)
+        air = OUR_TO_AIR[np.asarray(dibits, np.uint8) & 3]
+        self._ring = np.concatenate([self._ring, air]) \
+            if self._ring.size else air
+        for (idx, name, voice) in hits:
+            if not name.startswith("DMR"):
+                continue
+            if voice:
+                self._pending_voice.append(
+                    {"idx": idx, "name": name, "k": 1, "frags": [],
+                     "embs": []})
+            else:
+                self._pending_data.append({"idx": idx, "name": name})
+        self._pending_data = [p for p in self._pending_data
+                              if not self._process_data(p)]
+        self._pending_voice = [p for p in self._pending_voice
+                               if not self._process_voice(p)]
+        # trim: keep enough for the oldest pending window + lookback
+        keep_from = self._start + len(self._ring) - (self.LOOKAHEAD
+                                                     + self.LOOKBACK + 64)
+        for p in self._pending_voice + self._pending_data:
+            keep_from = min(keep_from, p["idx"] - self.LOOKBACK)
+        n_drop = max(0, keep_from - self._start)
+        if n_drop:
+            self._ring = self._ring[n_drop:]
+            self._start += n_drop
+        return hits
+
+    # -- status surface -------------------------------------------------
+    def summary(self) -> dict:
+        out = self.sync.summary()
+        out.update({
+            "colorCode": self.color_code,
+            "burstTypes": dict(self.burst_counts),
+            "slot0LastType": self.slot_last_type[0],
+            "slot1LastType": self.slot_last_type[1],
+            "voiceSuperframes": self.voice_superframes,
+            "voiceBursts": self.voice_bursts,
+            "lcDecodes": self.lc_decodes,
+            "lastLC": self.last_lc,
+            "shortLcDecodes": self.short_lc_decodes,
+            "lastShortLC": self.last_short_lc,
+        })
+        return out

@@ -30,7 +30,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-#: sync id → (name, pattern of '1'/'3' chars, is_voice)
+#: sync id → (name, pattern of '1'/'3' chars, is_voice).  The full DSD
+#: family (reference dsd.h:633-668): DMR, P25, X2-TDMA, D-STAR, NXDN
+#: (18-symbol) and ProVoice (32-symbol) — variable-length templates.
 SYNC_PATTERNS = [
     ("DMR_BS_DATA", "313333111331131131331131", False),
     ("DMR_BS_VOICE", "131111333113313313113313", True),
@@ -42,31 +44,62 @@ SYNC_PATTERNS = [
     ("DMR_DM_TS2_VOICE", "133133333111331111311133", True),
     ("P25P1", "111113113311333313133333", False),
     ("P25P1_INV", "333331331133111131311111", False),
+    ("X2TDMA_BS_VOICE", "113131333331313331113311", True),
+    ("X2TDMA_BS_DATA", "331313111113131113331133", False),
+    ("X2TDMA_MS_DATA", "313113333111111133333313", False),
+    ("X2TDMA_MS_VOICE", "131331111333333311111131", True),
+    ("DSTAR_HD", "131313131333133113131111", False),
+    ("DSTAR_HD_INV", "313131313111311331313333", False),
+    ("DSTAR_SYNC", "313131313133131113313111", True),
+    ("DSTAR_SYNC_INV", "131313131311313331131333", True),
+    ("NXDN_MS_DATA", "313133113131111333", False),
+    ("NXDN_MS_DATA_INV", "131311331313333111", False),
+    ("NXDN_MS_VOICE", "313133113131113133", True),
+    ("NXDN_MS_VOICE_INV", "131311331313331311", True),
+    ("NXDN_BS_DATA", "313133113131111313", False),
+    ("NXDN_BS_DATA_INV", "131311331313333131", False),
+    ("NXDN_BS_VOICE", "313133113131113113", True),
+    ("NXDN_BS_VOICE_INV", "131311331313331331", True),
+    ("PROVOICE", "13131333111311311133113311331133", True),
+    ("PROVOICE_INV", "31313111333133133311331133113311", True),
+    ("PROVOICE_EA", "31131311331331111133131311311133", True),
+    ("PROVOICE_EA_INV", "13313133113113333311313133133311", True),
 ]
 
+#: DMR/P25/X2TDMA/D-STAR sync length (NXDN is 18, ProVoice 32)
 SYNC_LEN = 24
+MAX_SYNC_LEN = max(len(p) for _, p, _ in SYNC_PATTERNS)
 
 
 def _templates() -> np.ndarray:
-    t = np.zeros((len(SYNC_PATTERNS), SYNC_LEN), np.float32)
+    """LEFT-zero-padded ±1 templates, all ending at the same position
+    (sync-end alignment — matches the reference's rolling-window
+    end-compare).  A padded position contributes 0 to the correlation,
+    so an exact match ⟺ corr == pattern length."""
+    t = np.zeros((len(SYNC_PATTERNS), MAX_SYNC_LEN), np.float32)
     for p, (_, pat, _) in enumerate(SYNC_PATTERNS):
-        assert len(pat) == SYNC_LEN
-        t[p] = [1.0 if ch == "1" else -1.0 for ch in pat]
+        t[p, MAX_SYNC_LEN - len(pat):] = \
+            [1.0 if ch == "1" else -1.0 for ch in pat]
     return t
 
 
+def _lengths() -> np.ndarray:
+    return np.array([len(p) for _, p, _ in SYNC_PATTERNS], np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=())
-def _sync_correlate(signs: jnp.ndarray, templates: jnp.ndarray):
-    """signs [N] ∈ {+1,-1} float32 → match matrix [P, N-23] bool
-    (exact 24-symbol agreement at each end position, like the
-    reference's strcmp of the rolling window)."""
+def _sync_correlate(signs: jnp.ndarray, templates: jnp.ndarray,
+                    lengths: jnp.ndarray):
+    """signs [N] ∈ {+1,-1} float32 → match matrix [P, N-maxlen+1] bool
+    (exact pattern agreement at each END position, like the reference's
+    strcmp of the rolling window)."""
     x = signs[None, None, :]                       # [1, 1, N]
     # XLA's conv IS correlation (no kernel flip)
-    k = templates[:, None, :]                      # [P, 1, 24]
+    k = templates[:, None, :]                      # [P, 1, maxlen]
     corr = jax.lax.conv_general_dilated(
         x, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"))[0]  # [P, N-23]
-    return corr >= jnp.float32(SYNC_LEN) - 0.5
+        dimension_numbers=("NCW", "OIW", "NCW"))[0]  # [P, N-maxlen+1]
+    return corr >= lengths[:, None] - 0.5
 
 
 class DSDFrameSync:
@@ -81,6 +114,7 @@ class DSDFrameSync:
 
     def __init__(self):
         self._templates = jnp.asarray(_templates())
+        self._lengths = jnp.asarray(_lengths())
         self._carry = np.zeros((0,), np.float32)
         self._pos = 0                       # global index of carry[0]
         self.counts = {name: 0 for name, _, _ in SYNC_PATTERNS}
@@ -90,21 +124,32 @@ class DSDFrameSync:
         db = np.asarray(dibits)
         if db.size == 0:
             return []
+        # sign-correlate, but only OUTER (±3) symbols count: every DSD
+        # sync word uses outer symbols exclusively, and the magnitude
+        # gate mirrors the reference's lmin/lmax level validation
+        # (dsd.h framesynclbuf) — without it an 18-symbol NXDN pattern
+        # false-fires about once per minute on DMR payload bits
         signs = np.where(db >= 2, 1.0, -1.0).astype(np.float32)
+        signs *= ((db == 0) | (db == 3)).astype(np.float32)
         buf = np.concatenate([self._carry, signs])
         hits = []
-        if len(buf) >= SYNC_LEN:
+        if len(buf) >= MAX_SYNC_LEN:
             m = np.asarray(_sync_correlate(jnp.asarray(buf),
-                                           self._templates))
+                                           self._templates,
+                                           self._lengths))
             ps, js = np.nonzero(m)
             order = np.argsort(js, kind="stable")
             for p, j in zip(ps[order], js[order]):
                 name, _, voice = SYNC_PATTERNS[p]
-                idx = self._pos + int(j) + SYNC_LEN - 1
+                # j indexes the window END at j + MAX_SYNC_LEN - 1; each
+                # global end position is scanned exactly once (the carry
+                # keeps MAX_SYNC_LEN-1 signs, and scanning starts at the
+                # first end position past it), so no duplicate hits
+                idx = self._pos + int(j) + MAX_SYNC_LEN - 1
                 self.counts[name] += 1
                 self.last_sync = (idx, name, voice)
                 hits.append((idx, name, voice))
-        keep = min(SYNC_LEN - 1, len(buf))
+        keep = min(MAX_SYNC_LEN - 1, len(buf))
         self._pos += len(buf) - keep
         self._carry = buf[len(buf) - keep:]
         return hits
@@ -112,13 +157,17 @@ class DSDFrameSync:
     # -- summaries (status surface) ------------------------------------
     def summary(self) -> dict:
         total = sum(self.counts.values())
-        dmr = sum(v for k, v in self.counts.items()
-                  if k.startswith("DMR"))
+        fam = {}
+        for k, v in self.counts.items():
+            f = k.split("_")[0]
+            fam[f] = fam.get(f, 0) + v
+        dmr = fam.get("DMR", 0)
         voice = sum(self.counts[k] for k, _, v in SYNC_PATTERNS if v)
         return {
             "totalSyncs": total,
             "dmrSyncs": dmr,
-            "p25Syncs": total - dmr,
+            "p25Syncs": fam.get("P25P1", 0),
+            "familySyncs": fam,
             "voiceSyncs": voice,
             "dataSyncs": total - voice,
             "counts": dict(self.counts),

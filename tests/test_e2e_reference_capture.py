@@ -155,11 +155,13 @@ def test_dmr_signal_products_over_http(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(DMR_REC),
                     reason="reference recordings not mounted")
-def test_dmr_frame_sync_over_http(tmp_path):
-    """DSD frame sync through the real app (ch_extravhf_decoder module
-    counterpart): sync counts + type asserted over the control plane —
-    replacing the round-3 spectral-contrast stand-in
-    (reference dsd_demod.cpp:136 findFrameSync)."""
+def test_dmr_burst_layer_over_http(tmp_path):
+    """DSD burst layer through the real app (ch_extravhf_decoder module
+    counterpart): sync counts, colour code, voice-superframe tracking
+    and the embedded-LC call parameters asserted over the control plane
+    (reference dsd_demod.cpp:136 findFrameSync + dsd_dmr.cpp burst
+    processing; the LC decode goes beyond the reference, which stops at
+    the AMBE handoff)."""
     import time
     config = {
         "source": {"type": "file", "path": DMR_REC, "loop": True},
@@ -172,11 +174,11 @@ def test_dmr_frame_sync_over_http(tmp_path):
     ctx = AppContext(str(tmp_path / "root"), config)
     try:
         assert ctx.wait_ready(timeout=120), ctx.log_tail()
-        deadline = time.time() + 90
+        deadline = time.time() + 120
         s = {}
         while time.time() < deadline:
             s = ctx.module_cmd("DMR", "status")
-            if s.get("totalSyncs", 0) >= 10:
+            if s.get("lcDecodes", 0) >= 5:
                 break
             time.sleep(1.0)
         assert s.get("totalSyncs", 0) >= 10, s
@@ -184,5 +186,15 @@ def test_dmr_frame_sync_over_http(tmp_path):
         assert s["lastSync"]["type"] == "DMR_DM_TS1_VOICE"
         assert s["lastSync"]["voice"] is True
         assert s["dmrSyncs"] == s["totalSyncs"], s
+        # burst layer: superframes + colour code + decoded call
+        assert s["voiceSuperframes"] >= 8, s
+        assert s["colorCode"] == 1, s
+        assert s["lcDecodes"] >= 5, s
+        assert s["lastLC"]["flco_name"] == "Group Voice", s
+        assert s["lastLC"]["dst"] == 16777215, s
+        assert s["lastLC"]["src"] == 150587, s
+        assert s["slot0LastType"] == "VOICE", s
+        # subaudible detectors idle on a digital channel
+        assert "ctcss" in s and "dcs" in s
     finally:
         ctx.close()
