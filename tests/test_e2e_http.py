@@ -198,3 +198,64 @@ def test_sink_select_records(app):
     recs = glob.glob(os.path.join(app.root, "recordings", "sink_*.wav"))
     assert recs, "sink recorder produced no file"
     assert os.path.getsize(recs[0]) > 1000
+
+
+def test_frequency_manager_http_e2e(tmp_path_factory):
+    """Frequency-manager debug protocol over HTTP + a physical apply:
+    create bookmark → apply → the decoder's SNR product confirms the
+    radio actually landed on the carrier (reference
+    e2e/test_frequency_manager.py + test_frequency_manager_tetra.py,
+    which also asserts the stored-VFO targeting)."""
+    import time
+    tmp = tmp_path_factory.mktemp("fm_e2e")
+    cap = make_capture(tmp)
+    config = {
+        "source": {"type": "file", "path": cap, "loop": True},
+        "fftSize": 4096, "fftRate": 20,
+        "modules": {
+            "Radio": {"type": "radio", "demod": "NFM", "offset": -80e3},
+            "Freqs": {"type": "frequency_manager"},
+        },
+    }
+    app = AppContext(str(tmp / "root"), config)
+    try:
+        assert app.wait_ready(timeout=120), app.log_tail()
+        # protocol surface (reference tests 1-7)
+        r = app.module_cmd("Freqs", "get_lists")
+        assert r["status"] == "ok" and "Default" in r["lists"]
+        r = app.module_cmd("Freqs", "get_current_list")
+        assert r["current_list"] == "Default"
+        r = app.module_cmd("Freqs", "add_bookmark",
+                           "Station1|14050000|12500|0|Radio")
+        assert r["status"] == "ok"
+        r = app.module_cmd("Freqs", "add_bookmark",
+                           "Station2|14500000|12500|1")
+        assert r["status"] == "ok"
+        r = app.module_cmd("Freqs", "get_bookmarks")
+        rows = {b["name"]: b for b in r["bookmarks"]}
+        assert rows["Station1"]["frequency"] == 14050000.0
+        assert rows["Station1"]["vfo"] == "Radio"
+        assert rows["Station2"]["mode"] == "WFM"
+        # ghost bookmark fails cleanly (tetra e2e scenario)
+        r = app.module_cmd("Freqs", "apply_bookmark", "Ghost")
+        assert "error" in r
+        # off-carrier before apply
+        snr_off = app.module_cmd("Radio", "get_snr")["snr"]
+        # apply → in-span target moves the VFO onto the +50 kHz carrier
+        r = app.module_cmd("Freqs", "apply_bookmark", "Station1")
+        assert r["status"] == "ok" and r["vfo"] == "Radio"
+        deadline = time.time() + 60
+        snr_on = -1.0
+        while time.time() < deadline:
+            snr_on = app.module_cmd("Radio", "get_snr")["snr"]
+            if snr_on > 20.0:
+                break
+            time.sleep(0.5)
+        assert snr_on > 20.0, (snr_off, snr_on)
+        # remove + list bookkeeping
+        r = app.module_cmd("Freqs", "remove_bookmark", "Station2")
+        assert r["status"] == "ok"
+        r = app.module_cmd("Freqs", "get_bookmarks")
+        assert len(r["bookmarks"]) == 1
+    finally:
+        app.close()

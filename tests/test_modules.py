@@ -103,11 +103,18 @@ def test_frequency_manager_bookmarks(tmp_path):
         assert "repeater" in lst["bookmarks"]
         r = fm.handle_debug_command("apply", "repeater,Radio")
         assert r["status"] == "ok"
-        assert app.frequency == 7_105_000.0
+        # tuner NORMAL-mode semantics: in-span target moves the VFO,
+        # center stays (reference gui/tuner.cpp)
+        if abs(7_105_000.0 - app.frequency) < app.frontend.effective_sr / 2:
+            assert app.modules["Radio"].offset_hz == \
+                7_105_000.0 - app.frequency
+        else:
+            assert app.frequency == 7_105_000.0
         assert app.modules["Radio"].demod_id == 1  # WFM
-        # persisted
+        # persisted (list-structured format)
         with app.config.acquire(False) as conf:
-            assert "repeater" in conf["frequencyManager"]["Freqs"]
+            saved = conf["frequencyManager"]["Freqs"]
+            assert "repeater" in saved["lists"][saved["selectedList"]]
         r = fm.handle_debug_command("remove", "repeater")
         assert r["status"] == "ok"
         assert fm.handle_debug_command("remove", "repeater")["error"]
