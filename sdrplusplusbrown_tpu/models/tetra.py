@@ -329,6 +329,25 @@ def decode_sch_hd(burst_bits: np.ndarray, scramb_init: int,
     return t2[:124]
 
 
+def decode_sch_f(burst_bits: np.ndarray,
+                 scramb_init: int) -> Optional[np.ndarray]:
+    """SCH/F (full-slot signalling): both NDB halves form ONE 432-bit
+    type-5 block (the 'n' training sequence marks it, 9.4.4.3.2):
+    descramble → (432,103) de-interleave → rate-2/3 de-puncture →
+    rate-1/4 K=5 Viterbi → CRC-16.  Returns the 268 type-1 bits or
+    None (8.2: K=432 → a=103, type-2 = 288)."""
+    t5 = np.concatenate([
+        burst_bits[NDB_BLK1_OFF:NDB_BLK1_OFF + NDB_BLK_LEN],
+        burst_bits[NDB_BLK2_OFF:NDB_BLK2_OFF + NDB_BLK_LEN]])
+    t4 = t5 ^ scramble_sequence(scramb_init, 2 * NDB_BLK_LEN)
+    t3 = block_deinterleave(t4, a=103)
+    mother = depuncture_23(t3, n_type2=288)
+    t2 = viterbi_k5_r14(mother)
+    if crc16_itut(t2[:284]) != TETRA_CRC_OK:
+        return None
+    return t2[:268]
+
+
 def _u(bits, off, n):
     v = 0
     for b in bits[off:off + n]:
@@ -354,6 +373,31 @@ def parse_mac_pdu(t1: np.ndarray) -> dict:
         out["addressType"] = _u(t1, 13, 3)
         if out["addressType"] in (1, 2, 3):  # SSI-based addresses
             out["ssi"] = _u(t1, 16, 24)
+        # TM-SDU start: address element then the power-control /
+        # slot-granting / channel-allocation flagged elements
+        # (21.4.3.1; reference macpdu.h mac_resource layout)
+        addr_len = {0: 0, 1: 24, 2: 10, 3: 24, 4: 24,
+                    5: 34, 6: 30, 7: 34}[out["addressType"]]
+        p = 16 + addr_len
+        if out["addressType"] != 0 and p + 3 <= len(t1):
+            if _u(t1, p, 1):                 # power control element
+                p += 5
+            else:
+                p += 1
+            if _u(t1, p, 1):                 # slot granting element
+                p += 9
+            else:
+                p += 1
+            ca = _u(t1, p, 1)
+            p += 1
+            out["chanAllocPresent"] = ca
+            # channel-allocation element is variable-length; the SDU
+            # offset is only trustworthy without one
+            if not ca:
+                out["sdu"] = t1[p:]
+        # 0b111111 = start of fragmentation, 0b111110 = second half
+        # slot stolen (21.4.3.1 length-indication reserved values)
+        out["startFrag"] = out["lengthIndication"] == 63
     elif pdu_type == 2:                     # MAC broadcast (21.4.4)
         btype = _u(t1, 2, 2)
         out["broadcastType"] = btype
@@ -380,10 +424,150 @@ def parse_mac_pdu(t1: np.ndarray) -> dict:
             out["bsServiceDetails"] = _u(t1, 112, 12)
         elif btype == 1:
             out["name"] = "ACCESS-DEFINE"
+    elif pdu_type == 1:                     # MAC-FRAG / MAC-END
+        if _u(t1, 2, 1) == 0:               # MAC-FRAG (21.4.3.2)
+            out["name"] = "MAC-FRAG"
+            out["fillBits"] = _u(t1, 3, 1)
+            out["sdu"] = t1[4:]
+        else:                               # MAC-END (21.4.3.3)
+            out["name"] = "MAC-END"
+            out["fillBits"] = _u(t1, 3, 1)
+            out["posOfGrant"] = _u(t1, 4, 1)
+            li = _u(t1, 5, 6)
+            out["lengthIndication"] = li
+            p = 11
+            if _u(t1, p, 1):                 # slot granting element
+                p += 9
+            else:
+                p += 1
+            if _u(t1, p, 1):                 # channel allocation
+                out["chanAllocPresent"] = 1
+                p += 1
+                out["sdu"] = None            # length untrustworthy
+            else:
+                p += 1
+                # length indication counts OCTETS of remaining SDU
+                # (calibrated on the golden capture: two independent
+                # fragmentations of the same broadcast reassemble to
+                # equal 513-bit TM-SDUs only with 8-bit units)
+                out["sdu"] = t1[p:p + 8 * li]
     else:
-        out["name"] = {1: "MAC-FRAG/END", 3: "MAC-SUPPL"}.get(
-            pdu_type, f"MAC-{pdu_type}")
+        out["name"] = "MAC-SUPPL" if pdu_type == 3 else f"MAC-{pdu_type}"
     return out
+
+
+# -- LLC / MLE / CMCE parse of a reassembled TM-SDU -------------------------
+
+MLE_PDISC = {1: "MM", 2: "CMCE", 4: "SNDCP", 5: "MLE", 6: "MGMT",
+             7: "TEST"}
+#: downlink CMCE PDU types (EN 300 392-2 §14.8; reference
+#: tetra_cmce_pdu.h) — D-SDS-DATA = 0x0F
+CMCE_PDU_NAMES = {1: "D-ALERT", 3: "D-CALL-PROCEEDING", 5: "D-CONNECT",
+                  7: "D-DISCONNECT", 8: "D-INFO", 9: "D-RELEASE",
+                  14: "D-STATUS", 15: "D-SDS-DATA", 16: "D-SETUP"}
+MLE_PDU_NAMES = {0: "D-NEW-CELL", 1: "D-PREPARE-FAIL",
+                 2: "D-NWRK-BROADCAST", 3: "D-NWRK-BROADCAST-EXT",
+                 4: "D-RESTORE-ACK", 5: "D-RESTORE-FAIL"}
+
+
+def parse_tm_sdu(bits: np.ndarray) -> dict:
+    """LLC → MLE → (CMCE) parse of a reassembled TM-SDU (EN 300 392-2
+    §21 LLC / §18 MLE / §14 CMCE; enums as in the reference's vendored
+    osmo-tetra tetra_llc_pdu.h / tetra_mle_pdu.h / tetra_cmce_pdu.h)."""
+    out = {"bits": len(bits)}
+    llc_type = _u(bits, 0, 4)
+    out["llcType"] = llc_type
+    p = 4
+    if llc_type == 0:                       # BL-ADATA: N(R) + N(S)
+        out["llc"] = "BL-ADATA"
+        p += 2
+    elif llc_type == 1:                     # BL-DATA: N(S)
+        out["llc"] = "BL-DATA"
+        p += 1
+    elif llc_type == 2:
+        out["llc"] = "BL-UDATA"
+    elif llc_type == 3:                     # BL-ACK: N(R)
+        out["llc"] = "BL-ACK"
+        p += 1
+    else:
+        out["llc"] = f"LLC-{llc_type}"
+        return out
+    pdisc = _u(bits, p, 3)
+    out["mlePdisc"] = MLE_PDISC.get(pdisc, str(pdisc))
+    p += 3
+    if pdisc == 5:                          # MLE protocol
+        mtype = _u(bits, p, 3)
+        out["mlePdu"] = MLE_PDU_NAMES.get(mtype, f"MLE-{mtype}")
+        p += 3
+        if mtype == 2:                      # D-NWRK-BROADCAST (18.4.1.4.1)
+            out["cellReselectParams"] = _u(bits, p, 16)
+    elif pdisc == 2:                        # CMCE (14.8)
+        ctype = _u(bits, p, 5)
+        out["cmcePdu"] = CMCE_PDU_NAMES.get(ctype, f"CMCE-{ctype}")
+        p += 5
+        if ctype == 15:                     # D-SDS-DATA (14.7.1.10)
+            cpti = _u(bits, p, 2)
+            out["callingPartyType"] = cpti
+            p += 2
+            if cpti == 1:                   # SSI
+                out["callingSsi"] = _u(bits, p, 24)
+                p += 24
+            elif cpti == 2:                 # SSI + extension
+                out["callingSsi"] = _u(bits, p, 24)
+                p += 48
+            sdti = _u(bits, p, 2)
+            p += 2
+            out["shortDataType"] = sdti
+            if sdti < 3:                    # user-defined data 1/2/3
+                n = (16, 32, 64)[sdti]
+            else:                           # length indicator + TL data
+                n = _u(bits, p, 11)
+                p += 11
+            n = min(n, len(bits) - p)
+            out["userDataBits"] = n
+            data = bits[p:p + n]
+            out["userData"] = "".join(
+                f"{_u(data, i, min(8, n - i)):02x}"
+                for i in range(0, n, 8))
+    return out
+
+
+class TmSduReassembler:
+    """Downlink MAC fragment reassembly, one pending buffer per
+    timeslot (fragments continue in the SAME timeslot of following
+    frames, 23.4.2; the reference's vendored osmo-tetra keeps the
+    analogous per-slot fragslots).  Feed MAC PDUs in stream order with
+    their absolute bit offsets; completed TM-SDUs are parsed through
+    LLC/MLE/CMCE."""
+
+    def __init__(self):
+        self._pending = {}                  # slot -> list of bit arrays
+        self.completed: List[dict] = []
+
+    def feed(self, bit_offset: int, pdu: dict):
+        slot = (bit_offset // BURST_BITS) % 4
+        name = pdu.get("name")
+        sdu = pdu.get("sdu")
+        if name == "MAC-RESOURCE" and pdu.get("startFrag"):
+            if sdu is not None:
+                self._pending[slot] = [sdu]
+            return
+        if slot not in self._pending:
+            return
+        if name == "MAC-FRAG" and sdu is not None:
+            self._pending[slot].append(sdu)
+            return
+        if name == "MAC-END":
+            frags = self._pending.pop(slot)
+            if sdu is None:
+                return
+            frags.append(sdu)
+            tm = np.concatenate(frags)
+            parsed = parse_tm_sdu(tm)
+            parsed["offset"] = bit_offset
+            parsed["fragments"] = len(frags)
+            parsed["tmSdu"] = tm
+            self.completed.append(parsed)
 
 
 class TetraDownlinkDecoder:
@@ -404,9 +588,11 @@ class TetraDownlinkDecoder:
         # upper MAC (normal downlink bursts)
         self.ndb_seen = 0
         self.sch_hd_decodes = 0
+        self.sch_f_decodes = 0
         self.sysinfo: List[dict] = []
         self.mac_resource: List[dict] = []
         self.mac_pdu_counts: dict = {}
+        self.reassembler = TmSduReassembler()
 
     def push(self, dibits: np.ndarray):
         bits = dibits_to_bits(np.asarray(dibits))
@@ -437,11 +623,20 @@ class TetraDownlinkDecoder:
                 self.ndb_seen += 1
                 self.aach.append(decode_aach(burst, self.cell_init,
                                              is_sb=False))
-                for blk in (1, 2):
-                    t1 = decode_sch_hd(burst, self.cell_init, blk)
-                    if t1 is None:
-                        continue
-                    self.sch_hd_decodes += 1
+                # kind 1 ('n' training): ONE full-slot channel — try
+                # SCH/F; kind 2 ('p'): two half-slot SCH/HD blocks
+                if kind == 1:
+                    t1 = decode_sch_f(burst, self.cell_init)
+                    decs = [(0, t1)] if t1 is not None else []
+                    self.sch_f_decodes += len(decs)
+                else:
+                    decs = []
+                    for blk in (1, 2):
+                        t1 = decode_sch_hd(burst, self.cell_init, blk)
+                        if t1 is not None:
+                            decs.append((blk, t1))
+                            self.sch_hd_decodes += 1
+                for blk, t1 in decs:
                     pdu = parse_mac_pdu(t1)
                     pdu["offset"] = self._abs + s
                     pdu["blk"] = blk
@@ -452,6 +647,7 @@ class TetraDownlinkDecoder:
                         self.sysinfo.append(pdu)
                     elif name == "MAC-RESOURCE":
                         self.mac_resource.append(pdu)
+                    self.reassembler.feed(self._abs + s, pdu)
         # keep a tail long enough for a burst straddling the boundary
         keep = min(len(self._bits), BURST_BITS + 64)
         self._abs += len(self._bits) - keep

@@ -74,23 +74,41 @@ class TetraDemodulatorModule(ModuleInstance):
             if db.size:
                 self.decoder.push(db)
 
+    @staticmethod
+    def _clean(pdu):
+        """JSON-safe copy (drops raw bit arrays)."""
+        if pdu is None:
+            return None
+        return {k: v for k, v in pdu.items()
+                if k not in ("sdu", "tmSdu")}
+
     def handle_debug_command(self, cmd: str, args: str) -> dict:
         dec = self.decoder
         if cmd == "status":
             last = dec.sync_infos[-1].as_dict() if dec.sync_infos \
                 else None
+            done = dec.reassembler.completed
             return {"bursts": dec.bursts_seen,
                     "sync_decodes": len(dec.sync_infos),
                     "aach_decodes": len(dec.aach),
                     "cell": last,
                     "ndb_bursts": dec.ndb_seen,
                     "sch_hd_decodes": dec.sch_hd_decodes,
+                    "sch_f_decodes": dec.sch_f_decodes,
                     "mac_pdu_counts": dict(dec.mac_pdu_counts),
-                    "sysinfo": (dec.sysinfo[-1] if dec.sysinfo
-                                else None)}
+                    "sysinfo": (self._clean(dec.sysinfo[-1])
+                                if dec.sysinfo else None),
+                    "tm_sdu_reassembled": len(done),
+                    "last_tm_sdu": (self._clean(done[-1]) if done
+                                    else None)}
         if cmd == "sysinfo":
-            return {"sysinfo": dec.sysinfo[-20:],
-                    "mac_resource": dec.mac_resource[-20:]}
+            return {"sysinfo": [self._clean(p)
+                                for p in dec.sysinfo[-20:]],
+                    "mac_resource": [self._clean(p)
+                                     for p in dec.mac_resource[-20:]]}
+        if cmd == "tm_sdus":
+            return {"tm_sdus": [self._clean(p) for p in
+                                dec.reassembler.completed[-20:]]}
         if cmd == "sync_infos":
             return {"sync_infos": [s.as_dict()
                                    for s in dec.sync_infos[-50:]]}

@@ -198,3 +198,191 @@ def test_golden_capture_upper_mac_sysinfo():
     from collections import Counter
     repeats = [s for s, c in Counter(ssis).items() if c >= 2]
     assert repeats, ssis
+
+
+# ---------------------------------------------------------------------------
+# Round-5: SCH/F + MAC fragment reassembly (VERDICT r4 ask #6)
+# ---------------------------------------------------------------------------
+
+def _encode_sch(t1: np.ndarray, K: int, a: int, n_type2: int,
+                init: int) -> np.ndarray:
+    """Generic type-1 → type-5 encoder for SCH/HD (K=216,a=101,144) and
+    SCH/F (K=432,a=103,288) — reference-faithful test oracle, same
+    construction as _encode_bsch."""
+    r = tt.crc16_itut(t1)
+    c = np.array([((r ^ 0xFFFF) >> (15 - i)) & 1 for i in range(16)],
+                 np.uint8)
+    t2 = np.concatenate([t1, c, np.zeros(4, np.uint8)])
+    assert len(t2) == n_type2
+    dd = np.zeros(4, np.int64)
+    mom = []
+    for b in t2:
+        mom += [(b + dd[0] + dd[3]) % 2,
+                (b + dd[1] + dd[2] + dd[3]) % 2,
+                (b + dd[0] + dd[1] + dd[3]) % 2,
+                (b + dd[0] + dd[2] + dd[3]) % 2]
+        dd = np.roll(dd, 1)
+        dd[0] = b
+    mom = np.array(mom, np.uint8)
+    t3 = np.zeros(K, np.uint8)
+    for j in range(1, K + 1):
+        blk = (j - 1) // 3
+        t3[j - 1] = mom[8 * blk + (1, 2, 5)[(j - 3 * blk) - 1] - 1]
+    t4 = np.zeros(K, np.uint8)
+    for i in range(1, K + 1):
+        t4[(a * i) % K] = t3[i - 1]
+    return t4 ^ tt.scramble_sequence(init, K)
+
+
+def _bits(val: int, n: int) -> list:
+    return [(val >> (n - 1 - i)) & 1 for i in range(n)]
+
+
+def _mk_bsch_burst(mcc, mnc, colour):
+    t1 = np.zeros(60, np.uint8)
+    t1[4:10] = _bits(colour, 6)
+    t1[31:41] = _bits(mcc, 10)
+    t1[41:55] = _bits(mnc, 14)
+    t5 = _encode_bsch(t1)
+    burst = np.zeros(tt.BURST_BITS, np.uint8)
+    burst[tt.SB_BLK1_OFF:tt.SB_BLK1_OFF + 120] = t5
+    burst[tt.SB_SYNC_TRAIN_OFF:tt.SB_SYNC_TRAIN_OFF + 38] = tt.Y_BITS
+    return burst
+
+
+def _mk_hd_burst(t1_blk1: np.ndarray, init: int) -> np.ndarray:
+    burst = np.zeros(tt.BURST_BITS, np.uint8)
+    t5 = _encode_sch(t1_blk1, 216, 101, 144, init)
+    burst[tt.NDB_BLK1_OFF:tt.NDB_BLK1_OFF + 216] = t5
+    burst[tt.NDB_TRAIN_OFF:tt.NDB_TRAIN_OFF + 22] = tt.P_BITS
+    return burst
+
+
+def _mk_f_burst(t1: np.ndarray, init: int) -> np.ndarray:
+    burst = np.zeros(tt.BURST_BITS, np.uint8)
+    t5 = _encode_sch(t1, 432, 103, 288, init)
+    burst[tt.NDB_BLK1_OFF:tt.NDB_BLK1_OFF + 216] = t5[:216]
+    burst[tt.NDB_BLK2_OFF:tt.NDB_BLK2_OFF + 216] = t5[216:]
+    burst[tt.NDB_TRAIN_OFF:tt.NDB_TRAIN_OFF + 22] = tt.N_BITS
+    return burst
+
+
+def _bits_to_dibits(bits: np.ndarray) -> np.ndarray:
+    """Inverse of tt.dibits_to_bits: TETRA bit pair → demod dibit."""
+    pair2d = {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+    return np.array([pair2d[(int(bits[2 * i]), int(bits[2 * i + 1]))]
+                     for i in range(len(bits) // 2)], np.int32)
+
+
+def test_sch_f_chain_round_trip(rng):
+    init = tt.cell_scramb_init(250, 13, 22)
+    t1 = rng.integers(0, 2, 268).astype(np.uint8)
+    burst = _mk_f_burst(t1, init)
+    out = tt.decode_sch_f(burst, init)
+    assert out is not None and np.array_equal(out, t1)
+    # scattered channel errors are corrected by the RCPC
+    b2 = burst.copy()
+    for e in (30, 150, 300, 430):
+        b2[tt.NDB_BLK1_OFF + e % 216] ^= 1
+    assert tt.decode_sch_f(b2, init) is not None
+
+
+def test_fragmented_sds_loopback(rng):
+    """End-to-end loopback: a D-SDS-DATA TM-SDU fragmented over
+    MAC-RESOURCE(start) + MAC-FRAG + MAC-END on SCH/HD, through the
+    full burst/Viterbi/reassembly chain (EN 300 392-2 §21.4.3,
+    §14.7.1.10; reference vendored osmo-tetra fragslots)."""
+    mcc, mnc, colour = 250, 13, 22
+    init = tt.cell_scramb_init(mcc, mnc, colour)
+    # TM-SDU: BL-UDATA + CMCE D-SDS-DATA, SSI 0x123456, SDS-TL (type 3)
+    payload = b"HELLO TPU"
+    data_bits = np.unpackbits(np.frombuffer(payload, np.uint8))
+    sdu = np.array(
+        _bits(0b0010, 4) + _bits(2, 3) + _bits(15, 5) + _bits(1, 2)
+        + _bits(0x123456, 24) + _bits(3, 2) + _bits(len(data_bits), 11),
+        np.uint8)
+    sdu = np.concatenate([sdu, data_bits])          # 51 + 72 = 123 bits
+    # START (MAC-RESOURCE, li=63=start-frag, SSI addr, no elements)
+    hdr = np.array(_bits(0, 2) + [0, 0] + _bits(0, 2) + [0]
+                   + _bits(63, 6) + _bits(1, 3) + _bits(0xFFFFFF, 24)
+                   + [0, 0, 0], np.uint8)
+    start_blk = np.concatenate([hdr, sdu[:124 - len(hdr)]])
+    used = 124 - len(hdr)
+    # FRAG: 01|0|fill header, SDU chunk = the whole rest of the block
+    # (zero-padded; the inner CMCE length indicator bounds the parse)
+    frag_sdu_len = 124 - 4
+    used2 = used + frag_sdu_len
+    frag_blk = np.concatenate([np.array([0, 1, 0, 0], np.uint8),
+                               np.concatenate([
+                                   sdu[used:], np.zeros(
+                                       frag_sdu_len - (len(sdu) - used),
+                                       np.uint8)])[:frag_sdu_len]])
+    rest = max(0, len(sdu) - used2)
+    li = (rest + 7) // 8 if rest else 1
+    end_sdu = np.zeros(8 * li, np.uint8)
+    if rest:
+        end_sdu[:rest] = sdu[used2:]
+    end_blk = np.concatenate([
+        np.array([0, 1, 1, 1, 0], np.uint8), np.array(_bits(li, 6),
+                                                      np.uint8),
+        np.array([0, 0], np.uint8), end_sdu])
+    end_blk = np.concatenate([end_blk,
+                              np.zeros(124 - len(end_blk), np.uint8)])
+    # assemble the bit stream: BSCH, then the three fragments in the
+    # SAME timeslot of consecutive frames (4 slots = 2040 bits apart)
+    stream = np.zeros(510 * 14, np.uint8)
+    stream[0:510] = _mk_bsch_burst(mcc, mnc, colour)
+    for i, blk in enumerate((start_blk, frag_blk, end_blk)):
+        o = 510 + i * 2040
+        stream[o:o + 510] = _mk_hd_burst(blk, init)
+    dec = tt.TetraDownlinkDecoder()
+    dib = _bits_to_dibits(stream)
+    # feed in two chunks to cross a block boundary
+    dec.push(dib[:2000])
+    dec.push(dib[2000:])
+    assert dec.mac_pdu_counts.get("MAC-FRAG", 0) == 1, dec.mac_pdu_counts
+    assert dec.mac_pdu_counts.get("MAC-END", 0) == 1, dec.mac_pdu_counts
+    done = dec.reassembler.completed
+    assert len(done) == 1, done
+    r = done[0]
+    assert r["llc"] == "BL-UDATA"
+    assert r["mlePdisc"] == "CMCE"
+    assert r["cmcePdu"] == "D-SDS-DATA"
+    assert r["callingSsi"] == 0x123456
+    assert r["shortDataType"] == 3
+    assert r["userDataBits"] == 72
+    assert bytes.fromhex(r["userData"]) == payload
+    assert r["fragments"] == 3
+
+
+@pytest.mark.skipif(not os.path.exists(CAP),
+                    reason="reference recordings not mounted")
+def test_golden_capture_fragment_reassembly():
+    """SCH/F decode + MAC fragment reassembly on the golden capture:
+    >=3 completed TM-SDUs, and the repeated fragmented broadcast
+    reassembles to BIT-IDENTICAL 513-bit BL-UDATA / MLE
+    D-NWRK-BROADCAST PDUs across independent transmissions."""
+    from sdrplusplusbrown_tpu.io.wav import read_wav_iq
+    from sdrplusplusbrown_tpu.ops.demod_digital import Pi4DQPSKDemod
+    x, fs = read_wav_iq(CAP)
+    dem = Pi4DQPSKDemod(18_000.0, fs)
+    st = dem.init_state(())
+    dec = tt.TetraDownlinkDecoder()
+    B = 100_000
+    for i in range(len(x) // B):
+        (d, dibit, valid), st = dem.apply(
+            None, st, jnp.asarray(x[i * B:(i + 1) * B]))
+        dec.push(np.asarray(dibit)[np.asarray(valid)])
+    assert dec.sch_f_decodes >= 10, dec.sch_f_decodes
+    assert dec.mac_pdu_counts.get("MAC-FRAG", 0) >= 3
+    assert dec.mac_pdu_counts.get("MAC-END", 0) >= 3
+    done = dec.reassembler.completed
+    assert len(done) >= 3, len(done)
+    full = [r for r in done if r["bits"] == 513]
+    assert len(full) >= 2, [r["bits"] for r in done]
+    for r in full:
+        assert r["llc"] == "BL-UDATA"
+        assert r["mlePdisc"] == "MLE"
+        assert r["mlePdu"] == "D-NWRK-BROADCAST"
+    # independent fragmentations of the same broadcast: equal content
+    assert np.array_equal(full[0]["tmSdu"], full[1]["tmSdu"])
