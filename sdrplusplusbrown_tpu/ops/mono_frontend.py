@@ -136,7 +136,8 @@ def _mono_kernel(*refs, cfg):
     om_ref = next(it)
     base_ref = next(it)
     tail_refs = [next(it) for _ in range(n)]
-    h_refs = [next(it) for _ in range(n)]
+    h_refs = [[next(it) for _ in range(len(st.h_shapes))]
+              for st in cfg["stages"]]
     o_ref = next(it)
     tails_o = next(it)
     wr = next(it)
@@ -291,21 +292,35 @@ def _mono_kernel(*refs, cfg):
                 preferred_element_type=jnp.float32)
 
     # ---- chained stages -----------------------------------------------
+    def _store(dst, dst_hp, col, width, res):
+        if dst is not None:
+            dst[:, dst_hp + col:dst_hp + col + width] = res
+        else:
+            if cfg["out_bf16"]:
+                res = res.astype(jnp.bfloat16)
+            o_ref[:, col:col + width] = res
+
     for s, st in enumerate(stages):
         dst = bufs[s + 1] if s + 1 < len(stages) else None
         dst_hp = stages[s + 1].hist_pad if s + 1 < len(stages) else 0
         for r in range(st.adv_out // st.tile):
-            win = bufs[s][:, st.win0 + r * st.row_adv:
-                          st.win0 + r * st.row_adv + st.Lw]
-            res = jnp.dot(win, h_refs[s][...].astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
-            if dst is not None:
-                dst[:, dst_hp + r * st.tile:
-                    dst_hp + (r + 1) * st.tile] = res
+            base = st.win0 + r * st.row_adv
+            if st.h_offs is not None:
+                # chunked polyphase: one narrow banded dot per 128
+                # output columns (each chunk's window covers exactly
+                # the input band those columns touch)
+                for q, qoff in enumerate(st.h_offs):
+                    Lwq = st.h_shapes[q][0]
+                    win = bufs[s][:, base + qoff:base + qoff + Lwq]
+                    res = jnp.dot(
+                        win, h_refs[s][q][...].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+                    _store(dst, dst_hp, r * st.tile + q * 128, 128, res)
             else:
-                if cfg["out_bf16"]:
-                    res = res.astype(jnp.bfloat16)
-                o_ref[:, r * st.tile:(r + 1) * st.tile] = res
+                win = bufs[s][:, base:base + st.Lw]
+                res = jnp.dot(win, h_refs[s][0][...].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+                _store(dst, dst_hp, r * st.tile, st.tile, res)
 
     # ---- next-call tail extraction ------------------------------------
     for s, st in enumerate(stages):
@@ -325,7 +340,8 @@ class MonoVFOPipeline:
     plane pipeline, then the per-stage kernels)."""
 
     def __init__(self, bank, C: int, interpret: bool = False):
-        from .pallas_fir import toeplitz_taps_decim, banded_poly_matrix
+        from .pallas_fir import (toeplitz_taps_decim, banded_poly_matrix,
+                                 banded_poly_matrix_chunks)
         self.C = int(C)
         self.interpret = interpret
         self.supported = False
@@ -369,12 +385,21 @@ class MonoVFOPipeline:
         for s, st in enumerate(raw):
             adv_in, adv_out = advs[s], advs[s + 1]
             hist_pad = _rup(max(st["carry"], st["hist"]), 128)
+            chunks = None
             if st["kind"] == "poly":
                 H = banded_poly_matrix(
                     np.asarray(st["blk"].kernel, np.float32),
                     st["interp"], st["decim"], st["mt"])
                 row_adv = st["mt"] * st["decim"]
                 Lw = (st["mt"] - 1) * st["decim"] + st["kw"]
+                if st["tile"] > 128:
+                    # per-128-column chunk matrices: kills the banded
+                    # matrix's structural-zero MXU tiles (the named
+                    # round-4 flop floor — ~71% of this stage's work
+                    # for the WFM 5/6 geometry)
+                    chunks = banded_poly_matrix_chunks(
+                        np.asarray(st["blk"].kernel, np.float32),
+                        st["interp"], st["decim"], st["mt"])
             else:
                 H = toeplitz_taps_decim(
                     np.asarray(st["blk"].taps, np.float32),
@@ -388,9 +413,11 @@ class MonoVFOPipeline:
                 kind=st["kind"], tile=st["tile"], adv_in=adv_in,
                 adv_out=adv_out, hist=st["hist"], carry=st["carry"],
                 hist_pad=hist_pad, row_adv=row_adv, Lw=Lw,
-                win0=hist_pad - st["hist"], H=H, tail_w=tail_w,
-                i_tail=0, tail_al=0, tail_off=0))
-            vmem += H.size * 4 + 2 * C * (hist_pad + adv_in) * 4
+                win0=hist_pad - st["hist"], H=H, chunks=chunks,
+                tail_w=tail_w, i_tail=0, tail_al=0, tail_off=0))
+            vmem += (sum(h.size for _, h in chunks) if chunks
+                     else H.size) * 4 \
+                + 2 * C * (hist_pad + adv_in) * 4
         # stage-0 chunking bounds the mixed-plane buffer; chunk width
         # must stay ALIGN1D-aligned (the mix blocks read wr at
         # 1024-lane offsets)
@@ -538,7 +565,12 @@ class MonoVFOPipeline:
         # halves both the operand reads and XLA's per-call constant
         # staging; all matmul math stays f32 — upcast at use)
         h_dt = get_handoff_dtype()
-        h_ops = [jnp.asarray(st.H, h_dt) for st in self.stages]
+        h_ops = []
+        for st in self.stages:
+            if st.chunks is not None:
+                h_ops += [jnp.asarray(h, h_dt) for _, h in st.chunks]
+            else:
+                h_ops.append(jnp.asarray(st.H, h_dt))
 
         n = len(self.stages)
         twoC = 2 * C
@@ -550,6 +582,13 @@ class MonoVFOPipeline:
             "out_bf16": o_dtype == jnp.bfloat16,
             "stages": [
                 _MonoStage(**{**st.__dict__, "H": None,
+                              "chunks": None,
+                              "h_offs": ([q for q, _ in st.chunks]
+                                         if st.chunks is not None
+                                         else None),
+                              "h_shapes": ([h.shape for _, h in st.chunks]
+                                           if st.chunks is not None
+                                           else [st.H.shape]),
                               "i_tail": plan["tails"][s][0],
                               "tail_al": plan["tails"][s][1]})
                 for s, st in enumerate(self.stages)],
@@ -571,8 +610,11 @@ class MonoVFOPipeline:
                                          lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         for st in self.stages:
-            in_specs.append(pl.BlockSpec(st.H.shape, lambda i: (0, 0),
-                                         memory_space=pltpu.VMEM))
+            shapes = ([h.shape for _, h in st.chunks]
+                      if st.chunks is not None else [st.H.shape])
+            for shp in shapes:
+                in_specs.append(pl.BlockSpec(shp, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
         out_specs = [
             pl.BlockSpec((twoC, self.adv_f), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -597,7 +639,12 @@ class MonoVFOPipeline:
         flops = n_super * (7 * C * mix_w
                            + 2 * self.Lw0 * self.adv0 * twoC)
         for st in self.stages:
-            flops += n_super * 2 * st.Lw * st.adv_out * twoC
+            if st.chunks is not None:
+                per_tile = sum(h.shape[0] * 128 for _, h in st.chunks)
+                flops += n_super * 2 * per_tile \
+                    * (st.adv_out // st.tile) * twoC
+            else:
+                flops += n_super * 2 * st.Lw * st.adv_out * twoC
         # in-kernel DMA: every input float read EXACTLY ONCE (the head0
         # window overlap rolls inside VMEM); re + im planes
         rem2 = min(T - (n_super - 1) * self.adv_x, self.adv_x)

@@ -659,6 +659,35 @@ def banded_poly_matrix(widened: np.ndarray, interp: int, decim: int,
     return H
 
 
+def banded_poly_matrix_chunks(widened: np.ndarray, interp: int,
+                              decim: int, mt: int):
+    """The banded polyphase matrix split into per-128-output-column
+    chunks with per-chunk input-row windows: [(qoff, Hq[Lwq, 128])].
+
+    A coprime interp forces mt = 128 and a [~(127·decim+kw), 128·interp]
+    matrix whose tile area is mostly structural zeros (the band only
+    spans ~kw rows per column) — e.g. the WFM 5/6 AF stage wastes ~71%
+    of its MXU work on them.  Chunking keeps the SAME outputs (each
+    chunk's dot covers exactly the band its 128 columns touch) while
+    the summed tile area drops to ~(128·decim/interp + kw)·tile."""
+    kw = widened.shape[1]
+    tile = mt * interp
+    assert tile % 128 == 0, tile
+    out = []
+    for q in range(tile // 128):
+        j0 = q * 128
+        m0, m1 = j0 // interp, (j0 + 127) // interp
+        qoff = m0 * decim
+        Lwq = (m1 - m0) * decim + kw
+        Hq = np.zeros((Lwq, 128), np.float32)
+        for jj in range(128):
+            m, r = (j0 + jj) // interp, (j0 + jj) % interp
+            row = (m - m0) * decim
+            Hq[row:row + kw, jj] = widened[r]
+        out.append((qoff, Hq))
+    return out
+
+
 def _banded_kernel(x_hbm, h_ref, o_ref, w_scratch, sem, *,
                    R, tile_out, row_adv, Lw, pad_k, Lp):
     c = pl.program_id(0)
