@@ -80,7 +80,12 @@ def _rup(n: int, a: int) -> int:
 def _demod_kernel(ir_ref, ii_ref, gate_ref, qtail_ref, ftail_ref,
                   ptail_ref, hf_ref, hp_ref, o_ref, qtail_o, tails_o,
                   qcarry, buff, bufp, *, cfg):
-    i = pl.program_id(0)
+    # grid = (n_chunks, n_super): wide banks walk every chunk's super
+    # steps inside ONE launch (i fastest), the per-chunk VMEM state
+    # re-initializing at i == 0 of each chunk — the separate-launch
+    # form cost a full audio-rate concat plus XLA double-counting the
+    # whole raw IF operand per launch (scanner-256: ~113 B/smp)
+    i = pl.program_id(1)
     C = cfg["C"]
     twoC = 2 * C
     adv = cfg["adv_if"]
@@ -284,35 +289,43 @@ class FMAudioPipeline:
         return plan
 
     def apply(self, gate, dstate, astate, planes, m_if: int,
-              row_blocks=None, raw_audio: bool = False):
+              row_blocks=None, raw_audio: bool = False,
+              n_chunks: int = 1):
         """planes: (xr, xi) [C, ≥m_if] float32 IF planes — or a raw
-        stacked [R·C, ≥m_if] buffer straight from the front-end kernel,
-        read as TWO row-block operands (``row_blocks`` gives the
-        (re, im) block indices; default (0, 1) for a [2C, m] buffer) so
-        chunked wide-bank launches slice NOTHING; gate [C] float32 or
+        stacked [R·Ck, ≥m_if] buffer straight from the front-end
+        kernel, read as row-block operands so no slice/concat pass
+        exists anywhere.  ``n_chunks > 1`` runs a bank of
+        C = n_chunks·Ck channels in ONE launch over a
+        (n_chunks, n_super) grid: chunk c reads raw row blocks c
+        (re) and n_chunks + c (im), and every per-channel operand /
+        output is blocked along the channel dim.  gate [C] float32 or
         None.  Returns (audio [C, m_aud], new_demod_state,
         new_af_state); with ``raw_audio`` the audio is the untrimmed
         [C, n_super·adv_aud] block in the kernel-handoff storage dtype
         as (audio, m_aud) — the sink/pump trims host-side."""
-        C = self.C
+        Ck = self.C
+        C = Ck * n_chunks
         plan = self._plan(m_if)
         n_super = plan["n_super"]
         m_aud = plan["m_aud"]
 
         if isinstance(planes, tuple):
+            assert n_chunks == 1
             iq_r, iq_i = planes
             rb_r = rb_i = 0
-        elif C % 8:
-            # a (C, adv) row-block needs C % 8 == 0 unless it spans the
-            # whole first dim: small pipes materialize the two halves
-            # (cheap at C < 8)
+        elif Ck % 8:
+            # a (Ck, adv) row-block needs Ck % 8 == 0 unless it spans
+            # the whole first dim: small pipes materialize the two
+            # halves (cheap at C < 8)
+            assert n_chunks == 1
             r0, r1 = row_blocks if row_blocks is not None else (0, 1)
-            iq_r = planes[r0 * C:(r0 + 1) * C]
-            iq_i = planes[r1 * C:(r1 + 1) * C]
+            iq_r = planes[r0 * Ck:(r0 + 1) * Ck]
+            iq_i = planes[r1 * Ck:(r1 + 1) * Ck]
             rb_r = rb_i = 0
         else:
             iq_r = iq_i = planes
-            rb_r, rb_i = row_blocks if row_blocks is not None else (0, 1)
+            rb_r, rb_i = row_blocks if row_blocks is not None \
+                else (0, n_chunks)
         # tap matrices ride HBM in the handoff storage dtype (the input
         # block is upcast at read already — see _demod_kernel)
         from .precision import get_handoff_dtype
@@ -326,9 +339,13 @@ class FMAudioPipeline:
                  else gate[:, None])
 
         q = dstate["quad"]  # [C, 1] complex
-        qtail = jnp.zeros((2 * C, 128), jnp.float32)
-        qtail = qtail.at[:C, 127].set(jnp.real(q[:, 0]))
-        qtail = qtail.at[C:, 127].set(jnp.imag(q[:, 0]))
+        # chunk-interleaved rows: [c·2Ck .. c·2Ck+Ck) re, then Ck im
+        qtail = jnp.zeros((n_chunks, 2, Ck, 128), jnp.float32)
+        qr = jnp.real(q[:, 0]).reshape(n_chunks, Ck)
+        qi = jnp.imag(q[:, 0]).reshape(n_chunks, Ck)
+        qtail = qtail.at[:, 0, :, 127].set(qr)
+        qtail = qtail.at[:, 1, :, 127].set(qi)
+        qtail = qtail.reshape(2 * C, 128)
 
         def pad_tail(t, hp):
             t = jnp.real(t).astype(jnp.float32) if t.dtype != jnp.float32 \
@@ -342,7 +359,7 @@ class FMAudioPipeline:
             ptail = jnp.zeros((C, self.hpP), jnp.float32)
 
         cfg = {
-            "C": C, "adv_if": self.adv_if, "adv_aud": self.adv_aud,
+            "C": Ck, "adv_if": self.adv_if, "adv_aud": self.adv_aud,
             "m_if": m_if,
             "inv_dev": self.inv_dev, "hpF": self.hpF, "hpP": self.hpP,
             "histF": self.histF, "histP": self.histP, "LwF": self.LwF,
@@ -353,42 +370,42 @@ class FMAudioPipeline:
             "if_t": plan["f"][0], "alf": plan["f"][1],
             "ip_t": plan["p"][0], "alp": plan["p"][1],
         }
-        twoC = 2 * C
+        twoCk = 2 * Ck
         in_specs = [
-            pl.BlockSpec((C, self.adv_if),
-                         lambda i, rb=rb_r: (rb, i),
+            pl.BlockSpec((Ck, self.adv_if),
+                         lambda c, i, rb=rb_r: (rb + c, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, self.adv_if),
-                         lambda i, rb=rb_i: (rb, i),
+            pl.BlockSpec((Ck, self.adv_if),
+                         lambda c, i, rb=rb_i: (rb + c, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1), lambda i: (0, 0),
+            pl.BlockSpec((Ck, 1), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoC, 128), lambda i: (0, 0),
+            pl.BlockSpec((twoCk, 128), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, self.hpF), lambda i: (0, 0),
+            pl.BlockSpec((Ck, self.hpF), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, self.hpP), lambda i: (0, 0),
+            pl.BlockSpec((Ck, self.hpP), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(self.Hf.shape, lambda i: (0, 0),
+            pl.BlockSpec(self.Hf.shape, lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(self.Hp.shape, lambda i: (0, 0),
+            pl.BlockSpec(self.Hp.shape, lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_specs = [
-            pl.BlockSpec((C, self.adv_aud), lambda i: (0, i),
+            pl.BlockSpec((Ck, self.adv_aud), lambda c, i: (c, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoC, 128), lambda i: (0, 0),
+            pl.BlockSpec((twoCk, 128), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, self.tfw + self.tpw), lambda i: (0, 0),
+            pl.BlockSpec((Ck, self.tfw + self.tpw), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
         ]
-        flops = n_super * (30 * C * self.adv_if
-                           + 2 * self.LwF * self.adv_if * C
-                           + 2 * self.LwP * self.adv_aud * C)
+        flops = n_chunks * n_super * (30 * Ck * self.adv_if
+                                      + 2 * self.LwF * self.adv_if * Ck
+                                      + 2 * self.LwP * self.adv_aud * Ck)
         from .pallas_cost import costed_pallas_call
         audio, qtails, tails = costed_pallas_call(
             functools.partial(_demod_kernel, cfg=cfg),
-            grid=(n_super,),
+            grid=(n_chunks, n_super),
             flops=int(flops),
             label="fm_demod_audio",
             in_specs=in_specs,
@@ -396,17 +413,17 @@ class FMAudioPipeline:
             out_shape=[
                 jax.ShapeDtypeStruct((C, n_super * self.adv_aud),
                                      o_dtype),
-                jax.ShapeDtypeStruct((twoC, 128), jnp.float32),
+                jax.ShapeDtypeStruct((2 * C, 128), jnp.float32),
                 jax.ShapeDtypeStruct((C, self.tfw + self.tpw),
                                      jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((twoC, 128), jnp.float32),
-                pltpu.VMEM((C, self.hpF + self.adv_if), jnp.float32),
-                pltpu.VMEM((C, self.hpP + self.adv_if), jnp.float32),
+                pltpu.VMEM((twoCk, 128), jnp.float32),
+                pltpu.VMEM((Ck, self.hpF + self.adv_if), jnp.float32),
+                pltpu.VMEM((Ck, self.hpP + self.adv_if), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary", "arbitrary")),
             interpret=self.interpret,
         )(iq_r, iq_i, gate2, qtail, ftail, ptail,
           jnp.asarray(self.Hf, _h_dt), jnp.asarray(self.Hp, _h_dt))
@@ -414,7 +431,9 @@ class FMAudioPipeline:
         y = (audio, m_aud) if raw_audio else audio[:, :m_aud]
 
         _iq, _alq, qcol = plan["q"]
-        new_q = jax.lax.complex(qtails[:C, qcol], qtails[C:, qcol])[:, None]
+        qt4 = qtails.reshape(n_chunks, 2, Ck, 128)
+        new_q = jax.lax.complex(qt4[:, 0, :, qcol],
+                                qt4[:, 1, :, qcol]).reshape(C)[:, None]
         _if, alf, endf = plan["f"]
         lof = endf - alf - self.histF
         new_f = tails[:, lof:lof + self.histF]
@@ -432,40 +451,15 @@ class FMAudioPipeline:
 def apply_chunked(pipe: FMAudioPipeline, gate, dstate, astate, iq_raw,
                   m_if: int, C: int, raw_audio: bool = False):
     """Run a pipe built for Ck = pipe.C channels over C = n·Ck channels
-    (the 16 MB scoped-VMEM limit caps one kernel launch at ~128
-    channels; channels are independent, so wide banks chunk).
-    iq_raw: the raw [2C, W] stacked IF buffer — each launch reads its
-    chunk as row-block operands of the FULL buffer, so no IF-rate
-    slice/concat pass exists.  Gate/state slices are contiguous row
-    ranges — no gathers."""
+    (the 16 MB scoped-VMEM limit caps one grid STEP at ~128 channels;
+    channels are independent, so wide banks walk a (n_chunks, n_super)
+    grid inside one launch — see FMAudioPipeline.apply(n_chunks=...).
+    iq_raw: the raw [2C, W] stacked IF buffer, read as per-chunk
+    row-block operands; no slice/concat pass exists anywhere."""
     Ck = pipe.C
     assert C % Ck == 0, (C, Ck)
-    auds, qs, fs, ps = [], [], [], []
-    m_aud = None
-    for c0 in range(0, C, Ck):
-        d = {"quad": dstate["quad"][c0:c0 + Ck],
-             "fir": dstate["fir"][c0:c0 + Ck]}
-        a = ({"resamp": astate["resamp"][c0:c0 + Ck]}
-             if pipe.poly is not None else {})
-        g = None if gate is None else gate[c0:c0 + Ck]
-        y, nd, na = pipe.apply(
-            g, d, a, iq_raw, m_if,
-            row_blocks=(c0 // Ck, (C + c0) // Ck), raw_audio=raw_audio)
-        if raw_audio:
-            y, m_aud = y
-        auds.append(y)
-        qs.append(nd["quad"])
-        fs.append(nd["fir"])
-        if pipe.poly is not None:
-            ps.append(na["resamp"])
-    audio = jnp.concatenate(auds, axis=0)
-    if raw_audio:
-        audio = (audio, m_aud)
-    new_d = {"quad": jnp.concatenate(qs, axis=0),
-             "fir": jnp.concatenate(fs, axis=0)}
-    new_a = ({"resamp": jnp.concatenate(ps, axis=0)}
-             if pipe.poly is not None else astate)
-    return audio, new_d, new_a
+    return pipe.apply(gate, dstate, astate, iq_raw, m_if,
+                      raw_audio=raw_audio, n_chunks=C // Ck)
 
 
 def build_fm_audio_pipeline(demod, af_resamp, C: int,

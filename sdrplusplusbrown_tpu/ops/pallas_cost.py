@@ -139,6 +139,7 @@ def costed_pallas_call(kernel, *, grid, in_specs, out_specs, out_shape,
                 in_shapes=[tuple(o.shape) for o in operands],
                 in_dtypes=[o.dtype for o in operands],
                 out_specs=out_specs, out_shape=out_shape,
+                flops=int(flops),
                 derived=int(derived), manual=int(manual_bytes),
                 manual_spec=(None if manual_spec is None else
                              [(int(b), int(s)) for b, s in manual_spec]),
