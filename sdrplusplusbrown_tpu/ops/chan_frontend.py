@@ -420,6 +420,49 @@ def build_chan_pipeline(bank, C: int,
     return p if p.supported else None
 
 
+def _chan_fused_kernel_v3(*refs, cfg, pcfg, n_sub):
+    """V3 (phase-planar WOLA) PFB sub-steps + the unchanged post body;
+    the bins stack stays in VMEM (see _chan_fused_kernel)."""
+    n = len(cfg["stages"])
+    n_sel = pcfg["n_sel"]
+    it = iter(refs)
+    xr_ref = next(it)
+    xi_ref = next(it)
+    er_ref = next(it)
+    ei_ref = next(it)
+    tA = next(it)
+    tWlo = next(it)
+    tWhi = next(it)
+    dfull = next(it)
+    sel_refs = [next(it) for _ in range(n_sel)]
+    oh_ref = next(it)
+    om_ref = next(it)
+    ph0_ref = next(it)
+    spa_ref = next(it)
+    sbs_ref = next(it)
+    tail_refs = [next(it) for _ in range(n)]
+    h_refs = [next(it) for _ in range(n)]
+    o_ref = next(it)
+    tails_o = next(it)
+    sq_o = next(it)
+    vr = next(it)
+    vi = next(it)
+    binsbuf = next(it)
+    bufs = [next(it) for _ in range(n)]
+    acc = next(it)
+
+    from .pallas_channelizer import chz3_step
+    i = pl.program_id(0)
+    twoM, NF = pcfg["twoM"], pcfg["NF"]
+    for s in range(n_sub):
+        bins = chz3_step(i * n_sub + s, xr_ref, xi_ref, er_ref, ei_ref,
+                         vr, vi, tA, tWlo, tWhi, dfull, sel_refs, pcfg,
+                         row0=s * pcfg["rows_step"])
+        binsbuf[:, s * NF:(s + 1) * NF] = bins[0:twoM, :]
+    chan_body(i, binsbuf, oh_ref, om_ref, ph0_ref, spa_ref, sbs_ref,
+              tail_refs, h_refs, o_ref, tails_o, sq_o, bufs, acc, cfg)
+
+
 def _chan_fused_kernel(*refs, cfg, pcfg, n_sub):
     n = len(cfg["stages"])
     it = iter(refs)
@@ -483,11 +526,15 @@ class ChanFusedPipeline:
     this repo's TPU redesign."""
 
     def __init__(self, bank, C: int, interpret: bool = False):
-        from .pallas_channelizer import PallasChannelizerV2
+        from .pallas_channelizer import (PallasChannelizerV2,
+                                         PallasChannelizerV3)
         self.interpret = interpret
         self.supported = False
         self.post = ChanPostPipeline(bank, C, interpret=interpret)
-        self.pz = PallasChannelizerV2(bank.chz, interpret=interpret)
+        pz3 = PallasChannelizerV3(bank.chz, interpret=interpret)
+        self.use_v3 = pz3.supported
+        self.pz = pz3 if self.use_v3 \
+            else PallasChannelizerV2(bank.chz, interpret=interpret)
         if not (self.post.supported and self.pz.supported):
             return
         post, pz = self.post, self.pz
@@ -495,17 +542,22 @@ class ChanFusedPipeline:
             return
         self.n_sub = n_sub = post.adv0 // pz.NF
         self.rows_blk = rows_blk = n_sub * pz.rows_step
-        # last sub-block's select window must fit (chz2_compute slices
-        # [row0, row0 + rup8(n_lead + rows_step)))
-        self.rows_pad = max(
-            _rup(pz.n_lead + rows_blk, 8),
-            (n_sub - 1) * pz.rows_step
-            + _rup(pz.n_lead + pz.rows_step, 8))
         twoM = 2 * pz.M
-        vmem = (2 * self.rows_pad * 128 * 4          # rbuf pair
-                + 2 * pz.Ws * pz.Bs * 128 * 4        # slabs
-                + twoM * post.adv0 * 4               # bins scratch
-                + 2 * 2 * rows_blk * 128 * 4)        # x blocks (dbl)
+        if self.use_v3:
+            vmem = (2 * (pz.tail_pad + pz.k_occ) * 128 * 4   # V pair
+                    + twoM * post.adv0 * 4                   # bins
+                    + 2 * 2 * rows_blk * 128 * 4)            # x blocks
+        else:
+            # last sub-block's select window must fit (chz2_compute
+            # slices [row0, row0 + rup8(n_lead + rows_step)))
+            self.rows_pad = max(
+                _rup(pz.n_lead + rows_blk, 8),
+                (n_sub - 1) * pz.rows_step
+                + _rup(pz.n_lead + pz.rows_step, 8))
+            vmem = (2 * self.rows_pad * 128 * 4          # rbuf pair
+                    + 2 * pz.Ws * pz.Bs * 128 * 4        # slabs
+                    + twoM * post.adv0 * 4               # bins scratch
+                    + 2 * 2 * rows_blk * 128 * 4)        # x blocks (dbl)
         vmem += 2 * C * BS * 4                       # acc
         for s, st in enumerate(post.stages):
             vmem += (st.H.size * 4
@@ -547,21 +599,37 @@ class ChanFusedPipeline:
         h_dt = get_handoff_dtype()
         o_dtype = h_dt if raw else jnp.float32
 
-        # ---- PFB operands (ops/pallas_channelizer.py V2 form) ----------
+        # ---- PFB operands (ops/pallas_channelizer.py V3 / V2 form) -----
         K0, A = pz.K0, pz.A
         xw = pz._state_to_xw(state["chz"])
-        lead = pz.n_lead * 128 - (K0 - A)
-        er = jnp.pad(jnp.real(xw).astype(jnp.float32),
-                     (lead, 0)).reshape(pz.n_lead, 128)
-        ei = jnp.pad(jnp.imag(xw).astype(jnp.float32),
-                     (lead, 0)).reshape(pz.n_lead, 128)
         xr2 = xr.astype(jnp.float32).reshape(-1, 128)
         xi2 = xi.astype(jnp.float32).reshape(-1, 128)
-        pcfg = dict(h=A, K0=K0, Lsc=pz.Lsc, n_r=pz.n_r, n_g=pz.n_g,
-                    Bs=pz.Bs, n_b=pz.n_b, Ws=pz.Ws, n_u=pz.n_u,
-                    NF=pz.NF, n_lead=pz.n_lead, rows_step=pz.rows_step,
-                    nrow_b=pz.nrow_b, k_max=pz.k_max, T=T,
-                    twoM=2 * pz.M, aq=pz.aq, cq=pz.cq)
+        if self.use_v3:
+            tp = pz.tail_pad
+
+            def vtail(plane):
+                v = jnp.pad(plane.astype(jnp.float32), (pz.h, 0)) \
+                    .reshape(pz.tpp, pz.M)
+                return jnp.pad(v, ((tp - pz.tpp, 0), (0, 128 - pz.M)))
+            er = vtail(jnp.real(xw))
+            ei = vtail(jnp.imag(xw))
+            pcfg = dict(M=pz.M, tpp=pz.tpp, tail_pad=tp,
+                        k_occ=pz.k_occ, rows_step=pz.rows_step,
+                        G=pz.G, rpg=pz.rpg, n_q=pz.n_q,
+                        splan=pz.splan, T=T, twoM=2 * pz.M,
+                        NF=pz.NF, n_sel=pz.n_sel)
+        else:
+            lead = pz.n_lead * 128 - (K0 - A)
+            er = jnp.pad(jnp.real(xw).astype(jnp.float32),
+                         (lead, 0)).reshape(pz.n_lead, 128)
+            ei = jnp.pad(jnp.imag(xw).astype(jnp.float32),
+                         (lead, 0)).reshape(pz.n_lead, 128)
+            pcfg = dict(h=A, K0=K0, Lsc=pz.Lsc, n_r=pz.n_r, n_g=pz.n_g,
+                        Bs=pz.Bs, n_b=pz.n_b, Ws=pz.Ws, n_u=pz.n_u,
+                        NF=pz.NF, n_lead=pz.n_lead,
+                        rows_step=pz.rows_step,
+                        nrow_b=pz.nrow_b, k_max=pz.k_max, T=T,
+                        twoM=2 * pz.M, aq=pz.aq, cq=pz.cq)
 
         # ---- post-channelizer operands (ChanPostPipeline.apply) --------
         onehot = jax.nn.one_hot(params["bin"], M, dtype=jnp.float32)
@@ -590,12 +658,28 @@ class ChanFusedPipeline:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((self.rows_blk, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((K0, 128), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)] * 4 + [
+        ]
+        if self.use_v3:
+            in_specs += [
+                pl.BlockSpec((pz.tail_pad, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pz.tail_pad, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((pz.tpp, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * 3 + [
+                pl.BlockSpec((2 * M, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((pz.n_q, pz.rows_step), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * pz.n_sel
+        else:
+            in_specs += [
+                pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pz.n_lead, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec((K0, 128), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * 4
+        in_specs += [
             pl.BlockSpec((C, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((C, 1), lambda i: (0, 0),
@@ -615,31 +699,59 @@ class ChanFusedPipeline:
             pl.BlockSpec((C, BS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        scratch = [
-            pltpu.VMEM((self.rows_pad, 128), jnp.float32),
-            pltpu.VMEM((self.rows_pad, 128), jnp.float32),
-            pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
-            pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
-            pltpu.VMEM((2 * pz.M, post.adv0), jnp.float32),
-        ]
+        if self.use_v3:
+            scratch = [
+                pltpu.VMEM((pz.tail_pad + pz.k_occ, 128), jnp.float32),
+                pltpu.VMEM((pz.tail_pad + pz.k_occ, 128), jnp.float32),
+                pltpu.VMEM((2 * pz.M, post.adv0), jnp.float32),
+            ]
+        else:
+            scratch = [
+                pltpu.VMEM((self.rows_pad, 128), jnp.float32),
+                pltpu.VMEM((self.rows_pad, 128), jnp.float32),
+                pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
+                pltpu.VMEM((pz.Ws, pz.Bs * 128), jnp.float32),
+                pltpu.VMEM((2 * pz.M, post.adv0), jnp.float32),
+            ]
         scratch += [pltpu.VMEM((twoC, st.hist_pad + st.adv_in),
                                jnp.float32) for st in post.stages]
         scratch.append(pltpu.VMEM((C, BS), jnp.float32))
 
-        sub_w = _rup(pz.n_lead + pz.rows_step, 8)
-        sel = (0 if pz.n_r == 1
-               else 2 * pz.k_max * 2 * pz.n_u * sub_w * 128)
-        pfb_flops = self.n_sub * (
-            sel + pz.n_b * 2 * 2 * pz.n_u * pz.Ws * pz.Bs * 128
-            + pz.n_g * 2 * 128 * pz.n_u * pz.NF)
+        if self.use_v3:
+            n_c = len({c1 for c1, _, _ in pz.splan}
+                      | {c1 + 1 for c1, lo, cp in pz.splan if cp < 128})
+            pfb_flops = self.n_sub * (
+                n_c * 2 * 2 * pz.n_q * pz.rows_step * 128
+                + 3 * pz.tpp * 2 * 2 * pz.k_occ * 128
+                + 2 * (2 * M) * 256 * pz.NF)
+        else:
+            sub_w = _rup(pz.n_lead + pz.rows_step, 8)
+            sel = (0 if pz.n_r == 1
+                   else 2 * pz.k_max * 2 * pz.n_u * sub_w * 128)
+            pfb_flops = self.n_sub * (
+                sel + pz.n_b * 2 * 2 * pz.n_u * pz.Ws * pz.Bs * 128
+                + pz.n_g * 2 * 128 * pz.n_u * pz.NF)
         flops = n_super * (pfb_flops
                            + 2 * 2 * C * M * post.adv0
                            + 10 * C * post.adv0)
         for st in post.stages:
             flops += n_super * 2 * st.Lw * st.adv_out * twoC
         from .pallas_cost import costed_pallas_call
+        kern = _chan_fused_kernel_v3 if self.use_v3 \
+            else _chan_fused_kernel
+        if self.use_v3:
+            pfb_ops = (jnp.asarray(pz.tA, h_dt),
+                       jnp.asarray(pz.tWlo, h_dt),
+                       jnp.asarray(pz.tWhi, h_dt),
+                       jnp.asarray(pz.Dfull, h_dt),
+                       *[jnp.asarray(m) for m in pz.sels])
+        else:
+            pfb_ops = (jnp.asarray(pz.Pre, h_dt),
+                       jnp.asarray(pz.Pro, h_dt),
+                       jnp.asarray(pz.Pie, h_dt),
+                       jnp.asarray(pz.Pio, h_dt))
         out, tails_out, sq = costed_pallas_call(
-            functools.partial(_chan_fused_kernel, cfg=cfg, pcfg=pcfg,
+            functools.partial(kern, cfg=cfg, pcfg=pcfg,
                               n_sub=self.n_sub),
             grid=(n_super,),
             flops=int(flops),
@@ -658,9 +770,7 @@ class ChanFusedPipeline:
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
-        )(xr2, xi2, er, ei,
-          jnp.asarray(pz.Pre, h_dt), jnp.asarray(pz.Pro, h_dt),
-          jnp.asarray(pz.Pie, h_dt), jnp.asarray(pz.Pio, h_dt),
+        )(xr2, xi2, er, ei, *pfb_ops,
           onehot, om[:, None],
           phase0.astype(jnp.float32)[:, None],
           span_adv.astype(jnp.float32)[:, None],

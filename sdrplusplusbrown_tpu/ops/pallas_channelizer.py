@@ -701,8 +701,333 @@ class PallasPolyChannelizer(PallasChannelizerV2):
             xw.reshape(xw.shape[:-1] + (tpp - 1, M)), -1, -2)
 
 
+# ---------------------------------------------------------------------------
+# V3: factorized phase-planar WOLA channelizer
+# ---------------------------------------------------------------------------
+#
+# V2's banded slabs fuse the polyphase fold and the DFT into ONE tap
+# matrix: every (frame, bin) output pays the FULL K0-tap window on the
+# MXU (2·2·Ws·128 flops per frame — ~196k at M=48 where the factorized
+# math needs ~20k).  V3 factorizes:
+#
+#   1. occurrence-planar view V[o, p] = x[o·M + p]: built from the
+#      natural [rows, 128] stream tiles with rows_per_group one-hot
+#      row-selects (shared across all lane groups) + uniform lane
+#      rolls + a sublane interleave — done ONCE per super-step at the
+#      stream rate;
+#   2. polyphase fold: tpp sublane-shifted masked FMAs (VPU) give the
+#      even-pass fold A_j[m] = Σ_i br[m,i]·V[j−tpp+1+i, m] and the
+#      delayed-pass fold W_j (taps rolled by M/2 along the phase axis —
+#      the hop-M/2 sample offset and the (−1)^m pre-FFT roll CANCEL
+#      into same-lane reads with a row carry on lanes m ≥ M/2);
+#   3. one DFT matmul: bins = [[C|S],[−S|C]]·[F_r|F_i]ᵀ over the
+#      128-lane phase axis, frames already interleaved [W, A] by a
+#      sublane reshape.
+#
+# Output layout, state dict and numerics identical to V2 (equality
+# asserted in tests).  Flops at M=48: ~1.1k/input-sample vs V2's ~11.4k
+# (the named round-4 one-hot-machinery floor).
+
+def _chz3_geom(M: int, rows_step: int):
+    """Per-lane-group V-construction plan: for s in [0, G) the rows
+    3q+c1[s] (stride rows_per_grp) hold o=G·q+s's samples at lane
+    offset lo[s], crossing into the next row at lane cross_p[s]."""
+    from math import gcd
+    G = 128 // gcd(M, 128)
+    rpg = M * G // 128                     # stream rows per o-group
+    n_q = (rows_step * 128) // (M * G)
+    plan = []
+    for s in range(G):
+        c1 = (M * s) // 128
+        lo = (M * s) % 128
+        cross = lo + M > 128
+        plan.append((c1, lo, (128 - lo) if cross else 128))
+    return G, rpg, n_q, plan
+
+
+def chz3_build_v(xr_rows, xi_rows, cfg, sel_refs):
+    """[rows_step, 128] stream tiles (values) → (Vr, Vi) [k_occ, 128]
+    occurrence-planar views (lanes ≥ M hold neighbour garbage — always
+    under zero taps)."""
+    G, rpg, n_q = cfg["G"], cfg["rpg"], cfg["n_q"]
+    plan = cfg["splan"]
+    # row-phase selects: rows c + rpg·q, one per distinct c (≤ rpg+1)
+    sels_r, sels_i = {}, {}
+    need_c = sorted({c1 for c1, _, _ in plan}
+                    | {c1 + 1 for c1, lo, cp in plan if cp < 128})
+    for c in need_c:
+        oh = sel_refs[c][...].astype(jnp.float32)
+        sels_r[c] = jnp.dot(oh, xr_rows,
+                            preferred_element_type=jnp.float32)
+        sels_i[c] = jnp.dot(oh, xi_rows,
+                            preferred_element_type=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, 128), 1)
+    Sr, Si = [], []
+    for (c1, lo, cross_p) in plan:
+        r = (128 - lo) % 128
+        vr = pltpu.roll(sels_r[c1], r, 1) if r else sels_r[c1]
+        vi = pltpu.roll(sels_i[c1], r, 1) if r else sels_i[c1]
+        if cross_p < 128:
+            wr = pltpu.roll(sels_r[c1 + 1], r, 1)
+            wi = pltpu.roll(sels_i[c1 + 1], r, 1)
+            vr = jnp.where(lane < cross_p, vr, wr)
+            vi = jnp.where(lane < cross_p, vi, wi)
+        Sr.append(vr)
+        Si.append(vi)
+    # V[G·q + s] = S[s][q]
+    Vr = jnp.stack(Sr, axis=1).reshape(n_q * G, 128)
+    Vi = jnp.stack(Si, axis=1).reshape(n_q * G, 128)
+    return Vr, Vi
+
+
+def chz3_compute(vr, vi, tA_ref, tWlo_ref, tWhi_ref, dfull_ref, cfg):
+    """V scratch refs (tail_pad history rows + k_occ current rows) →
+    bins [2M, NF] value."""
+    tpp, tp = cfg["tpp"], cfg["tail_pad"]
+    k_occ = cfg["k_occ"]
+
+    def fold(taps_ref, off):
+        fr = jnp.zeros((k_occ, 128), jnp.float32)
+        fi = jnp.zeros((k_occ, 128), jnp.float32)
+        for i in range(tpp):
+            t = taps_ref[i, :][None, :].astype(jnp.float32)
+            fr = fr + t * vr[off + i:off + i + k_occ, :]
+            fi = fi + t * vi[off + i:off + i + k_occ, :]
+        return fr, fi
+
+    ar, ai = fold(tA_ref, tp - tpp + 1)
+    wlr, wli = fold(tWlo_ref, tp - tpp + 1)
+    whr, whi = fold(tWhi_ref, tp - tpp)
+    wr = wlr + whr
+    wi = wli + whi
+    # frame interleave [W_j, A_j] then [F_r | F_i] lane concat
+    Fr = jnp.stack([wr, ar], axis=1).reshape(2 * k_occ, 128)
+    Fi = jnp.stack([wi, ai], axis=1).reshape(2 * k_occ, 128)
+    F = jnp.concatenate([Fr, Fi], axis=1)          # [NF, 256]
+    bins = jax.lax.dot_general(
+        dfull_ref[...].astype(jnp.float32), F,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [2M, NF]
+    return bins
+
+
+def chz3_step(i_glob, xr_ref, xi_ref, er_ref, ei_ref, vr, vi,
+              tA, tWlo, tWhi, dfull, sel_refs, cfg, row0=0):
+    """One V3 super-step: roll/seed the V tail, build this step's V
+    rows from the stream tiles at sublane offset ``row0``, return the
+    bins [2M, NF] value.  ``i_glob`` is the global super-step index
+    (standalone: program_id; fused: i·n_sub + sub)."""
+    tp, k_occ, rs = cfg["tail_pad"], cfg["k_occ"], cfg["rows_step"]
+
+    @pl.when(i_glob == 0)
+    def _seed():
+        vr[0:tp, :] = er_ref[...]
+        vi[0:tp, :] = ei_ref[...]
+
+    @pl.when(i_glob > 0)
+    def _roll():
+        vr[0:tp, :] = vr[k_occ:k_occ + tp, :]
+        vi[0:tp, :] = vi[k_occ:k_occ + tp, :]
+
+    # zero invalid samples BEFORE the select matmuls (pallas OOB input
+    # blocks hold unspecified values — NaN under interpret — and a NaN
+    # survives a one-hot dot: NaN·0 = NaN)
+    gidx = ((i_glob * rs
+             + jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 0)) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1))
+    ok = gidx < cfg["T"]
+    xrr = jnp.where(ok, xr_ref[row0:row0 + rs, :], 0.0)
+    xii = jnp.where(ok, xi_ref[row0:row0 + rs, :], 0.0)
+    Vr, Vi = chz3_build_v(xrr, xii, cfg, sel_refs)
+    vr[tp:tp + k_occ, :] = Vr
+    vi[tp:tp + k_occ, :] = Vi
+    return chz3_compute(vr, vi, tA, tWlo, tWhi, dfull, cfg)
+
+
+def _chz3_kernel(xr_ref, xi_ref, er_ref, ei_ref, tA, tWlo, tWhi,
+                 dfull, *rest, cfg):
+    n_sel = cfg["n_sel"]
+    sel_refs = list(rest[:n_sel])
+    o_ref = rest[n_sel]
+    vr, vi = rest[n_sel + 1], rest[n_sel + 2]
+    i = pl.program_id(0)
+    bins = chz3_step(i, xr_ref, xi_ref, er_ref, ei_ref, vr, vi,
+                     tA, tWlo, tWhi, dfull, sel_refs, cfg)
+    o_ref[...] = bins[0:cfg["twoM"], :].astype(o_ref.dtype)
+
+
+class PallasChannelizerV3(PallasChannelizerV2):
+    """Factorized phase-planar WOLA form of V2 (see the section
+    comment above); interface, state dict and output contract are
+    identical to V2."""
+
+    LABEL = "pfb_channelizer"
+
+    def __init__(self, chz, interpret: bool = False):
+        self.chz = chz
+        self.interpret = interpret
+        self.M = M = int(chz.M)
+        self.h = M // 2
+        self.tpp = tpp = int(chz.tpp)
+        self.K0 = tpp * M
+        self.A = self.h
+        self.NF = 256
+        self.supported = False
+        if tpp < 2 or M % 2 or 2 * M > 128:
+            return
+        self.k_occ = self.NF // 2
+        if (self.k_occ * M) % 128:
+            return
+        self.rows_step = self.k_occ * M // 128
+        G, rpg, n_q, splan = _chz3_geom(M, self.rows_step)
+        if n_q * G != self.k_occ:
+            return
+        self.G, self.rpg, self.n_q, self.splan = G, rpg, n_q, splan
+        self.tail_pad = _rup(tpp, 8)
+        # fold taps: A-pass natural; W-pass rolled by M/2 with the
+        # row-carry split into lane-masked lo/hi halves
+        br = np.asarray(chz.branches, np.float32)      # [M, tpp]
+        brw = np.roll(br, -self.h, axis=0)
+        half = self.h
+        tA = np.zeros((tpp, 128), np.float32)
+        tWlo = np.zeros((tpp, 128), np.float32)
+        tWhi = np.zeros((tpp, 128), np.float32)
+        tA[:, :M] = br.T
+        tWlo[:, :half] = brw[:half].T
+        tWhi[:, half:M] = brw[half:].T
+        self.tA, self.tWlo, self.tWhi = tA, tWlo, tWhi
+        # DFT block matrix: [[C|S],[−S|C]] over 128-padded phase lanes
+        ang = 2.0 * np.pi * np.outer(np.arange(M), np.arange(M)) / M
+        Ce = np.zeros((M, 128), np.float32)
+        Se = np.zeros((M, 128), np.float32)
+        Ce[:, :M] = np.cos(ang)
+        Se[:, :M] = np.sin(ang)
+        D = np.zeros((2 * M, 256), np.float32)
+        D[:M, :128] = Ce
+        D[:M, 128:] = Se
+        D[M:, :128] = -Se
+        D[M:, 128:] = Ce
+        self.Dfull = D
+        # row-phase one-hot selects
+        need_c = sorted({c1 for c1, _, _ in splan}
+                        | {c1 + 1 for c1, lo, cp in splan if cp < 128})
+        self.n_sel = max(need_c) + 1
+        sels = []
+        for c in range(self.n_sel):
+            oh = np.zeros((n_q, self.rows_step), np.float32)
+            for q in range(n_q):
+                r = rpg * q + c
+                if r < self.rows_step:
+                    oh[q, r] = 1.0
+            sels.append(oh)
+        self.sels = sels
+        self.supported = True
+
+    def apply(self, state, x, width_out: int, out_dtype=None):
+        from .precision import get_handoff_dtype
+        h_dt = get_handoff_dtype()
+        if out_dtype is None:
+            out_dtype = h_dt
+        M, K0, NF = self.M, self.K0, self.NF
+        if isinstance(x, tuple):
+            xr, xi = x
+            T = xr.shape[-1]
+        else:
+            T = x.shape[-1]
+            xr = jnp.real(x)
+            xi = jnp.imag(x)
+        assert self.ok_for(T, width_out), (T, width_out, M, NF)
+        Tb = self._frames(T)
+        assert width_out >= Tb, (width_out, Tb)
+        n_super = width_out // NF
+
+        xw = self._state_to_xw(state)          # last K0−h samples
+        # V tail rows: [zeros(h) | xw] reshaped occurrence-planar,
+        # zero-padded to (tail_pad, 128) — the h pad lanes of the
+        # OLDEST row are never read (W only reads its m ≥ h lanes)
+        tp = self.tail_pad
+        def vtail(plane):
+            v = jnp.pad(plane.astype(jnp.float32), (self.h, 0)) \
+                .reshape(self.tpp, M)
+            return jnp.pad(v, ((tp - self.tpp, 0), (0, 128 - M)))
+        er = vtail(jnp.real(xw))
+        ei = vtail(jnp.imag(xw))
+        xr2 = xr.astype(jnp.float32).reshape(-1, 128)
+        xi2 = xi.astype(jnp.float32).reshape(-1, 128)
+
+        cfg = dict(M=M, tpp=self.tpp, tail_pad=tp, k_occ=self.k_occ,
+                   rows_step=self.rows_step, G=self.G, rpg=self.rpg,
+                   n_q=self.n_q, splan=self.splan, T=T,
+                   twoM=2 * M, n_sel=self.n_sel)
+        # flops: selects + fold FMAs + the DFT matmul (rolls/selects
+        # are data movement, the one-hots are the only select flops)
+        n_c = len({c1 for c1, _, _ in self.splan}
+                  | {c1 + 1 for c1, lo, cp in self.splan if cp < 128})
+        flops = n_super * (
+            n_c * 2 * 2 * self.n_q * self.rows_step * 128
+            + 3 * self.tpp * 2 * 2 * self.k_occ * 128
+            + 2 * (2 * M) * 256 * NF)
+        from .pallas_cost import costed_pallas_call
+        in_specs = [
+            pl.BlockSpec((self.rows_step, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.rows_step, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.tpp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.tpp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((self.tpp, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * M, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((self.n_q, self.rows_step), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] * self.n_sel
+        bins = costed_pallas_call(
+            functools.partial(_chz3_kernel, cfg=cfg),
+            grid=(n_super,),
+            flops=int(flops),
+            label=self.LABEL,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((2 * M, NF), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2 * M, width_out),
+                                           out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tp + self.k_occ, 128), jnp.float32),
+                pltpu.VMEM((tp + self.k_occ, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=self.interpret,
+        )(xr2, xi2, er, ei,
+          jnp.asarray(self.tA, h_dt), jnp.asarray(self.tWlo, h_dt),
+          jnp.asarray(self.tWhi, h_dt), jnp.asarray(self.Dfull, h_dt),
+          *[jnp.asarray(s) for s in self.sels])
+
+        nh = K0 - self.A
+        if isinstance(x, tuple):
+            tailx = (jax.lax.complex(xr[..., T - nh:], xi[..., T - nh:])
+                     if T >= nh else None)
+        else:
+            tailx = x[..., T - nh:] if T >= nh else None
+        tail = (tailx if tailx is not None
+                else jnp.concatenate(
+                    [xw, jax.lax.complex(xr, xi)])[..., -nh:])
+        tail = jax.lax.optimization_barrier(tail)
+        new_state = self._xw_to_state(tail)
+        return bins, new_state
+
+
 def build_pallas_channelizer(chz, interpret: bool = False
                              ) -> Optional[PallasChannelizer]:
+    p3 = PallasChannelizerV3(chz, interpret=interpret)
+    if p3.supported:
+        return p3
     p2 = PallasChannelizerV2(chz, interpret=interpret)
     if p2.supported:
         return p2
