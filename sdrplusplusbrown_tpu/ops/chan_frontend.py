@@ -56,11 +56,14 @@ def _rup(n: int, a: int) -> int:
     return ((n + a - 1) // a) * a
 
 
-def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
-    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded."""
+def _tail_planes(tail_c: jnp.ndarray, pad_k: int,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded.
+    ``dtype`` is the kernel-handoff STORAGE dtype (per-block state
+    tails are the same precision class as the raw IF handoff)."""
     hist = tail_c.shape[-1]
     p = jnp.concatenate([jnp.real(tail_c), jnp.imag(tail_c)],
-                        axis=0).astype(jnp.float32)
+                        axis=0).astype(dtype)
     if hist < pad_k:
         p = jnp.pad(p, ((0, 0), (pad_k - hist, 0)))
     return p
@@ -117,7 +120,7 @@ def chan_body(i, bins_ref, oh_ref, om_ref, ph0_ref, spa_ref, sbs_ref,
 
         @pl.when(i == 0)
         def _init(s=s, hp=hp):
-            bufs[s][:, :hp] = tail_refs[s][...]
+            bufs[s][:, :hp] = tail_refs[s][...].astype(jnp.float32)
 
         @pl.when(i > 0)
         def _roll(s=s, hp=hp, st=st):
@@ -175,7 +178,8 @@ def chan_body(i, bins_ref, oh_ref, om_ref, ph0_ref, spa_ref, sbs_ref,
         @pl.when(i == st.i_tail)
         def _tl(s=s, st=st):
             tails_o[:, st.tail_off:st.tail_off + st.tail_w] = \
-                bufs[s][:, st.tail_al:st.tail_al + st.tail_w]
+                bufs[s][:, st.tail_al:st.tail_al + st.tail_w] \
+                .astype(tails_o.dtype)
 
     @pl.when(i == n_super - 1)
     def _sq():
@@ -314,14 +318,15 @@ class ChanPostPipeline:
         b_bs = rem // BS
         span_adv = params["xl_sup"] * a_sup + params["xl_bs"] * b_bs
 
-        tail_ops = [_tail_planes(state[st.name], st.hist_pad)
-                    for st in self.stages]
-        # tap matrices and the raw kernel-to-kernel output ride HBM in
-        # the handoff storage dtype (math stays f32 — upcast at use);
-        # the trimmed/planes forms feed chained f32 consumers
+        # tap matrices, state tails and the raw kernel-to-kernel output
+        # ride HBM in the handoff storage dtype (math stays f32 —
+        # upcast at use); the trimmed/planes forms feed chained f32
+        # consumers
         from .precision import get_handoff_dtype
         h_dt = get_handoff_dtype()
         o_dtype = h_dt if raw else jnp.float32
+        tail_ops = [_tail_planes(state[st.name], st.hist_pad, h_dt)
+                    for st in self.stages]
         h_ops = [jnp.asarray(st.H, h_dt) for st in self.stages]
 
         n = len(self.stages)
@@ -378,7 +383,7 @@ class ChanPostPipeline:
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
                                      o_dtype),
                 jax.ShapeDtypeStruct((twoC, self.tails_w_total),
-                                     jnp.float32),
+                                     h_dt),
                 jax.ShapeDtypeStruct((C, BS), jnp.float32),
             ],
             scratch_shapes=scratch,
@@ -408,7 +413,7 @@ class ChanPostPipeline:
             _it, al, end_local = plan["tails"][s]
             seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
             lo = end_local - al - st.hist
-            tl = seg[:, lo:lo + st.hist]
+            tl = seg[:, lo:lo + st.hist].astype(jnp.float32)
             new_state[st.name] = jax.lax.complex(tl[:C], tl[C:])
         return y, sq_sums, new_state
 
@@ -638,7 +643,7 @@ class ChanFusedPipeline:
         a_sup, rem = divmod(post.adv0, SPAN)
         b_bs = rem // BS
         span_adv = params["xl_sup"] * a_sup + params["xl_bs"] * b_bs
-        tail_ops = [_tail_planes(state[st.name], st.hist_pad)
+        tail_ops = [_tail_planes(state[st.name], st.hist_pad, h_dt)
                     for st in post.stages]
         h_ops = [jnp.asarray(st.H, h_dt) for st in post.stages]
         n = len(post.stages)
@@ -763,7 +768,7 @@ class ChanFusedPipeline:
                 jax.ShapeDtypeStruct((twoC, n_super * post.adv_f),
                                      o_dtype),
                 jax.ShapeDtypeStruct((twoC, post.tails_w_total),
-                                     jnp.float32),
+                                     h_dt),
                 jax.ShapeDtypeStruct((C, BS), jnp.float32),
             ],
             scratch_shapes=scratch,
@@ -792,7 +797,7 @@ class ChanFusedPipeline:
             _it, al, end_local = plan["tails"][s]
             seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
             lo = end_local - al - st.hist
-            tl = seg[:, lo:lo + st.hist]
+            tl = seg[:, lo:lo + st.hist].astype(jnp.float32)
             new_state[st.name] = jax.lax.complex(tl[:C], tl[C:])
         # chz state from the raw input tail (pallas_channelizer V2 rule)
         nh = K0 - A

@@ -94,9 +94,9 @@ def _demod_kernel(ir_ref, ii_ref, gate_ref, qtail_ref, ftail_ref,
     # ---- roll histories -------------------------------------------------
     @pl.when(i == 0)
     def _init():
-        qcarry[...] = qtail_ref[...]
-        buff[:, :cfg["hpF"]] = ftail_ref[...]
-        bufp[:, :cfg["hpP"]] = ptail_ref[...]
+        qcarry[...] = qtail_ref[...].astype(jnp.float32)
+        buff[:, :cfg["hpF"]] = ftail_ref[...].astype(jnp.float32)
+        bufp[:, :cfg["hpP"]] = ptail_ref[...].astype(jnp.float32)
 
     @pl.when(i > 0)
     def _roll():
@@ -160,19 +160,24 @@ def _demod_kernel(ir_ref, ii_ref, gate_ref, qtail_ref, ftail_ref,
     # ---- next-call tails ------------------------------------------------
     @pl.when(i == cfg["iq_t"])
     def _tq():
-        qtail_o[0:C, :] = jax.lax.slice(er, (0, cfg["alq"]),
-                                        (C, cfg["alq"] + 128))
-        qtail_o[C:twoC, :] = jax.lax.slice(ei, (0, cfg["alq"]),
-                                           (C, cfg["alq"] + 128))
+        qtail_o[0:C, :] = jax.lax.slice(
+            er, (0, cfg["alq"]), (C, cfg["alq"] + 128)) \
+            .astype(qtail_o.dtype)
+        qtail_o[C:twoC, :] = jax.lax.slice(
+            ei, (0, cfg["alq"]), (C, cfg["alq"] + 128)) \
+            .astype(qtail_o.dtype)
 
     @pl.when(i == cfg["if_t"])
     def _tf():
-        tails_o[:, :cfg["tfw"]] = buff[:, cfg["alf"]:cfg["alf"] + cfg["tfw"]]
+        tails_o[:, :cfg["tfw"]] = \
+            buff[:, cfg["alf"]:cfg["alf"] + cfg["tfw"]] \
+            .astype(tails_o.dtype)
 
     @pl.when(i == cfg["ip_t"])
     def _tp():
         tails_o[:, cfg["tfw"]:cfg["tfw"] + cfg["tpw"]] = \
-            bufp[:, cfg["alp"]:cfg["alp"] + cfg["tpw"]]
+            bufp[:, cfg["alp"]:cfg["alp"] + cfg["tpw"]] \
+            .astype(tails_o.dtype)
 
 
 class FMAudioPipeline:
@@ -345,11 +350,11 @@ class FMAudioPipeline:
         qi = jnp.imag(q[:, 0]).reshape(n_chunks, Ck)
         qtail = qtail.at[:, 0, :, 127].set(qr)
         qtail = qtail.at[:, 1, :, 127].set(qi)
-        qtail = qtail.reshape(2 * C, 128)
+        qtail = qtail.reshape(2 * C, 128).astype(_h_dt)
 
         def pad_tail(t, hp):
-            t = jnp.real(t).astype(jnp.float32) if t.dtype != jnp.float32 \
-                else t
+            t = jnp.real(t) if jnp.iscomplexobj(t) else t
+            t = t.astype(_h_dt)
             return jnp.pad(t, ((0, 0), (hp - t.shape[-1], 0)))
 
         ftail = pad_tail(dstate["fir"], self.hpF)
@@ -413,9 +418,9 @@ class FMAudioPipeline:
             out_shape=[
                 jax.ShapeDtypeStruct((C, n_super * self.adv_aud),
                                      o_dtype),
-                jax.ShapeDtypeStruct((2 * C, 128), jnp.float32),
+                jax.ShapeDtypeStruct((2 * C, 128), _h_dt),
                 jax.ShapeDtypeStruct((C, self.tfw + self.tpw),
-                                     jnp.float32),
+                                     _h_dt),
             ],
             scratch_shapes=[
                 pltpu.VMEM((twoCk, 128), jnp.float32),
@@ -431,18 +436,19 @@ class FMAudioPipeline:
         y = (audio, m_aud) if raw_audio else audio[:, :m_aud]
 
         _iq, _alq, qcol = plan["q"]
-        qt4 = qtails.reshape(n_chunks, 2, Ck, 128)
+        qt4 = qtails.reshape(n_chunks, 2, Ck, 128).astype(jnp.float32)
         new_q = jax.lax.complex(qt4[:, 0, :, qcol],
                                 qt4[:, 1, :, qcol]).reshape(C)[:, None]
         _if, alf, endf = plan["f"]
         lof = endf - alf - self.histF
-        new_f = tails[:, lof:lof + self.histF]
+        new_f = tails[:, lof:lof + self.histF].astype(jnp.float32)
         new_dstate = {"quad": new_q, "fir": new_f}
         if self.poly is not None:
             _ip, alp, endp = plan["p"]
             lop = endp - alp - self.histP
             new_astate = {"resamp": tails[:, self.tfw + lop:
-                                          self.tfw + lop + self.histP]}
+                                          self.tfw + lop + self.histP]
+                          .astype(jnp.float32)}
         else:
             new_astate = astate
         return y, new_dstate, new_astate
