@@ -751,16 +751,21 @@ def chz3_build_v(xr_rows, xi_rows, cfg, sel_refs):
     under zero taps)."""
     G, rpg, n_q = cfg["G"], cfg["rpg"], cfg["n_q"]
     plan = cfg["splan"]
-    # row-phase selects: rows c + rpg·q, one per distinct c (≤ rpg+1)
+    # row-phase selects: rows c + rpg·q, one per distinct c (≤ rpg+1);
+    # when rpg == 1 and only c == 0 is needed (M | 128, no lane
+    # crossing) the select is the identity — use the rows directly
     sels_r, sels_i = {}, {}
     need_c = sorted({c1 for c1, _, _ in plan}
                     | {c1 + 1 for c1, lo, cp in plan if cp < 128})
-    for c in need_c:
-        oh = sel_refs[c][...].astype(jnp.float32)
-        sels_r[c] = jnp.dot(oh, xr_rows,
-                            preferred_element_type=jnp.float32)
-        sels_i[c] = jnp.dot(oh, xi_rows,
-                            preferred_element_type=jnp.float32)
+    if rpg == 1 and need_c == [0] and n_q == xr_rows.shape[0]:
+        sels_r[0], sels_i[0] = xr_rows, xi_rows
+    else:
+        for c in need_c:
+            oh = sel_refs[c][...].astype(jnp.float32)
+            sels_r[c] = jnp.dot(oh, xr_rows,
+                                preferred_element_type=jnp.float32)
+            sels_i[c] = jnp.dot(oh, xi_rows,
+                                preferred_element_type=jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, 128), 1)
     Sr, Si = [], []
     for (c1, lo, cross_p) in plan:
@@ -796,13 +801,17 @@ def chz3_compute(vr, vi, tA_ref, tWlo_ref, tWhi_ref, dfull_ref, cfg):
         return fr, fi
 
     ar, ai = fold(tA_ref, tp - tpp + 1)
-    wlr, wli = fold(tWlo_ref, tp - tpp + 1)
-    whr, whi = fold(tWhi_ref, tp - tpp)
-    wr = wlr + whr
-    wi = wli + whi
-    # frame interleave [W_j, A_j] then [F_r | F_i] lane concat
-    Fr = jnp.stack([wr, ar], axis=1).reshape(2 * k_occ, 128)
-    Fi = jnp.stack([wi, ai], axis=1).reshape(2 * k_occ, 128)
+    if cfg.get("critical"):
+        # critically sampled: one frame per occurrence, no delayed pass
+        Fr, Fi = ar, ai
+    else:
+        wlr, wli = fold(tWlo_ref, tp - tpp + 1)
+        whr, whi = fold(tWhi_ref, tp - tpp)
+        wr = wlr + whr
+        wi = wli + whi
+        # frame interleave [W_j, A_j] then [F_r | F_i] lane concat
+        Fr = jnp.stack([wr, ar], axis=1).reshape(2 * k_occ, 128)
+        Fi = jnp.stack([wi, ai], axis=1).reshape(2 * k_occ, 128)
     F = jnp.concatenate([Fr, Fi], axis=1)          # [NF, 256]
     bins = jax.lax.dot_general(
         dfull_ref[...].astype(jnp.float32), F,
@@ -941,15 +950,21 @@ class PallasChannelizerV3(PallasChannelizerV2):
         assert width_out >= Tb, (width_out, Tb)
         n_super = width_out // NF
 
-        xw = self._state_to_xw(state)          # last K0−h samples
-        # V tail rows: [zeros(h) | xw] reshaped occurrence-planar,
-        # zero-padded to (tail_pad, 128) — the h pad lanes of the
-        # OLDEST row are never read (W only reads its m ≥ h lanes)
+        xw = self._state_to_xw(state)          # last K0−A samples
+        # V tail rows reshaped occurrence-planar, zero-padded to
+        # (tail_pad, 128).  Oversampled: [zeros(h) | xw] → tpp rows
+        # (the h pad lanes of the OLDEST row are never read — W only
+        # reads its m ≥ h lanes).  Critical: tpp−1 whole rows.
         tp = self.tail_pad
+        crit = getattr(self, "critical", False)
+        n_hist = self.tpp - 1 if crit else self.tpp
+
         def vtail(plane):
-            v = jnp.pad(plane.astype(jnp.float32), (self.h, 0)) \
-                .reshape(self.tpp, M)
-            return jnp.pad(v, ((tp - self.tpp, 0), (0, 128 - M)))
+            v = plane.astype(jnp.float32)
+            if not crit:
+                v = jnp.pad(v, (self.h, 0))
+            v = v.reshape(n_hist, M)
+            return jnp.pad(v, ((tp - n_hist, 0), (0, 128 - M)))
         er = vtail(jnp.real(xw))
         ei = vtail(jnp.imag(xw))
         xr2 = xr.astype(jnp.float32).reshape(-1, 128)
@@ -958,14 +973,15 @@ class PallasChannelizerV3(PallasChannelizerV2):
         cfg = dict(M=M, tpp=self.tpp, tail_pad=tp, k_occ=self.k_occ,
                    rows_step=self.rows_step, G=self.G, rpg=self.rpg,
                    n_q=self.n_q, splan=self.splan, T=T,
-                   twoM=2 * M, n_sel=self.n_sel)
+                   twoM=2 * M, n_sel=self.n_sel, critical=crit)
         # flops: selects + fold FMAs + the DFT matmul (rolls/selects
         # are data movement, the one-hots are the only select flops)
         n_c = len({c1 for c1, _, _ in self.splan}
                   | {c1 + 1 for c1, lo, cp in self.splan if cp < 128})
+        n_folds = 1 if crit else 3
         flops = n_super * (
             n_c * 2 * 2 * self.n_q * self.rows_step * 128
-            + 3 * self.tpp * 2 * 2 * self.k_occ * 128
+            + n_folds * self.tpp * 2 * 2 * self.k_occ * 128
             + 2 * (2 * M) * 256 * NF)
         from .pallas_cost import costed_pallas_call
         in_specs = [
@@ -1035,8 +1051,59 @@ def build_pallas_channelizer(chz, interpret: bool = False
     return p if p.supported else None
 
 
+class PallasPolyChannelizerV3(PallasChannelizerV3):
+    """Critically-sampled (advance M) V3: one frame per occurrence, no
+    delayed pass — the fold is the single A-pass and the DFT matmul is
+    unchanged.  State dict = the chained PolyphaseChannelizer's [M,
+    tpp−1] branch history (converted exactly)."""
+
+    LABEL = "poly_channelizer"
+
+    def __init__(self, chz, interpret: bool = False):
+        PallasChannelizerV3.__init__(self, chz, interpret=interpret)
+        if not self.supported:
+            return
+        M = self.M
+        self.A = M
+        self.h = 0
+        # one frame per occurrence: k_occ = NF frames per super-step
+        self.k_occ = self.NF
+        if (self.k_occ * M) % 128:
+            self.supported = False
+            return
+        self.rows_step = self.k_occ * M // 128
+        G, rpg, n_q, splan = _chz3_geom(M, self.rows_step)
+        if n_q * G != self.k_occ:
+            self.supported = False
+            return
+        self.G, self.rpg, self.n_q, self.splan = G, rpg, n_q, splan
+        need_c = sorted({c1 for c1, _, _ in splan}
+                        | {c1 + 1 for c1, lo, cp in splan if cp < 128})
+        self.n_sel = max(need_c) + 1
+        sels = []
+        for c in range(self.n_sel):
+            oh = np.zeros((n_q, self.rows_step), np.float32)
+            for q in range(n_q):
+                r = rpg * q + c
+                if r < self.rows_step:
+                    oh[q, r] = 1.0
+            sels.append(oh)
+        self.sels = sels
+
+    critical = True
+
+    def _frames(self, T: int) -> int:
+        return T // self.M
+
+    _state_to_xw = PallasPolyChannelizer._state_to_xw
+    _xw_to_state = PallasPolyChannelizer._xw_to_state
+
+
 def build_pallas_poly_channelizer(chz, interpret: bool = False
                                   ) -> Optional[PallasPolyChannelizer]:
     """For ops/channelizer.py:PolyphaseChannelizer instances."""
+    p3 = PallasPolyChannelizerV3(chz, interpret=interpret)
+    if p3.supported:
+        return p3
     p = PallasPolyChannelizer(chz, interpret=interpret)
     return p if p.supported else None
