@@ -422,11 +422,14 @@ class DMRBurstProcessor:
     LOOKAHEAD = DIBITS_PER_FRAME * (SUPERFRAME_BURSTS - 1) + 1
 
     def __init__(self):
+        from .p25 import P25NidProcessor
         self.sync = DSDFrameSync()
         self._ring = np.zeros(0, np.uint8)     # on-air dibits
         self._start = 0                        # global index of ring[0]
         self._pending_data: List[dict] = []
         self._pending_voice: List[dict] = []
+        self._pending_p25: List[dict] = []
+        self.p25 = P25NidProcessor()
         # products
         self.burst_counts: Dict[str, int] = {}
         self.slot_last_type = ["", ""]
@@ -541,6 +544,10 @@ class DMRBurstProcessor:
         self._ring = np.concatenate([self._ring, air]) \
             if self._ring.size else air
         for (idx, name, voice) in hits:
+            if name.startswith("P25"):
+                self._pending_p25.append(
+                    {"idx": idx, "inv": name.endswith("_INV")})
+                continue
             if not name.startswith("DMR"):
                 continue
             if voice:
@@ -551,6 +558,8 @@ class DMRBurstProcessor:
                 self._pending_data.append({"idx": idx, "name": name})
         self._pending_data = [p for p in self._pending_data
                               if not self._process_data(p)]
+        self._pending_p25 = [p for p in self._pending_p25
+                             if not self._process_p25(p)]
         self._pending_voice = [p for p in self._pending_voice
                                if not self._process_voice(p)]
         # trim: keep enough for the oldest pending window + lookback
@@ -558,11 +567,28 @@ class DMRBurstProcessor:
                                                      + self.LOOKBACK + 64)
         for p in self._pending_voice + self._pending_data:
             keep_from = min(keep_from, p["idx"] - self.LOOKBACK)
+        for p in self._pending_p25:
+            keep_from = min(keep_from, p["idx"])
         n_drop = max(0, keep_from - self._start)
         if n_drop:
             self._ring = self._ring[n_drop:]
             self._start += n_drop
         return hits
+
+    def _process_p25(self, p: dict) -> bool:
+        """NID (NAC + DUID) decode past a P25 sync (models/p25.py;
+        reference dsd_p25.cpp:6-175).  Inverted sync = inverted
+        polarity: flip the sign bit of every following dibit."""
+        from .p25 import P25NidProcessor
+        idx = p["idx"]
+        nd = P25NidProcessor.NID_DIBITS
+        if not self._have(idx + 1, idx + 1 + nd):
+            return False
+        d = self._dibits(idx + 1, idx + 1 + nd)
+        if p["inv"]:
+            d = d ^ 2
+        self.p25.process(d)
+        return True
 
     # -- status surface -------------------------------------------------
     def summary(self) -> dict:
@@ -578,5 +604,6 @@ class DMRBurstProcessor:
             "lastLC": self.last_lc,
             "shortLcDecodes": self.short_lc_decodes,
             "lastShortLC": self.last_short_lc,
+            "p25": self.p25.summary(),
         })
         return out

@@ -314,3 +314,67 @@ def test_golden_capture_embedded_lc():
     assert s["lastLC"]["dst"] == 16777215
     assert s["lastLC"]["src"] == 150587
     assert s["colorCode"] == 1
+
+
+# ---------------------------------------------------------------------------
+# P25 NID layer (round-5; reference dsd_p25.cpp:6-175)
+# ---------------------------------------------------------------------------
+
+def test_bch_63_16_distance_and_ml_decode():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    g = p25m.bch_63_16_generator()
+    assert g.bit_length() - 1 == 47
+    # spot-check dmin >= 23 on random codeword pairs + low-weight words
+    t = p25m._table()
+    base = int(t[0x1234])
+    for v in (0x0001, 0x8000, 0x1235, 0xFFFF, 0x0E21):
+        d = bin(base ^ int(t[v])).count("1")
+        assert d >= 23, (hex(v), d)
+    # ML decode corrects 11 errors
+    info = 0x293F
+    cw = int(t[info])
+    bits = np.array([(cw >> (62 - i)) & 1 for i in range(63)], np.uint8)
+    err = rng.choice(63, size=11, replace=False)
+    bits[err] ^= 1
+    got, dist = p25m.bch_63_16_decode(bits)
+    assert got == info and dist == 11
+
+
+def _p25_nid_dibits(nac, duid, flip_bits=()):
+    """Sync + NID dibit stream (on-air), status dibit inserted."""
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    cw = p25m.bch_63_16_encode((nac << 4) | duid)
+    bits = [(cw >> (62 - i)) & 1 for i in range(63)] + [0]   # + parity
+    for fb in flip_bits:
+        bits[fb] ^= 1
+    d = []
+    for k in range(11):
+        d.append(bits[2 * k] * 2 + bits[2 * k + 1])
+    d.append(1)                                   # status dibit
+    for k in range(11, 31):
+        d.append(bits[2 * k] * 2 + bits[2 * k + 1])
+    d.append(bits[62] * 2 + bits[63])
+    return np.array(d, np.uint8)
+
+
+@pytest.mark.parametrize("inv", [False, True])
+def test_p25_nid_through_processor(inv):
+    nac, duid = 0x293, 0x5                        # LDU1 (dibits 1,1)
+    nid = _p25_nid_dibits(nac, duid, flip_bits=(3, 40, 50))
+    sync = _sync_air("P25P1")
+    stream = rng.integers(0, 4, 1500).astype(np.uint8)
+    for e in (300, 900):
+        stream[e - 23:e + 1] = sync
+        stream[e + 1:e + 1 + len(nid)] = nid
+    if inv:
+        stream = stream ^ 2                       # polarity inversion
+    bp = DMRBurstProcessor()
+    bp.push(AIR_TO_OUR[stream])
+    s = bp.summary()
+    key = "P25P1_INV" if inv else "P25P1"
+    assert s["counts"][key] >= 2, s["counts"]
+    p = s["p25"]
+    assert p["nac"] == nac, p
+    assert p["lastDuid"] == "LDU1", p
+    assert p["duidCounts"]["LDU1"] >= 2, p
+    assert p["nidOk"] >= 2 and p["nidErrors"] == 0, p
