@@ -423,6 +423,7 @@ class DMRBurstProcessor:
 
     def __init__(self):
         from .p25 import P25NidProcessor
+        from .dstar import DStarProcessor
         self.sync = DSDFrameSync()
         self._ring = np.zeros(0, np.uint8)     # on-air dibits
         self._start = 0                        # global index of ring[0]
@@ -430,6 +431,8 @@ class DMRBurstProcessor:
         self._pending_voice: List[dict] = []
         self._pending_p25: List[dict] = []
         self.p25 = P25NidProcessor()
+        self._pending_dstar: List[dict] = []
+        self.dstar = DStarProcessor()
         # products
         self.burst_counts: Dict[str, int] = {}
         self.slot_last_type = ["", ""]
@@ -544,6 +547,13 @@ class DMRBurstProcessor:
         self._ring = np.concatenate([self._ring, air]) \
             if self._ring.size else air
         for (idx, name, voice) in hits:
+            if name == "DSTAR_SYNC" or name == "DSTAR_SYNC_INV":
+                self.dstar.voice_syncs += 1
+                continue
+            if name.startswith("DSTAR_HD"):
+                self._pending_dstar.append(
+                    {"idx": idx, "inv": name.endswith("_INV")})
+                continue
             if name.startswith("P25"):
                 self._pending_p25.append(
                     {"idx": idx, "inv": name.endswith("_INV")})
@@ -560,6 +570,8 @@ class DMRBurstProcessor:
                               if not self._process_data(p)]
         self._pending_p25 = [p for p in self._pending_p25
                              if not self._process_p25(p)]
+        self._pending_dstar = [p for p in self._pending_dstar
+                               if not self._process_dstar(p)]
         self._pending_voice = [p for p in self._pending_voice
                                if not self._process_voice(p)]
         # trim: keep enough for the oldest pending window + lookback
@@ -567,7 +579,7 @@ class DMRBurstProcessor:
                                                      + self.LOOKBACK + 64)
         for p in self._pending_voice + self._pending_data:
             keep_from = min(keep_from, p["idx"] - self.LOOKBACK)
-        for p in self._pending_p25:
+        for p in self._pending_p25 + self._pending_dstar:
             keep_from = min(keep_from, p["idx"])
         n_drop = max(0, keep_from - self._start)
         if n_drop:
@@ -590,6 +602,24 @@ class DMRBurstProcessor:
         self.p25.process(d)
         return True
 
+    def _process_dstar(self, p: dict) -> bool:
+        """660-bit radio-header decode past a D-STAR header sync
+        (models/dstar.py; reference dsd_dstar.cpp).  D-STAR is binary
+        GMSK — each dibit contributes its SIGN bit; polarity resolved
+        by the sync variant with a CRC-gated fallback flip."""
+        from .dstar import HEADER_BITS
+        idx = p["idx"]
+        if not self._have(idx + 1, idx + 1 + HEADER_BITS):
+            return False
+        d = self._dibits(idx + 1, idx + 1 + HEADER_BITS)
+        bits = ((d >> 1) & 1).astype(np.uint8)
+        if p["inv"]:
+            bits ^= 1
+        h = self.dstar.process_header(bits)
+        if h is not None and not h["crc_ok"]:
+            self.dstar.process_header(bits ^ 1)
+        return True
+
     # -- status surface -------------------------------------------------
     def summary(self) -> dict:
         out = self.sync.summary()
@@ -605,5 +635,6 @@ class DMRBurstProcessor:
             "shortLcDecodes": self.short_lc_decodes,
             "lastShortLC": self.last_short_lc,
             "p25": self.p25.summary(),
+            "dstar": self.dstar.summary(),
         })
         return out

@@ -378,3 +378,50 @@ def test_p25_nid_through_processor(inv):
     assert p["lastDuid"] == "LDU1", p
     assert p["duidCounts"]["LDU1"] >= 2, p
     assert p["nidOk"] >= 2 and p["nidErrors"] == 0, p
+
+
+# ---------------------------------------------------------------------------
+# D-STAR radio header (round-5; reference dsd_dstar.cpp)
+# ---------------------------------------------------------------------------
+
+def test_dstar_header_roundtrip_and_fec():
+    from sdrplusplusbrown_tpu.models import dstar as dsm
+    bits = dsm.encode_header(b"\x00\x00\x00", "REPEAT2", "REPEAT1",
+                             "CQCQCQ", "N0CALL", "TPU")
+    h = dsm.decode_header(bits)
+    assert h["crc_ok"], h
+    assert h["my"] == "N0CALL" and h["ur"] == "CQCQCQ"
+    assert h["rpt1"] == "REPEAT1" and h["rpt2"] == "REPEAT2"
+    assert h["suffix"] == "TPU"
+    # the rate-1/2 K=3 FEC corrects scattered channel errors
+    rx = bits.copy()
+    rx[np.asarray([10, 200, 400, 600])] ^= 1
+    h2 = dsm.decode_header(rx)
+    assert h2["crc_ok"] and h2["my"] == "N0CALL"
+
+
+@pytest.mark.parametrize("inv", [False, True])
+def test_dstar_header_through_processor(inv):
+    from sdrplusplusbrown_tpu.models import dstar as dsm
+    bits = dsm.encode_header(b"\x00\x00\x00", "", "XLX999 B",
+                             "CQCQCQ", "TP9UZT", "73")
+    # sign bit -> air dibit: bit 1 = negative deviation (msb set)
+    hdr_dibits = np.where(bits == 1, 3, 1).astype(np.uint8)
+    sync = _sync_air("DSTAR_HD")
+    stream = rng.integers(0, 4, 2000).astype(np.uint8)
+    e = 500
+    stream[e - 23:e + 1] = sync
+    stream[e + 1:e + 1 + len(hdr_dibits)] = hdr_dibits
+    vs = _sync_air("DSTAR_SYNC")
+    stream[1500 - 23:1500 + 1] = vs
+    if inv:
+        stream = stream ^ 2
+    bp = DMRBurstProcessor()
+    for lo in range(0, len(stream), 613):
+        bp.push(AIR_TO_OUR[stream[lo:lo + 613]])
+    s = bp.summary()
+    d = s["dstar"]
+    assert d["headerCrcOk"] >= 1, d
+    assert d["lastHeader"]["my"] == "TP9UZT", d
+    assert d["lastHeader"]["rpt1"] == "XLX999 B", d
+    assert d["voiceSyncs"] >= 1, d
