@@ -103,11 +103,14 @@ def _solve_geometry(stages_raw, D0: int):
     return None
 
 
-def _tail_planes(tail_c: jnp.ndarray, pad_k: int) -> jnp.ndarray:
-    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded."""
+def _tail_planes(tail_c: jnp.ndarray, pad_k: int,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """[C, hist] complex -> [2C, pad_k] planes, left zero-padded
+    (``dtype``: the kernel-handoff storage dtype — per-block state
+    tails are the same precision class as the raw IF handoff)."""
     hist = tail_c.shape[-1]
     p = jnp.concatenate([jnp.real(tail_c), jnp.imag(tail_c)],
-                        axis=0).astype(jnp.float32)
+                        axis=0).astype(dtype)
     if hist < pad_k:
         p = jnp.pad(p, ((0, 0), (pad_k - hist, 0)))
     return p
@@ -165,7 +168,7 @@ def _mono_kernel(*refs, cfg):
 
         @pl.when(i == 0)
         def _init(s=s, hp=hp):
-            bufs[s][:, :hp] = tail_refs[s][...]
+            bufs[s][:, :hp] = tail_refs[s][...].astype(jnp.float32)
 
         @pl.when(i > 0)
         def _roll(s=s, hp=hp, st=st):
@@ -327,7 +330,8 @@ def _mono_kernel(*refs, cfg):
         @pl.when(i == st.i_tail)
         def _tl(s=s, st=st):
             tails_o[:, st.tail_off:st.tail_off + st.tail_w] = \
-                bufs[s][:, st.tail_al:st.tail_al + st.tail_w]
+                bufs[s][:, st.tail_al:st.tail_al + st.tail_w] \
+                .astype(tails_o.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -558,13 +562,13 @@ class MonoVFOPipeline:
         base = jnp.pad(base, ((0, 0), (0, 0), (0, nbw_pad - nbw_t))) \
             .reshape(C, n_super * nbw_pad)
 
-        tails_c = self._stage_tails(state)
-        tail_ops = [_tail_planes(tails_c[s], st.hist_pad)
-                    for s, st in enumerate(self.stages)]
-        # tap matrices ride HBM in the handoff STORAGE dtype (bf16
-        # halves both the operand reads and XLA's per-call constant
-        # staging; all matmul math stays f32 — upcast at use)
+        # tap matrices and state tails ride HBM in the handoff STORAGE
+        # dtype (bf16 halves both the operand reads and XLA's per-call
+        # constant staging; all matmul math stays f32 — upcast at use)
         h_dt = get_handoff_dtype()
+        tails_c = self._stage_tails(state)
+        tail_ops = [_tail_planes(tails_c[s], st.hist_pad, h_dt)
+                    for s, st in enumerate(self.stages)]
         h_ops = []
         for st in self.stages:
             if st.chunks is not None:
@@ -669,7 +673,7 @@ class MonoVFOPipeline:
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
                                      o_dtype),
                 jax.ShapeDtypeStruct((twoC, self.tails_w_total),
-                                     jnp.float32),
+                                     h_dt),
             ],
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -708,7 +712,8 @@ class MonoVFOPipeline:
         new_tails = []
         for s, st in enumerate(self.stages):
             _it, al, end_local = plan["tails"][s]
-            seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w]
+            seg = tails_out[:, st.tail_off:st.tail_off + st.tail_w] \
+                .astype(jnp.float32)
             lo = end_local - al - st.carry
             tl = seg[:, lo:lo + st.carry]
             new_tails.append(jax.lax.complex(tl[:C], tl[C:]))

@@ -69,10 +69,11 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
     # ---- roll histories --------------------------------------------------
     @pl.when(i == 0)
     def _init():
-        qcarry[...] = qtail_ref[...]
+        qcarry[...] = qtail_ref[...].astype(jnp.float32)
         for s in range(n_hb):
-            bufs[s][:, :cfg["hps"][s]] = hbt_refs[s][...]
-        bufm[:, :hpS] = hist_ref[...]
+            bufs[s][:, :cfg["hps"][s]] = \
+                hbt_refs[s][...].astype(jnp.float32)
+        bufm[:, :hpS] = hist_ref[...].astype(jnp.float32)
 
     @pl.when(i > 0)
     def _roll():
@@ -142,21 +143,24 @@ def _wfm_kernel(if_ref, qtail_ref, hist_ref, *rest, cfg):
     # ---- next-call tails --------------------------------------------------
     @pl.when(i == cfg["iq_t"])
     def _tq():
-        qtail_o[...] = jax.lax.slice(cur, (0, cfg["alq"]),
-                                     (twoC, cfg["alq"] + 128))
+        qtail_o[...] = jax.lax.slice(
+            cur, (0, cfg["alq"]),
+            (twoC, cfg["alq"] + 128)).astype(qtail_o.dtype)
 
     off = 0
     for s in range(n_hb):
         @pl.when(i == cfg["ih_t"][s])
         def _th(s=s, off=off):
             tails_o[:, off:off + cfg["tws"][s]] = \
-                bufs[s][:, cfg["alh"][s]:cfg["alh"][s] + cfg["tws"][s]]
+                bufs[s][:, cfg["alh"][s]:cfg["alh"][s] + cfg["tws"][s]] \
+                .astype(tails_o.dtype)
         off += cfg["tws"][s]
 
     @pl.when(i == cfg["im_t"])
     def _tm(off=off):
         tails_o[:, off:off + cfg["twm"]] = \
-            bufm[:, cfg["alm"]:cfg["alm"] + cfg["twm"]]
+            bufm[:, cfg["alm"]:cfg["alm"] + cfg["twm"]] \
+            .astype(tails_o.dtype)
 
 
 class WFMDemodPipeline:
@@ -277,9 +281,12 @@ class WFMDemodPipeline:
         qtail = jnp.zeros((2 * C, 128), jnp.float32)
         qtail = qtail.at[:C, 127].set(jnp.real(q[..., 0]))
         qtail = qtail.at[C:, 127].set(jnp.imag(q[..., 0]))
+        qtail = qtail.astype(h_dt)
 
         def pad_tail(t, hp):
-            t = t.astype(jnp.float32) if t.dtype != jnp.float32 else t
+            # state tails ride HBM in the handoff storage dtype
+            t = jnp.real(t) if jnp.iscomplexobj(t) else t
+            t = t.astype(h_dt)
             return jnp.pad(t, ((0, 0), (hp - t.shape[-1], 0)))
 
         hb_tails = [pad_tail(state["mpx_decim"][s], self.hps[s])
@@ -351,8 +358,8 @@ class WFMDemodPipeline:
             out_shape=[
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_mpx),
                                      o_dtype),
-                jax.ShapeDtypeStruct((twoC, 128), jnp.float32),
-                jax.ShapeDtypeStruct((C, tw_total), jnp.float32),
+                jax.ShapeDtypeStruct((twoC, 128), h_dt),
+                jax.ShapeDtypeStruct((C, tw_total), h_dt),
             ],
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -367,6 +374,8 @@ class WFMDemodPipeline:
 
         new_state = dict(state)
         _iq, _alq, qcol = plan["q"]
+        qtails = qtails.astype(jnp.float32)
+        tails = tails.astype(jnp.float32)
         new_state["quad"] = jax.lax.complex(
             qtails[:C, qcol], qtails[C:, qcol])[..., None]
         off = 0
@@ -414,7 +423,7 @@ def _mpx_poly_kernel(x_ref, ptail_ref, hp_ref, o_ref, tails_o, bufp,
 
     @pl.when(i == 0)
     def _init():
-        bufp[:, :hpP] = ptail_ref[...]
+        bufp[:, :hpP] = ptail_ref[...].astype(jnp.float32)
 
     @pl.when(i > 0)
     def _roll():
@@ -436,7 +445,8 @@ def _mpx_poly_kernel(x_ref, ptail_ref, hp_ref, o_ref, tails_o, bufp,
 
     @pl.when(i == cfg["ip_t"])
     def _tp():
-        tails_o[...] = bufp[:, cfg["alp"]:cfg["alp"] + cfg["tw"]]
+        tails_o[...] = bufp[:, cfg["alp"]:cfg["alp"] + cfg["tw"]] \
+            .astype(tails_o.dtype)
 
 
 class MPXAudioPoly:
@@ -522,7 +532,7 @@ class MPXAudioPoly:
         from .precision import get_handoff_dtype as _ghd
         _hp_dt = _ghd()
         ptail = jnp.concatenate([ars[0], ars[1]], axis=0)
-        ptail = jnp.pad(ptail.astype(jnp.float32),
+        ptail = jnp.pad(ptail.astype(_hp_dt),
                         ((0, 0), (self.hpP - self.hist, 0)))
         # narrower-than-grid raw is fine: OOB blocks pad + gcol mask
         from .pallas_cost import costed_pallas_call
@@ -549,7 +559,7 @@ class MPXAudioPoly:
             out_shape=[
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_aud),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((twoC, self.tw), jnp.float32),
+                jax.ShapeDtypeStruct((twoC, self.tw), _hp_dt),
             ],
             scratch_shapes=[
                 pltpu.VMEM((twoC, self.hpP + self.adv_in), jnp.float32),
@@ -564,7 +574,7 @@ class MPXAudioPoly:
         lr = jnp.stack([audio[:C, :m_aud], audio[C:, :m_aud]], axis=1)
         _it, al, end = plan["p"]
         lo = end - al - self.hist
-        t = tails[:, lo:lo + self.hist]
+        t = tails[:, lo:lo + self.hist].astype(jnp.float32)
         new_ars = jnp.stack([t[:C], t[C:]], axis=0)
         return lr, new_ars
 
