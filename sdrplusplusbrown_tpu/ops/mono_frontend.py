@@ -564,10 +564,14 @@ class MonoVFOPipeline:
 
         # tap matrices and state tails ride HBM in the handoff STORAGE
         # dtype (bf16 halves both the operand reads and XLA's per-call
-        # constant staging; all matmul math stays f32 — upcast at use)
+        # constant staging; all matmul math stays f32 — upcast at use).
+        # Narrow banks keep f32 tails: at C < 16 the conversion ops cost
+        # more than the operand bytes they save (multimode-8 measured
+        # −0.7 B/smp worse with bf16 tails).
         h_dt = get_handoff_dtype()
+        t_dt = h_dt if C >= 16 else jnp.float32
         tails_c = self._stage_tails(state)
-        tail_ops = [_tail_planes(tails_c[s], st.hist_pad, h_dt)
+        tail_ops = [_tail_planes(tails_c[s], st.hist_pad, t_dt)
                     for s, st in enumerate(self.stages)]
         h_ops = []
         for st in self.stages:
@@ -673,7 +677,7 @@ class MonoVFOPipeline:
                 jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
                                      o_dtype),
                 jax.ShapeDtypeStruct((twoC, self.tails_w_total),
-                                     h_dt),
+                                     t_dt),
             ],
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
