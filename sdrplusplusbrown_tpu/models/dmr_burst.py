@@ -588,18 +588,30 @@ class DMRBurstProcessor:
         return hits
 
     def _process_p25(self, p: dict) -> bool:
-        """NID (NAC + DUID) decode past a P25 sync (models/p25.py;
-        reference dsd_p25.cpp:6-175).  Inverted sync = inverted
-        polarity: flip the sign bit of every following dibit."""
-        from .p25 import P25NidProcessor
+        """NID (NAC + DUID) decode past a P25 sync, then LDU1 link
+        control (models/p25.py; reference dsd_p25.cpp).  Inverted sync
+        = inverted polarity: flip the sign bit of every dibit."""
+        from .p25 import P25NidProcessor, ldu1_window_dibits
         idx = p["idx"]
         nd = P25NidProcessor.NID_DIBITS
-        if not self._have(idx + 1, idx + 1 + nd):
+        if "nid" not in p:
+            if not self._have(idx + 1, idx + 1 + nd):
+                return False
+            d = self._dibits(idx + 1, idx + 1 + nd)
+            if p["inv"]:
+                d = d ^ 2
+            p["nid"] = self.p25.process(d)
+        nid = p["nid"]
+        if nid is None or nid["duid"] != "LDU1":
+            return True
+        # LDU1: defer until the link-control window is in the ring
+        lw = ldu1_window_dibits()
+        if not self._have(idx + 1 + nd, idx + 1 + nd + lw):
             return False
-        d = self._dibits(idx + 1, idx + 1 + nd)
+        w = self._dibits(idx + 1 + nd, idx + 1 + nd + lw)
         if p["inv"]:
-            d = d ^ 2
-        self.p25.process(d)
+            w = w ^ 2
+        self.p25.process_ldu1_lc(w)
         return True
 
     def _process_dstar(self, p: dict) -> bool:

@@ -159,6 +159,9 @@ class P25NidProcessor:
         self.last_duid: Optional[str] = None
         self.nid_ok = 0
         self.nid_errors = 0
+        self.lc_decodes = 0
+        self.lc_failures = 0
+        self.last_lc: Optional[dict] = None
 
     def process(self, dibits33: np.ndarray):
         """33 on-air dibits following the 24-dibit sync."""
@@ -186,7 +189,374 @@ class P25NidProcessor:
         self.duid_counts[name] = self.duid_counts.get(name, 0) + 1
         return {"nac": nac, "duid": name}
 
+    def process_ldu1_lc(self, dibits_post_nid: np.ndarray):
+        """Link control of an LDU1 (talkgroup / source) — reference
+        P25processLDU1 + P25processlcw."""
+        lc = parse_ldu1_lc(dibits_post_nid)
+        if lc is None:
+            self.lc_failures += 1
+            return None
+        self.lc_decodes += 1
+        self.last_lc = lc
+        return lc
+
     def summary(self) -> dict:
         return {"nac": self.nac, "lastDuid": self.last_duid,
                 "duidCounts": dict(self.duid_counts),
-                "nidOk": self.nid_ok, "nidErrors": self.nid_errors}
+                "nidOk": self.nid_ok, "nidErrors": self.nid_errors,
+                "lcDecodes": self.lc_decodes,
+                "lcFailures": self.lc_failures,
+                "lastLC": self.last_lc}
+
+
+# ---------------------------------------------------------------------------
+# LDU1 link control (reference dsd_p25.cpp:2233-2500 + P25processlcw)
+# ---------------------------------------------------------------------------
+
+#: Hamming(10,6,3) parity rows — the APCO 25 published generator matrix
+#: (reference Hamming.hpp "G matrix come from the APCO 25 reference
+#: documentation"; category-b protocol constants)
+_H1063_P = np.array([[1, 1, 1, 0],
+                     [1, 1, 0, 1],
+                     [1, 0, 1, 1],
+                     [0, 1, 1, 1],
+                     [0, 0, 1, 1],
+                     [1, 1, 0, 0]], np.uint8)
+
+_H1063_TABLE: Optional[np.ndarray] = None
+
+
+def hamming_10_6_3_encode(d6: np.ndarray) -> np.ndarray:
+    par = (d6 @ _H1063_P) % 2
+    return np.concatenate([d6.astype(np.uint8), par.astype(np.uint8)])
+
+
+def hamming_10_6_3_decode(bits10: np.ndarray):
+    """ML over the 64 codewords -> (value6, dist)."""
+    global _H1063_TABLE
+    if _H1063_TABLE is None:
+        t = np.zeros((64, 10), np.uint8)
+        for v in range(64):
+            d = np.array([(v >> (5 - i)) & 1 for i in range(6)], np.uint8)
+            t[v] = hamming_10_6_3_encode(d)
+        _H1063_TABLE = t
+    dist = np.count_nonzero(_H1063_TABLE != bits10[None, :], axis=1)
+    v = int(np.argmin(dist))
+    return v, int(dist[v])
+
+
+# -- GF(64) Reed-Solomon (63,51) shortened to (24,12), roots α^1..α^12 ----
+
+_GF_EXP: Optional[np.ndarray] = None
+_GF_LOG: Optional[np.ndarray] = None
+
+
+def _gf_tables():
+    global _GF_EXP, _GF_LOG
+    if _GF_EXP is None:
+        exp = np.zeros(126, np.int64)
+        log = np.zeros(64, np.int64)
+        v = 1
+        for i in range(63):
+            exp[i] = exp[i + 63] = v
+            log[v] = i
+            v <<= 1
+            if v & 64:
+                v ^= _PRIM
+        _GF_EXP, _GF_LOG = exp, log
+    return _GF_EXP, _GF_LOG
+
+
+def _gmul(a, b):
+    if a == 0 or b == 0:
+        return 0
+    exp, log = _gf_tables()
+    return int(exp[(log[a] + log[b]) % 63])
+
+
+def _rs_gen_poly(nroots: int = 12):
+    exp, _ = _gf_tables()
+    g = [1]
+    for i in range(1, nroots + 1):
+        root = int(exp[i])
+        ng = [0] * (len(g) + 1)
+        for j, c in enumerate(g):
+            ng[j] ^= _gmul(c, root)
+            ng[j + 1] ^= c
+        g = ng
+    return g                              # ascending powers, len 13
+
+
+_RS_G: Optional[list] = None
+
+
+def rs_24_12_encode(data12: np.ndarray) -> np.ndarray:
+    """12 hexbit data symbols -> 12 parity symbols (systematic,
+    shortened RS(63,51): leading 39 implicit zeros)."""
+    global _RS_G
+    if _RS_G is None:
+        _RS_G = _rs_gen_poly(12)
+    g = _RS_G
+    rem = [0] * 12
+    for d in data12:
+        f = int(d) ^ rem[11]
+        rem = [0] + rem[:11]
+        if f:
+            for j in range(12):
+                rem[j] ^= _gmul(f, g[j])
+    return np.array(rem[::-1], np.uint8)
+
+
+def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
+    """-> (corrected_data12, n_errors) or (None, -1) when >6 errors.
+    Berlekamp-Massey + Chien + Forney over GF(64)."""
+    exp, log = _gf_tables()
+    # received poly r: highest-degree first = data then parity
+    rx = [int(v) for v in data12] + [int(v) for v in parity12]
+    n = 24
+
+    def gpow(b, e):
+        if b == 0:
+            return 0
+        return int(exp[(log[b] * e) % 63])
+
+    # syndromes S_i = r(α^i), i=1..12 (codeword degrees: 23..0 of the
+    # SHORTENED word ↔ degrees 62..39,11..0? — shortened RS: treat the
+    # word as degree-23 poly; roots are preserved because the implicit
+    # leading zeros contribute nothing)
+    synd = []
+    errors = False
+    for i in range(1, 13):
+        s = 0
+        for j, c in enumerate(rx):
+            if c:
+                s ^= _gmul(c, gpow(int(exp[i]), n - 1 - j))
+        synd.append(s)
+        if s:
+            errors = True
+    if not errors:
+        return np.asarray(data12, np.uint8), 0
+    # Berlekamp-Massey
+    def ginv(a):
+        return int(exp[(63 - log[a]) % 63])
+
+    C = [1] + [0] * 12
+    B = [1] + [0] * 12
+    L, m, b = 0, 1, 1
+    for nn in range(12):
+        d = synd[nn]
+        for i in range(1, L + 1):
+            d ^= _gmul(C[i], synd[nn - i])
+        if d == 0:
+            m += 1
+        elif 2 * L <= nn:
+            T = C[:]
+            coef = _gmul(d, ginv(b))
+            for i in range(13 - m):
+                C[i + m] ^= _gmul(coef, B[i])
+            L = nn + 1 - L
+            B = T
+            b = d
+            m = 1
+        else:
+            coef = _gmul(d, ginv(b))
+            for i in range(13 - m):
+                C[i + m] ^= _gmul(coef, B[i])
+            m += 1
+    if L > 6:
+        return None, -1
+    # Chien search over the 24 valid positions
+    err_pos = []
+    for j in range(n):
+        xinv = gpow(int(exp[1]), (-(n - 1 - j)) % 63)
+        s = 0
+        for i in range(L + 1):
+            s ^= _gmul(C[i], gpow(xinv, i))
+        if s == 0:
+            err_pos.append(j)
+    if len(err_pos) != L:
+        return None, -1
+    # Forney: Ω(x) = S(x)·Λ(x) mod x^12
+    omega = [0] * 12
+    for i in range(12):
+        v = 0
+        for j in range(0, i + 1):
+            if j < len(C) and i - j < 12:
+                v ^= _gmul(C[j], synd[i - j])
+        omega[i] = v
+    fixed = rx[:]
+    for j in err_pos:
+        xinv = gpow(int(exp[1]), (-(n - 1 - j)) % 63)
+        num = 0
+        for i in range(L):
+            num ^= _gmul(omega[i], gpow(xinv, i))
+        den = 0
+        # formal derivative of C at xinv: odd terms
+        for i in range(1, L + 1, 2):
+            den ^= _gmul(C[i], gpow(xinv, i - 1))
+        if den == 0:
+            return None, -1
+        # fcr = 1 ⇒ e_j = Ω(X_j^{-1}) / Λ'(X_j^{-1}) (no X_j factor)
+        mag = _gmul(num, int(exp[(63 - log[den]) % 63]))
+        fixed[j] ^= mag
+    # verify
+    for i in range(1, 13):
+        s = 0
+        for j, c in enumerate(fixed):
+            if c:
+                s ^= _gmul(c, gpow(int(exp[i]), n - 1 - j))
+        if s:
+            return None, -1
+    return np.asarray(fixed[:12], np.uint8), L
+
+
+class _FrameCursor:
+    """Walks payload dibits, skipping the status dibits that sit at
+    frame offsets ≡ 35 (mod 36), offsets measured from the SYNC START
+    (dsd_p25.cpp status_count machinery)."""
+
+    def __init__(self, dibits: np.ndarray, frame_off0: int):
+        self.d = np.asarray(dibits, np.uint8)
+        self.pos = 0
+        self.f = int(frame_off0)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.uint8)
+        k = 0
+        while k < n:
+            if self.f % 36 == 35:
+                self.pos += 1
+                self.f += 1
+                continue
+            out[k] = self.d[self.pos]
+            k += 1
+            self.pos += 1
+            self.f += 1
+        return out
+
+    def skip(self, n: int):
+        self.read(n)
+
+    def payload_span(self, n: int) -> int:
+        """Total dibits consumed when reading n payload dibits from the
+        current offset (for window sizing)."""
+        f, used = self.f, 0
+        k = 0
+        while k < n:
+            if f % 36 != 35:
+                k += 1
+            f += 1
+            used += 1
+        return used
+
+
+#: post-sync frame offset where the LDU payload starts (24 sync + 33
+#: NID dibits incl. its status)
+LDU_PAYLOAD_OFF = 24 + 33
+#: payload dibits from there up to the end of hex_parity[0]:
+#: IMBE1+2 (144) + 6 hexword groups (20 each) + 5 interleaved IMBE
+#: frames (72 each)
+LDU1_LC_PAYLOAD = 144 + 6 * 20 + 5 * 72
+
+
+def ldu1_window_dibits() -> int:
+    """Dibits (incl. statuses) the LC parse needs after the NID."""
+    c = _FrameCursor(np.zeros(0, np.uint8), LDU_PAYLOAD_OFF)
+    return c.payload_span(LDU1_LC_PAYLOAD)
+
+
+def _word_bits(dibits5: np.ndarray) -> np.ndarray:
+    out = np.empty(10, np.uint8)
+    out[0::2] = (dibits5 >> 1) & 1
+    out[1::2] = dibits5 & 1
+    return out
+
+
+def parse_ldu1_lc(dibits: np.ndarray):
+    """Post-NID LDU1 dibits → link-control dict or None (RS failure).
+    Layout per dsd_p25.cpp:2233-2500: hexwords interleaved between the
+    IMBE frames, Hamming(10,6,3) per word, RS(24,12,13) across."""
+    cur = _FrameCursor(dibits, LDU_PAYLOAD_OFF)
+    hex_data = np.zeros(12, np.uint8)
+    hex_par = np.zeros(12, np.uint8)
+    cur.skip(144)                       # IMBE 1, 2
+    order = [(hex_data, (11, 10, 9, 8)), (hex_data, (7, 6, 5, 4)),
+             (hex_data, (3, 2, 1, 0)), (hex_par, (11, 10, 9, 8)),
+             (hex_par, (7, 6, 5, 4)), (hex_par, (3, 2, 1, 0))]
+    for gi, (arr, idxs) in enumerate(order):
+        for i in idxs:
+            v, _ = hamming_10_6_3_decode(_word_bits(cur.read(5)))
+            arr[i] = v
+        if gi < len(order) - 1:
+            cur.skip(72)                # next IMBE frame
+    fixed, n_err = rs_24_12_decode(hex_data[::-1], hex_par[::-1])
+    if fixed is None:
+        return None
+    hexes = fixed[::-1]                 # hexes[11] transmitted first
+    bits = np.zeros(72, np.uint8)
+    for k in range(12):
+        v = int(hexes[11 - k])
+        for b in range(6):
+            bits[6 * k + b] = (v >> (5 - b)) & 1
+    lcformat = int("".join(map(str, bits[0:8])), 2)
+    mfid = int("".join(map(str, bits[8:16])), 2)
+    lcinfo = bits[16:72]
+    out = {"lcformat": lcformat, "mfid": mfid, "rsErrors": n_err}
+    if lcformat == 0x00:                # group voice channel user
+        if mfid == 0x90:                # Moto trunking variant
+            out["talkgroup"] = int("".join(map(str, lcinfo[20:32])), 2)
+        else:
+            out["talkgroup"] = int("".join(map(str, lcinfo[16:32])), 2)
+            out["src"] = int("".join(map(str, lcinfo[32:56])), 2)
+    elif lcformat == 0x04:              # Moto group update
+        out["talkgroup"] = int("".join(map(str, lcinfo[40:52])), 2)
+    return out
+
+
+def encode_ldu1(lcformat: int, mfid: int, lcinfo56: np.ndarray,
+                rng=None) -> np.ndarray:
+    """Post-NID LDU1 dibit stream (status dibits inserted; IMBE frames
+    random filler) — test/TX oracle, exact inverse of parse_ldu1_lc."""
+    rng = rng or np.random.default_rng(0)
+    bits = np.zeros(72, np.uint8)
+    for b in range(8):
+        bits[b] = (lcformat >> (7 - b)) & 1
+        bits[8 + b] = (mfid >> (7 - b)) & 1
+    bits[16:72] = lcinfo56
+    hexes = np.zeros(12, np.uint8)
+    for k in range(12):
+        v = 0
+        for b in range(6):
+            v = (v << 1) | int(bits[6 * k + b])
+        hexes[11 - k] = v
+    par_rev = rs_24_12_encode(hexes[::-1])
+    hex_par = par_rev[::-1]
+
+    words = []                          # transmit order
+    for grp in ((11, 10, 9, 8), (7, 6, 5, 4), (3, 2, 1, 0)):
+        words.append([hexes[i] for i in grp])
+    for grp in ((11, 10, 9, 8), (7, 6, 5, 4), (3, 2, 1, 0)):
+        words.append([hex_par[i] for i in grp])
+
+    payload = [rng.integers(0, 4, 144).astype(np.uint8)]   # IMBE 1, 2
+    for grp in words:
+        wd = []
+        for v in grp:
+            wb = hamming_10_6_3_encode(np.array(
+                [(v >> (5 - i)) & 1 for i in range(6)], np.uint8))
+            wd.append((wb[0::2] * 2 + wb[1::2]).astype(np.uint8))
+        payload.append(np.concatenate(wd))
+        payload.append(rng.integers(0, 4, 72).astype(np.uint8))
+    flat = np.concatenate(payload)
+    # re-insert status dibits at the frame cadence
+    out = []
+    f = LDU_PAYLOAD_OFF
+    k = 0
+    while k < len(flat):
+        if f % 36 == 35:
+            out.append(1)
+        else:
+            out.append(int(flat[k]))
+            k += 1
+        f += 1
+    return np.asarray(out, np.uint8)

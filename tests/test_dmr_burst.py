@@ -425,3 +425,50 @@ def test_dstar_header_through_processor(inv):
     assert d["lastHeader"]["my"] == "TP9UZT", d
     assert d["lastHeader"]["rpt1"] == "XLX999 B", d
     assert d["voiceSyncs"] >= 1, d
+
+
+def test_p25_rs_24_12_corrects_six_errors():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(11)
+    for ne in (0, 3, 6):
+        data = r.integers(0, 64, 12).astype(np.uint8)
+        par = p25m.rs_24_12_encode(data)
+        wd, wp = data.copy(), par.copy()
+        pos = r.choice(24, size=ne, replace=False)
+        for p in pos:
+            e = r.integers(1, 64)
+            if p < 12:
+                wd[p] ^= e
+            else:
+                wp[p - 12] ^= e
+        fixed, n = p25m.rs_24_12_decode(wd, wp)
+        assert fixed is not None and np.array_equal(fixed, data), ne
+        assert n == len(pos)
+
+
+def test_p25_ldu1_link_control_through_processor():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(13)
+    nac, duid = 0x1A5, 0x5              # LDU1
+    nid = _p25_nid_dibits(nac, duid)
+    lcinfo = np.zeros(56, np.uint8)
+    tg, src = 4321, 778899
+    for b in range(16):
+        lcinfo[16 + b] = (tg >> (15 - b)) & 1
+    for b in range(24):
+        lcinfo[32 + b] = (src >> (23 - b)) & 1
+    ldu = p25m.encode_ldu1(0x00, 0x00, lcinfo, r)
+    sync = _sync_air("P25P1")
+    frame = np.concatenate([sync, nid, ldu])
+    stream = np.concatenate([r.integers(0, 4, 300).astype(np.uint8),
+                             frame,
+                             r.integers(0, 4, 300).astype(np.uint8)])
+    bp = DMRBurstProcessor()
+    for lo in range(0, len(stream), 401):
+        bp.push(AIR_TO_OUR[stream[lo:lo + 401]])
+    p = bp.summary()["p25"]
+    assert p["duidCounts"].get("LDU1", 0) == 1, p
+    assert p["lcDecodes"] == 1, p
+    assert p["lastLC"]["talkgroup"] == tg, p
+    assert p["lastLC"]["src"] == src, p
+    assert p["lastLC"]["lcformat"] == 0, p

@@ -33,8 +33,15 @@ def _p25_frame_dibits(rng, nac, duid):
     for k in range(11, 31):
         d.append(bits[2 * k] * 2 + bits[2 * k + 1])
     d.append(bits[62] * 2 + bits[63])
-    filler = rng.integers(0, 4, 120)
-    return np.concatenate([sync, np.asarray(d, np.uint8), filler])
+    # full LDU1 body with link control (talkgroup 4242, src 31337)
+    lcinfo = np.zeros(56, np.uint8)
+    for b in range(16):
+        lcinfo[16 + b] = (4242 >> (15 - b)) & 1
+    for b in range(24):
+        lcinfo[32 + b] = (31337 >> (23 - b)) & 1
+    ldu = p25m.encode_ldu1(0x00, 0x00, lcinfo, rng)
+    filler = rng.integers(0, 4, 40)
+    return np.concatenate([sync, np.asarray(d, np.uint8), ldu, filler])
 
 
 def make_p25_capture(tmp_path, nac=0x293, duid=0x5, n_frames=40):
@@ -88,6 +95,10 @@ def test_p25_nid_products_over_http(tmp_path_factory):
         assert p["nac"] == 0x293, p
         assert p["lastDuid"] == "LDU1", p
         assert p["duidCounts"]["LDU1"] >= 10, p
+        # link control decoded through the air interface
+        assert p["lcDecodes"] >= 5, p
+        assert p["lastLC"]["talkgroup"] == 4242, p
+        assert p["lastLC"]["src"] == 31337, p
         assert s["familySyncs"]["P25P1"] == s["totalSyncs"], s
     finally:
         app.close()
