@@ -591,7 +591,7 @@ class DMRBurstProcessor:
         """NID (NAC + DUID) decode past a P25 sync, then LDU1 link
         control (models/p25.py; reference dsd_p25.cpp).  Inverted sync
         = inverted polarity: flip the sign bit of every dibit."""
-        from .p25 import P25NidProcessor, ldu1_window_dibits
+        from .p25 import P25NidProcessor
         idx = p["idx"]
         nd = P25NidProcessor.NID_DIBITS
         if "nid" not in p:
@@ -602,16 +602,18 @@ class DMRBurstProcessor:
                 d = d ^ 2
             p["nid"] = self.p25.process(d)
         nid = p["nid"]
-        if nid is None or nid["duid"] != "LDU1":
+        if nid is None:
             return True
-        # LDU1: defer until the link-control window is in the ring
-        lw = ldu1_window_dibits()
+        # signalling DUIDs: defer until the frame body is in the ring
+        lw = self.p25.frame_window(nid["duid"])
+        if lw == 0:
+            return True
         if not self._have(idx + 1 + nd, idx + 1 + nd + lw):
             return False
         w = self._dibits(idx + 1 + nd, idx + 1 + nd + lw)
         if p["inv"]:
             w = w ^ 2
-        self.p25.process_ldu1_lc(w)
+        self.p25.process_frame_body(nid["duid"], w)
         return True
 
     def _process_dstar(self, p: dict) -> bool:

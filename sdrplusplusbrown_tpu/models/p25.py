@@ -162,6 +162,10 @@ class P25NidProcessor:
         self.lc_decodes = 0
         self.lc_failures = 0
         self.last_lc: Optional[dict] = None
+        self.last_hdu: Optional[dict] = None
+        self.last_ldu2: Optional[dict] = None
+        self.hdu_decodes = 0
+        self.ldu2_decodes = 0
 
     def process(self, dibits33: np.ndarray):
         """33 on-air dibits following the 24-dibit sync."""
@@ -200,13 +204,55 @@ class P25NidProcessor:
         self.last_lc = lc
         return lc
 
+    def process_frame_body(self, duid: str, dibits_post_nid: np.ndarray):
+        """Per-DUID signalling decode (reference P25processHDU/LDU1/
+        LDU2/TDULC dispatch)."""
+        if duid == "LDU1":
+            return self.process_ldu1_lc(dibits_post_nid)
+        if duid == "HDU":
+            h = parse_hdu(dibits_post_nid)
+            if h is not None:
+                self.hdu_decodes += 1
+                self.last_hdu = h
+            else:
+                self.lc_failures += 1
+            return h
+        if duid == "LDU2":
+            h = parse_ldu2(dibits_post_nid)
+            if h is not None:
+                self.ldu2_decodes += 1
+                self.last_ldu2 = h
+            else:
+                self.lc_failures += 1
+            return h
+        if duid == "TDULC":
+            lc = parse_tdulc(dibits_post_nid)
+            if lc is not None:
+                self.lc_decodes += 1
+                self.last_lc = lc
+            else:
+                self.lc_failures += 1
+            return lc
+        return None
+
+    #: post-NID window (dibits incl. statuses) per signalling DUID
+    @staticmethod
+    def frame_window(duid: str) -> int:
+        need = {"LDU1": LDU1_LC_PAYLOAD, "LDU2": LDU2_LC_PAYLOAD,
+                "HDU": HDU_PAYLOAD, "TDULC": TDULC_PAYLOAD}.get(duid)
+        return 0 if need is None else frame_window_dibits(need)
+
     def summary(self) -> dict:
         return {"nac": self.nac, "lastDuid": self.last_duid,
                 "duidCounts": dict(self.duid_counts),
                 "nidOk": self.nid_ok, "nidErrors": self.nid_errors,
                 "lcDecodes": self.lc_decodes,
                 "lcFailures": self.lc_failures,
-                "lastLC": self.last_lc}
+                "lastLC": self.last_lc,
+                "hduDecodes": self.hdu_decodes,
+                "lastHDU": self.last_hdu,
+                "ldu2Decodes": self.ldu2_decodes,
+                "lastLDU2": self.last_ldu2}
 
 
 # ---------------------------------------------------------------------------
@@ -287,33 +333,39 @@ def _rs_gen_poly(nroots: int = 12):
     return g                              # ascending powers, len 13
 
 
-_RS_G: Optional[list] = None
+_RS_G: dict = {}
 
 
-def rs_24_12_encode(data12: np.ndarray) -> np.ndarray:
-    """12 hexbit data symbols -> 12 parity symbols (systematic,
-    shortened RS(63,51): leading 39 implicit zeros)."""
-    global _RS_G
-    if _RS_G is None:
-        _RS_G = _rs_gen_poly(12)
-    g = _RS_G
-    rem = [0] * 12
-    for d in data12:
-        f = int(d) ^ rem[11]
-        rem = [0] + rem[:11]
+def rs_gf64_encode(data: np.ndarray, nroots: int) -> np.ndarray:
+    """k hexbit data symbols -> nroots parity symbols (systematic,
+    shortened RS(63, 63-nroots))."""
+    if nroots not in _RS_G:
+        _RS_G[nroots] = _rs_gen_poly(nroots)
+    g = _RS_G[nroots]
+    rem = [0] * nroots
+    for d in data:
+        f = int(d) ^ rem[nroots - 1]
+        rem = [0] + rem[:nroots - 1]
         if f:
-            for j in range(12):
+            for j in range(nroots):
                 rem[j] ^= _gmul(f, g[j])
     return np.array(rem[::-1], np.uint8)
 
 
-def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
-    """-> (corrected_data12, n_errors) or (None, -1) when >6 errors.
-    Berlekamp-Massey + Chien + Forney over GF(64)."""
+def rs_24_12_encode(data12: np.ndarray) -> np.ndarray:
+    return rs_gf64_encode(data12, 12)
+
+
+def rs_gf64_decode(data: np.ndarray, parity: np.ndarray, nroots: int):
+    """-> (corrected_data, n_errors) or (None, -1) when > nroots/2
+    errors.  Berlekamp-Massey + Chien + Forney over GF(64); any
+    shortened length (implicit leading zeros preserve the roots)."""
     exp, log = _gf_tables()
     # received poly r: highest-degree first = data then parity
-    rx = [int(v) for v in data12] + [int(v) for v in parity12]
-    n = 24
+    rx = [int(v) for v in data] + [int(v) for v in parity]
+    n = len(rx)
+    k = len(data)
+    t_max = nroots // 2
 
     def gpow(b, e):
         if b == 0:
@@ -326,7 +378,7 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
     # leading zeros contribute nothing)
     synd = []
     errors = False
-    for i in range(1, 13):
+    for i in range(1, nroots + 1):
         s = 0
         for j, c in enumerate(rx):
             if c:
@@ -335,15 +387,15 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
         if s:
             errors = True
     if not errors:
-        return np.asarray(data12, np.uint8), 0
+        return np.asarray(data, np.uint8), 0
     # Berlekamp-Massey
     def ginv(a):
         return int(exp[(63 - log[a]) % 63])
 
-    C = [1] + [0] * 12
-    B = [1] + [0] * 12
+    C = [1] + [0] * nroots
+    B = [1] + [0] * nroots
     L, m, b = 0, 1, 1
-    for nn in range(12):
+    for nn in range(nroots):
         d = synd[nn]
         for i in range(1, L + 1):
             d ^= _gmul(C[i], synd[nn - i])
@@ -352,7 +404,7 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
         elif 2 * L <= nn:
             T = C[:]
             coef = _gmul(d, ginv(b))
-            for i in range(13 - m):
+            for i in range(nroots + 1 - m):
                 C[i + m] ^= _gmul(coef, B[i])
             L = nn + 1 - L
             B = T
@@ -360,10 +412,10 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
             m = 1
         else:
             coef = _gmul(d, ginv(b))
-            for i in range(13 - m):
+            for i in range(nroots + 1 - m):
                 C[i + m] ^= _gmul(coef, B[i])
             m += 1
-    if L > 6:
+    if L > t_max:
         return None, -1
     # Chien search over the 24 valid positions
     err_pos = []
@@ -376,12 +428,12 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
             err_pos.append(j)
     if len(err_pos) != L:
         return None, -1
-    # Forney: Ω(x) = S(x)·Λ(x) mod x^12
-    omega = [0] * 12
-    for i in range(12):
+    # Forney: Ω(x) = S(x)·Λ(x) mod x^nroots
+    omega = [0] * nroots
+    for i in range(nroots):
         v = 0
         for j in range(0, i + 1):
-            if j < len(C) and i - j < 12:
+            if j < len(C) and i - j < nroots:
                 v ^= _gmul(C[j], synd[i - j])
         omega[i] = v
     fixed = rx[:]
@@ -400,14 +452,18 @@ def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
         mag = _gmul(num, int(exp[(63 - log[den]) % 63]))
         fixed[j] ^= mag
     # verify
-    for i in range(1, 13):
+    for i in range(1, nroots + 1):
         s = 0
         for j, c in enumerate(fixed):
             if c:
                 s ^= _gmul(c, gpow(int(exp[i]), n - 1 - j))
         if s:
             return None, -1
-    return np.asarray(fixed[:12], np.uint8), L
+    return np.asarray(fixed[:k], np.uint8), L
+
+
+def rs_24_12_decode(data12: np.ndarray, parity12: np.ndarray):
+    return rs_gf64_decode(data12, parity12, 12)
 
 
 class _FrameCursor:
@@ -560,3 +616,238 @@ def encode_ldu1(lcformat: int, mfid: int, lcinfo56: np.ndarray,
             k += 1
         f += 1
     return np.asarray(out, np.uint8)
+
+
+# -- Golay word codecs (shortened/extended Golay(24,12,8), same
+#    construction as DMR's slot-type code; reference Golay24.hpp) -------
+
+_G186_TABLE: Optional[np.ndarray] = None
+_G2412_TABLE: Optional[np.ndarray] = None
+
+
+def _ext_golay_parity(bits: np.ndarray) -> np.ndarray:
+    from .dmr_burst import _cyclic_parity
+    return _cyclic_parity(bits, 0b1111100100101, 12)
+
+
+def golay_18_6_encode(d6: np.ndarray) -> np.ndarray:
+    return np.concatenate([d6.astype(np.uint8), _ext_golay_parity(d6)])
+
+
+def golay_18_6_decode(bits18: np.ndarray):
+    global _G186_TABLE
+    if _G186_TABLE is None:
+        t = np.zeros((64, 18), np.uint8)
+        for v in range(64):
+            d = np.array([(v >> (5 - i)) & 1 for i in range(6)], np.uint8)
+            t[v] = golay_18_6_encode(d)
+        _G186_TABLE = t
+    dist = np.count_nonzero(_G186_TABLE != bits18[None, :], axis=1)
+    v = int(np.argmin(dist))
+    return v, int(dist[v])
+
+
+def golay_24_12_encode(d12: np.ndarray) -> np.ndarray:
+    return np.concatenate([d12.astype(np.uint8), _ext_golay_parity(d12)])
+
+
+def golay_24_12_decode(bits24: np.ndarray):
+    global _G2412_TABLE
+    if _G2412_TABLE is None:
+        t = np.zeros((4096, 24), np.uint8)
+        for v in range(4096):
+            d = np.array([(v >> (11 - i)) & 1 for i in range(12)],
+                         np.uint8)
+            t[v] = golay_24_12_encode(d)
+        _G2412_TABLE = t
+    dist = np.count_nonzero(_G2412_TABLE != bits24[None, :], axis=1)
+    v = int(np.argmin(dist))
+    return v, int(dist[v])
+
+
+# -- HDU / LDU2 / TDULC parsers (reference P25processHDU/LDU2/TDULC).
+# RS symbol/word orders are self-consistent with the encoders below and
+# loopback-gated (no P25 golden capture is mounted) — same bar as the
+# reference's own table-driven codecs reach here.
+
+HDU_PAYLOAD = 36 * 9                    # 36 Golay(18,6) words
+LDU2_LC_PAYLOAD = LDU1_LC_PAYLOAD       # same walk, 24 Hamming words
+TDULC_PAYLOAD = 12 * 12                 # 12 Golay(24,12) dodeca words
+
+
+def _bits_of(dibits: np.ndarray) -> np.ndarray:
+    out = np.empty(2 * len(dibits), np.uint8)
+    out[0::2] = (dibits >> 1) & 1
+    out[1::2] = dibits & 1
+    return out
+
+
+def _hexes_to_bits(hexes, nbits: int = 6) -> np.ndarray:
+    out = np.zeros(len(hexes) * nbits, np.uint8)
+    for k, v in enumerate(hexes):
+        for b in range(nbits):
+            out[nbits * k + b] = (int(v) >> (nbits - 1 - b)) & 1
+    return out
+
+
+def parse_hdu(dibits: np.ndarray):
+    """HDU: 20 data + 16 parity Golay(18,6) hexwords, RS(36,20,17) →
+    MI(72) + MFID(8) + ALGID(8) + KID(16) + TGID(16)."""
+    cur = _FrameCursor(dibits, LDU_PAYLOAD_OFF)
+    words = []
+    for _ in range(36):
+        v, _d = golay_18_6_decode(_bits_of(cur.read(9)))
+        words.append(v)
+    # transmit order = hex_data[19]..[0] then hex_parity[15]..[0]
+    data_hi_first = np.array(words[:20], np.uint8)
+    par_hi_first = np.array(words[20:], np.uint8)
+    fixed, n_err = rs_gf64_decode(data_hi_first, par_hi_first, 16)
+    if fixed is None:
+        return None
+    bits = _hexes_to_bits(fixed)
+    return {"mi": "".join(map(str, bits[:72])),
+            "mfid": int("".join(map(str, bits[72:80])), 2),
+            "algid": int("".join(map(str, bits[80:88])), 2),
+            "kid": int("".join(map(str, bits[88:104])), 2),
+            "talkgroup": int("".join(map(str, bits[104:120])), 2),
+            "rsErrors": n_err}
+
+
+def encode_hdu(mi72: np.ndarray, mfid: int, algid: int, kid: int,
+               tgid: int, rng=None) -> np.ndarray:
+    rng = rng or np.random.default_rng(0)
+    bits = np.zeros(120, np.uint8)
+    bits[:72] = mi72
+    for b in range(8):
+        bits[72 + b] = (mfid >> (7 - b)) & 1
+        bits[80 + b] = (algid >> (7 - b)) & 1
+    for b in range(16):
+        bits[88 + b] = (kid >> (15 - b)) & 1
+        bits[104 + b] = (tgid >> (15 - b)) & 1
+    data = np.array([int("".join(map(str, bits[6 * k:6 * k + 6])), 2)
+                     for k in range(20)], np.uint8)
+    par = rs_gf64_encode(data, 16)
+    flat = []
+    for v in np.concatenate([data, par]):
+        wb = golay_18_6_encode(np.array(
+            [(int(v) >> (5 - i)) & 1 for i in range(6)], np.uint8))
+        flat.append((wb[0::2] * 2 + wb[1::2]).astype(np.uint8))
+    return _insert_status(np.concatenate(flat))
+
+
+def parse_ldu2(dibits: np.ndarray):
+    """LDU2: 16 data + 8 parity Hamming(10,6,3) hexwords in the LDU1
+    walk, RS(24,16,9) → MI(72) + ALGID(8) + KID(16)."""
+    cur = _FrameCursor(dibits, LDU_PAYLOAD_OFF)
+    data_tx = []                         # words 15..0, transmit order
+    par_tx = []                          # words 7..0
+    cur.skip(144)
+    for gi in range(6):
+        for _ in range(4):
+            v, _d = hamming_10_6_3_decode(_word_bits(cur.read(5)))
+            (data_tx if gi < 4 else par_tx).append(v)
+        if gi < 5:
+            cur.skip(72)
+    fixed, n_err = rs_gf64_decode(np.array(data_tx, np.uint8),
+                                  np.array(par_tx, np.uint8), 8)
+    if fixed is None:
+        return None
+    bits = _hexes_to_bits(fixed)
+    return {"mi": "".join(map(str, bits[:72])),
+            "algid": int("".join(map(str, bits[72:80])), 2),
+            "kid": int("".join(map(str, bits[80:96])), 2),
+            "rsErrors": n_err}
+
+
+def encode_ldu2(mi72: np.ndarray, algid: int, kid: int,
+                rng=None) -> np.ndarray:
+    rng = rng or np.random.default_rng(0)
+    bits = np.zeros(96, np.uint8)
+    bits[:72] = mi72
+    for b in range(8):
+        bits[72 + b] = (algid >> (7 - b)) & 1
+    for b in range(16):
+        bits[80 + b] = (kid >> (15 - b)) & 1
+    data_tx = np.array(
+        [int("".join(map(str, bits[6 * k:6 * k + 6])), 2)
+         for k in range(16)], np.uint8)
+    par_tx = rs_gf64_encode(data_tx, 8)
+    words = list(data_tx) + list(par_tx)
+    payload = [rng.integers(0, 4, 144).astype(np.uint8)]
+    for gi in range(6):
+        wd = []
+        for v in words[4 * gi:4 * gi + 4]:
+            wb = hamming_10_6_3_encode(np.array(
+                [(int(v) >> (5 - i)) & 1 for i in range(6)], np.uint8))
+            wd.append((wb[0::2] * 2 + wb[1::2]).astype(np.uint8))
+        payload.append(np.concatenate(wd))
+        if gi < 5:
+            payload.append(rng.integers(0, 4, 72).astype(np.uint8))
+    return _insert_status(np.concatenate(payload))
+
+
+def parse_tdulc(dibits: np.ndarray):
+    """TDULC: 6 data + 6 parity Golay(24,12) dodeca words,
+    RS(24,12,13) over their hexbit halves → the 72-bit LC."""
+    cur = _FrameCursor(dibits, LDU_PAYLOAD_OFF)
+    words = []
+    for _ in range(12):
+        v, _d = golay_24_12_decode(_bits_of(cur.read(12)))
+        words.append(v)
+    def hexes(ws):                       # transmit order [5]..[0]
+        out = []
+        for v in ws:
+            out += [(v >> 6) & 0x3F, v & 0x3F]
+        return np.array(out, np.uint8)
+    fixed, n_err = rs_gf64_decode(hexes(words[:6]), hexes(words[6:]), 12)
+    if fixed is None:
+        return None
+    bits = _hexes_to_bits(fixed)
+    lcformat = int("".join(map(str, bits[0:8])), 2)
+    mfid = int("".join(map(str, bits[8:16])), 2)
+    lcinfo = bits[16:72]
+    out = {"lcformat": lcformat, "mfid": mfid, "rsErrors": n_err}
+    if lcformat == 0x00 and mfid != 0x90:
+        out["talkgroup"] = int("".join(map(str, lcinfo[16:32])), 2)
+        out["src"] = int("".join(map(str, lcinfo[32:56])), 2)
+    return out
+
+
+def encode_tdulc(lcformat: int, mfid: int, lcinfo56: np.ndarray,
+                 rng=None) -> np.ndarray:
+    bits = np.zeros(72, np.uint8)
+    for b in range(8):
+        bits[b] = (lcformat >> (7 - b)) & 1
+        bits[8 + b] = (mfid >> (7 - b)) & 1
+    bits[16:72] = lcinfo56
+    data_h = np.array([int("".join(map(str, bits[6 * k:6 * k + 6])), 2)
+                       for k in range(12)], np.uint8)
+    par_h = rs_gf64_encode(data_h, 12)
+    def dodecas(h):
+        return [((int(h[2 * k]) << 6) | int(h[2 * k + 1]))
+                for k in range(len(h) // 2)]
+    flat = []
+    for v in dodecas(data_h) + dodecas(par_h):
+        wb = golay_24_12_encode(np.array(
+            [(v >> (11 - i)) & 1 for i in range(12)], np.uint8))
+        flat.append((wb[0::2] * 2 + wb[1::2]).astype(np.uint8))
+    return _insert_status(np.concatenate(flat))
+
+
+def _insert_status(flat: np.ndarray) -> np.ndarray:
+    out = []
+    f = LDU_PAYLOAD_OFF
+    k = 0
+    while k < len(flat):
+        if f % 36 == 35:
+            out.append(1)
+        else:
+            out.append(int(flat[k]))
+            k += 1
+        f += 1
+    return np.asarray(out, np.uint8)
+
+
+def frame_window_dibits(payload: int) -> int:
+    c = _FrameCursor(np.zeros(0, np.uint8), LDU_PAYLOAD_OFF)
+    return c.payload_span(payload)

@@ -472,3 +472,44 @@ def test_p25_ldu1_link_control_through_processor():
     assert p["lastLC"]["talkgroup"] == tg, p
     assert p["lastLC"]["src"] == src, p
     assert p["lastLC"]["lcformat"] == 0, p
+
+
+def test_p25_hdu_ldu2_tdulc_roundtrips():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(17)
+    mi = r.integers(0, 2, 72).astype(np.uint8)
+    h = p25m.parse_hdu(p25m.encode_hdu(mi, 0x00, 0x80, 0x1234, 999, r))
+    assert h["algid"] == 0x80 and h["kid"] == 0x1234
+    assert h["talkgroup"] == 999 and h["mi"] == "".join(map(str, mi))
+    h = p25m.parse_ldu2(p25m.encode_ldu2(mi, 0xAA, 0xBEEF, r))
+    assert h["algid"] == 0xAA and h["kid"] == 0xBEEF
+    assert h["mi"] == "".join(map(str, mi))
+    lcinfo = np.zeros(56, np.uint8)
+    for b in range(16):
+        lcinfo[16 + b] = (777 >> (15 - b)) & 1
+    for b in range(24):
+        lcinfo[32 + b] = (888999 >> (23 - b)) & 1
+    d = p25m.encode_tdulc(0x00, 0x00, lcinfo, r)
+    pos = r.choice(len(d), 10, replace=False)
+    d[pos] ^= r.integers(1, 4, 10).astype(np.uint8)
+    lc = p25m.parse_tdulc(d)
+    assert lc["talkgroup"] == 777 and lc["src"] == 888999
+
+
+def test_p25_hdu_through_processor():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(19)
+    mi = r.integers(0, 2, 72).astype(np.uint8)
+    nid = _p25_nid_dibits(0x293, 0x0)   # HDU
+    hdu = p25m.encode_hdu(mi, 0x00, 0x84, 0x2222, 4242, r)
+    sync = _sync_air("P25P1")
+    stream = np.concatenate([r.integers(0, 4, 200).astype(np.uint8),
+                             sync, nid, hdu,
+                             r.integers(0, 4, 200).astype(np.uint8)])
+    bp = DMRBurstProcessor()
+    bp.push(AIR_TO_OUR[stream])
+    p = bp.summary()["p25"]
+    assert p["duidCounts"].get("HDU", 0) == 1, p
+    assert p["hduDecodes"] == 1, p
+    assert p["lastHDU"]["talkgroup"] == 4242, p
+    assert p["lastHDU"]["algid"] == 0x84, p
