@@ -214,8 +214,11 @@ def build_wfm8():
     state = radio.init_state_shared(C)
 
     def step(params, state, xw):
-        spectra, _ = spectrum.apply(None, None, xw)
-        audio, new_state = radio.apply_shared(params, state, xw)
+        # the spectrum frames are computed INSIDE the front-end kernel
+        # (mono_frontend fused branch); radio.apply_shared falls back to
+        # the standalone SpectrumPath when unsupported
+        (audio, spectra), new_state = radio.apply_shared(
+            params, state, xw, spectrum=spectrum)
         return (audio, spectra), new_state
 
     return step, params, state, (jnp.asarray(xr), jnp.asarray(xi)), T

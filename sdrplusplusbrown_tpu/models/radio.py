@@ -327,7 +327,7 @@ def init_state_shared(self, C: int):
 
 
 def apply_shared(self, params, state, x, _force_fused=None,
-                 mono_out=False):
+                 mono_out=False, spectrum=None):
     """x: [T] SHARED wideband — complex64, or (xr, xi) float32 planes
     (the host feed's natural SoA form: a c64 array costs an unfused
     X64Split custom-call pass per real()/imag() on TPU) — → same
@@ -335,7 +335,11 @@ def apply_shared(self, params, state, x, _force_fused=None,
     mix-down is fused into the first halfband (ops/fused_frontend.py)
     so the wideband is read once.
     ``_force_fused=True`` runs the kernel path in interpret mode on CPU
-    (tests of the raw handoff)."""
+    (tests of the raw handoff).  ``spectrum``: a SpectrumPath whose
+    frames are computed INSIDE the front-end kernel when supported
+    (fused branch; the standalone frames kernel re-read the planes and
+    forced a relayout copy — ~12 B/in-sample at the WFM-8 config);
+    returns ((audio, spectra), state')."""
     T_in = (x[0] if isinstance(x, tuple) else x).shape[-1]
     if T_in % self.in_multiple:
         raise ValueError(
@@ -343,6 +347,21 @@ def apply_shared(self, params, state, x, _force_fused=None,
             f"be a multiple of in_multiple={self.in_multiple}")
     vs = self._build_vfo_shared()
     st = dict(state)
+    sp_dict = None
+    if spectrum is not None:
+        sp_dict = {"keep": spectrum.reshaper.keep,
+                   "interval": spectrum.reshaper.interval,
+                   "fft_size": spectrum.fft_size,
+                   "floor_db": spectrum.fft.floor_db,
+                   "window": spectrum.fft.window}
+
+    def _with_spec(ret_st):
+        """Attach spectra to a (ret, state) pair on non-fused paths."""
+        if spectrum is None:
+            return ret_st
+        ret, st2 = ret_st
+        spectra, _ = spectrum.apply(None, None, x)
+        return (ret, spectra), st2
     # plane handoff: when the IF chain is empty and the demod can eat
     # re/im planes (WFM discriminator), skip the recombine-to-complex
     # HBM pass after the plane-protocol front end
@@ -355,10 +374,19 @@ def apply_shared(self, params, state, x, _force_fused=None,
         # [2C, W] buffer feeds the demod kernels directly — the
         # [C, m_if] plane slices (a full IF-rate HBM copy) only
         # materialize on the fallback paths
-        planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
-                                     raw=use_kernel,
-                                     return_planes=not use_kernel,
-                                     _force_kernel=bool(_force_fused))
+        if sp_dict is not None:
+            planes, spectra, st["vfo"] = vs.apply(
+                params["vfo"], state["vfo"], x, raw=use_kernel,
+                return_planes=not use_kernel,
+                _force_kernel=bool(_force_fused), spectrum=sp_dict)
+            if spectra is None:
+                spectra, _ = spectrum.apply(None, None, x)
+        else:
+            spectra = None
+            planes, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x,
+                                         raw=use_kernel,
+                                         return_planes=not use_kernel,
+                                         _force_kernel=bool(_force_fused))
         is_raw = use_kernel and isinstance(planes[1], int)
         if is_raw:
             C = planes[0].shape[0] // 2
@@ -387,8 +415,11 @@ def apply_shared(self, params, state, x, _force_fused=None,
             if self.af_resamp is not None:
                 st["af_resamp"] = ast
             if mono_out:
-                return audio, st
-            return jnp.stack([audio, audio], axis=-2), st
+                return ((audio, spectra), st) if spectrum is not None \
+                    else (audio, st)
+            lr = jnp.stack([audio, audio], axis=-2)
+            return ((lr, spectra), st) if spectrum is not None \
+                else (lr, st)
         if is_raw and not hasattr(self.demod, "accepts_raw_planes"):
             buf = planes[0]
             planes = (buf[:C, :m_if], buf[C:2 * C, :m_if])
@@ -398,9 +429,14 @@ def apply_shared(self, params, state, x, _force_fused=None,
                     else {})
         y, st["demod"] = self.demod.apply_planes(
             None, state["demod"], planes, **force_kw)
-        return self._post_demod(state, st, y, mono_out=mono_out)
+        ret = self._post_demod(state, st, y, mono_out=mono_out)
+        if spectrum is not None:
+            out, st3 = ret
+            return (out, spectra), st3
+        return ret
     y, st["vfo"] = vs.apply(params["vfo"], state["vfo"], x)
-    return self._post_vfo(params, state, st, y, mono_out=mono_out)
+    return _with_spec(
+        self._post_vfo(params, state, st, y, mono_out=mono_out))
 
 
 def can_channelize(self) -> bool:

@@ -324,7 +324,8 @@ class SharedRxVFOBank(Block):
         return cache[C]
 
     def apply(self, params, state, x, return_planes: bool = False,
-              raw: bool = False, _force_kernel: bool = False):
+              raw: bool = False, _force_kernel: bool = False,
+              spectrum=None):
         """x: [T] shared wideband → ([C, T_out], state').  With
         ``return_planes``: (([C,T_out] re, im) float32, state') — on the
         plane-protocol path these are slices of the last kernel output
@@ -332,6 +333,9 @@ class SharedRxVFOBank(Block):
         ``raw`` (monolithic kernel only): (([2C, W] stacked planes,
         m_valid int), state') — no slice pass; falls back to
         ``return_planes`` form when the mono kernel is unavailable.
+        With ``spectrum`` (a frame-params dict): the FUSED-spectrum
+        3-tuple (ret, spectra_or_None, state') — spectra is None when
+        the mono kernel didn't run (caller computes it separately).
         ``_force_kernel`` runs the mono kernel in interpret mode on CPU
         (tests of the raw handoff)."""
         if self.fused is not None:
@@ -346,6 +350,21 @@ class SharedRxVFOBank(Block):
                 if pipe is not None:
                     if _force_kernel:
                         pipe.interpret = True
+                    if spectrum is not None:
+                        T_in = (x[0] if isinstance(x, tuple)
+                                else x).shape[-1]
+                        if pipe.spectrum_ok(T_in, spectrum["keep"],
+                                            spectrum["interval"],
+                                            spectrum["fft_size"]):
+                            (ret, spectra), st2 = pipe.apply(
+                                params["fused"], state, x,
+                                return_planes=return_planes, raw=raw,
+                                spectrum=spectrum)
+                            return ret, spectra, st2
+                        ret, st2 = pipe.apply(
+                            params["fused"], state, x,
+                            return_planes=return_planes, raw=raw)
+                        return ret, None, st2
                     return pipe.apply(params["fused"], state, x,
                                       return_planes=return_planes,
                                       raw=raw)
@@ -355,9 +374,11 @@ class SharedRxVFOBank(Block):
                         pipe.interpret = True
                     if isinstance(x, tuple):
                         x = jax.lax.complex(*x)
-                    return pipe.apply(params["fused"], state, x,
-                                      return_planes=return_planes
-                                      or raw)
+                    r2 = pipe.apply(params["fused"], state, x,
+                                    return_planes=return_planes
+                                    or raw)
+                    return (r2[0], None, r2[1]) if spectrum is not None \
+                        else r2
         if isinstance(x, tuple):          # fallbacks eat complex
             x = jax.lax.complex(*x)
         st = dict(state)
@@ -379,5 +400,9 @@ class SharedRxVFOBank(Block):
         if self.filter_needed:
             y, st["fir"] = self.base.fir.apply(None, state["fir"], y)
         if return_planes or raw:
-            return (jnp.real(y), jnp.imag(y)), st
-        return y, st
+            ret = ((jnp.real(y), jnp.imag(y)), st)
+        else:
+            ret = (y, st)
+        if spectrum is not None:
+            return ret[0], None, ret[1]
+        return ret

@@ -141,12 +141,19 @@ def _mono_kernel(*refs, cfg):
     tail_refs = [next(it) for _ in range(n)]
     h_refs = [[next(it) for _ in range(len(st.h_shapes))]
               for st in cfg["stages"]]
+    sp = cfg.get("spec")
+    if sp is not None:
+        w_ref = next(it)      # appended after the tap operands
     o_ref = next(it)
     tails_o = next(it)
+    spec_o = next(it) if sp is not None else None
     wr = next(it)
     wi = next(it)
     mbuf = next(it)
     bufs = [next(it) for _ in range(n)]
+    if sp is not None:
+        fvr = next(it)
+        fvi = next(it)
     sem_r = next(it)
     sem_i = next(it)
 
@@ -333,6 +340,42 @@ def _mono_kernel(*refs, cfg):
                 bufs[s][:, st.tail_al:st.tail_al + st.tail_w] \
                 .astype(tails_o.dtype)
 
+    # ---- fused spectrum branch (optional) ------------------------------
+    # frame segments are copied VMEM->VMEM out of THIS step's wideband
+    # window (the planes are already here — the standalone frames
+    # kernel re-read them from HBM and forced a [T/128,128] relayout
+    # copy of both planes, ~12.4 B/in-sample at the WFM-8 config)
+    if sp is not None:
+        from .pallas_fft import fft_pow_db_tile
+        N1, N2 = sp["N1"], sp["N2"]
+        kr = sp["keep"] // N2
+
+        @pl.when(i == 0)
+        def _zpad():
+            if kr < N1:
+                z = jnp.zeros((N1 - kr, N2), jnp.float32)
+                fvr[pl.ds(kr, N1 - kr), :] = z
+                fvi[pl.ds(kr, N1 - kr), :] = z
+
+        for iw, segs, dones in sp["plan"]:
+            @pl.when(i == iw)
+            def _fill(segs=segs, dones=dones):
+                for (src, dst_row, nrows) in segs:
+                    fvr[pl.ds(dst_row, nrows), :] = \
+                        wr[pl.ds(head0 + src, nrows * 128)] \
+                        .reshape(nrows, 128)
+                    fvi[pl.ds(dst_row, nrows), :] = \
+                        wi[pl.ds(head0 + src, nrows * 128)] \
+                        .reshape(nrows, 128)
+                for _f in dones:
+                    ar = fvr[...]
+                    ai = fvi[...]
+                    if sp["windowed"]:
+                        ar = ar * w_ref[...]
+                        ai = ai * w_ref[...]
+                    spec_o[0] = fft_pow_db_tile(
+                        ar, ai, N1, N2, sp["inv_n2"], sp["floor"])
+
 
 # ---------------------------------------------------------------------------
 # pipeline wrapper
@@ -491,8 +534,50 @@ class MonoVFOPipeline:
         return plan
 
     # -- the call ---------------------------------------------------------
+    def spectrum_ok(self, T: int, keep: int, interval: int,
+                    fft_size: int) -> bool:
+        """Can the fused spectrum branch cover this config?  Frames are
+        the standalone kernel's (start = rup(f·interval, 1024)); every
+        frame must end inside the DMA'd region."""
+        if not (1024 <= fft_size <= 65536 and fft_size % 128 == 0
+                and keep % 1024 == 0 and keep <= fft_size):
+            return False
+        plan = self._plan(T)
+        n_super = plan["n_super"]
+        rem_al = (min(T - (n_super - 1) * self.adv_x, self.adv_x)
+                  // ALIGN1D * ALIGN1D)
+        n = T // interval
+        if n < 1:
+            return False
+        last_end = ((n - 1) * interval + 1023) // 1024 * 1024 + keep
+        return last_end <= (n_super - 1) * self.adv_x + rem_al
+
+    def _spec_plan(self, T: int, keep: int, interval: int):
+        """Per-grid-step static copy/complete plan: [(i, segments,
+        done_frames)] with segments (src_off_in_window, dst_row,
+        n_rows)."""
+        n = T // interval
+        plan = []
+        n_super = self._plan(T)["n_super"]
+        for i in range(n_super):
+            w0, w1 = i * self.adv_x, (i + 1) * self.adv_x
+            segs = []
+            dones = []
+            for f in range(n):
+                p0 = (f * interval + 1023) // 1024 * 1024
+                lo, hi = max(p0, w0), min(p0 + keep, w1)
+                if lo < hi:
+                    segs.append((lo - w0, (lo - p0) // 128,
+                                 (hi - lo) // 128))
+                if w0 < p0 + keep <= w1:
+                    dones.append(f)
+            assert len(dones) <= 1, dones
+            if segs or dones:
+                plan.append((i, tuple(segs), tuple(dones)))
+        return tuple(plan), n
+
     def apply(self, params, state, x, return_planes: bool = False,
-              raw: bool = False):
+              raw: bool = False, spectrum=None):
         """``x``: [T] complex wideband, or (xr, xi) float32 planes —
         the planes form skips the X64Split extraction passes entirely
         (real()/imag() of a c64 array are unfused custom calls on TPU,
@@ -582,7 +667,34 @@ class MonoVFOPipeline:
 
         n = len(self.stages)
         twoC = 2 * C
+        spec_cfg = None
+        n_frames = 0
+        w2 = None
+        if spectrum is not None:
+            keep, interval = spectrum["keep"], spectrum["interval"]
+            fft_size = spectrum["fft_size"]
+            assert self.spectrum_ok(T, keep, interval, fft_size)
+            N2 = 128
+            N1 = fft_size // N2
+            splan, n_frames = self._spec_plan(T, keep, interval)
+            win = spectrum.get("window")
+            if win is not None:
+                wf = np.concatenate([np.asarray(win, np.float32),
+                                     np.zeros(fft_size - keep,
+                                              np.float32)])                     if keep < fft_size else np.asarray(win, np.float32)
+                w2 = jnp.asarray(wf.reshape(N1, N2))
+            else:
+                w2 = jnp.ones((1, 1), jnp.float32)
+            spec_cfg = {
+                "N1": N1, "N2": N2, "keep": keep,
+                "windowed": win is not None,
+                "inv_n2": 1.0 / float(fft_size) ** 2,
+                "floor": 10.0 ** (spectrum.get("floor_db", -200.0)
+                                  / 10.0),
+                "plan": splan,
+            }
         cfg = {
+            "spec": spec_cfg,
             "C": C, "K0": K0, "D0": D0, "head0": head0,
             "adv_x": self.adv_x, "adv0": self.adv0,
             "n_chunks": self.n_chunks, "Lw0": self.Lw0,
@@ -623,12 +735,33 @@ class MonoVFOPipeline:
             for shp in shapes:
                 in_specs.append(pl.BlockSpec(shp, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
+        if spec_cfg is not None:
+            in_specs.append(pl.BlockSpec(w2.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
         out_specs = [
             pl.BlockSpec((twoC, self.adv_f), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((twoC, self.tails_w_total), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        if spec_cfg is not None:
+            N1, N2 = spec_cfg["N1"], spec_cfg["N2"]
+            keep, interval = spectrum["keep"], spectrum["interval"]
+
+            def _spec_idx(i, adv_x=self.adv_x, keep=keep,
+                          interval=interval):
+                # frames completed by the END of step i, minus 1,
+                # clamped (non-completing steps keep the same block —
+                # pallas flushes only on index change).  Pure python
+                # arithmetic (abs-trick clamp) so the SAME expression
+                # serves pallas tracers and the cost model's concrete
+                # integer probes (jnp ops inside jit always trace).
+                e = (i + 1) * adv_x - keep
+                e = (e + abs(e)) // 2
+                nf = (e // 1024 * 1024) // interval + 1
+                return (nf - 1, 0, 0)
+            out_specs.append(pl.BlockSpec((1, N2, N1), _spec_idx,
+                                          memory_space=pltpu.VMEM))
         scratch = [
             pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
             pltpu.VMEM((head0 + self.adv_x,), jnp.float32),
@@ -639,6 +772,11 @@ class MonoVFOPipeline:
         for st in self.stages:
             scratch.append(pltpu.VMEM((twoC, st.hist_pad + st.adv_in),
                                       jnp.float32))
+        if spec_cfg is not None:
+            scratch.append(pltpu.VMEM((spec_cfg["N1"], 128),
+                                      jnp.float32))
+            scratch.append(pltpu.VMEM((spec_cfg["N1"], 128),
+                                      jnp.float32))
         scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
 
         # stage 0: per-sample mix (4 mul + 2 add + 1 phase add over
@@ -646,6 +784,10 @@ class MonoVFOPipeline:
         mix_w = self.n_chunks * (ALIGN1D + self.adv_x // self.n_chunks)
         flops = n_super * (7 * C * mix_w
                            + 2 * self.Lw0 * self.adv0 * twoC)
+        if spec_cfg is not None:
+            from .pallas_fft import fft_tile_flops
+            flops += n_frames * fft_tile_flops(spec_cfg["N1"],
+                                               spec_cfg["N2"])
         for st in self.stages:
             if st.chunks is not None:
                 per_tile = sum(h.shape[0] * 128 for _, h in st.chunks)
@@ -664,7 +806,17 @@ class MonoVFOPipeline:
             mspec = [(2 * 4 * self.adv_x, n_super - 1),
                      (2 * 4 * rem2, 1)]
         from .pallas_cost import costed_pallas_call
-        out, tails_out = costed_pallas_call(
+        out_shapes = [
+            jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
+                                 o_dtype),
+            jax.ShapeDtypeStruct((twoC, self.tails_w_total),
+                                 t_dt),
+        ]
+        if spec_cfg is not None:
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (n_frames, spec_cfg["N2"], spec_cfg["N1"]),
+                jnp.float32))
+        outs = costed_pallas_call(
             functools.partial(_mono_kernel, cfg=cfg),
             grid=(n_super,),
             flops=int(flops),
@@ -673,21 +825,25 @@ class MonoVFOPipeline:
             label="mono_frontend",
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((twoC, n_super * self.adv_f),
-                                     o_dtype),
-                jax.ShapeDtypeStruct((twoC, self.tails_w_total),
-                                     t_dt),
-            ],
+            out_shape=out_shapes,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=self.interpret,
         )(xr, xi, edges, jnp.asarray(self.H0, h_dt),
           omega[:, None],
-          base.astype(jnp.float32), *tail_ops, *h_ops)
+          base.astype(jnp.float32), *tail_ops, *h_ops,
+          *(() if spec_cfg is None else (w2,)))
+        if spec_cfg is not None:
+            out, tails_out, spectra = outs
+        else:
+            out, tails_out = outs
+            spectra = None
 
         M = plan["m"][-1]
+        if spectrum is not None:
+            # natural-order flat bins: k = k2·N1 + k1 (pallas_fft)
+            spectra = spectra.reshape(n_frames, -1)
         if raw:
             # untrimmed [2C, n_super·adv_f] stacked planes + valid
             # width — feeds ops/wfm_kernel.py / ops/demod_kernel.py
@@ -722,6 +878,8 @@ class MonoVFOPipeline:
             tl = seg[:, lo:lo + st.carry]
             new_tails.append(jax.lax.complex(tl[:C], tl[C:]))
         self._write_tails(new_state, new_tails)
+        if spectrum is not None:
+            return (y, spectra), new_state
         return y, new_state
 
     # -- state plumbing (same layout as the plane pipeline) --------------

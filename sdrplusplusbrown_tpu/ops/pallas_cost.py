@@ -75,7 +75,9 @@ def _fetches(index_map, grid) -> int:
         idx = index_map(*point)
         if not isinstance(idx, tuple):
             idx = (idx,)
-        idx = tuple(int(v) if not hasattr(v, "shape") else v for v in idx)
+        # grid points are concrete python ints here, so index maps that
+        # use jnp arithmetic yield CONCRETE arrays — int() them all
+        idx = tuple(int(v) for v in idx)
         if prev is None or idx != prev:
             n += 1
         prev = idx

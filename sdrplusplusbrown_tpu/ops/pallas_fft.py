@@ -171,7 +171,7 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     out = costed_pallas_call(
         kern,
         grid=(F,),
-        flops=int(F * (16 * N1 * N2 * max(N1, N2) + regroup)),
+        flops=int(F * (fft_tile_flops(N1, N2) + regroup)),
         transcendentals=int(F * (fft_size
                                  + 2 * (N1 * N1 + N1 * N2 + N2 * N2))),
         label="fft_power_db",
@@ -185,6 +185,95 @@ def fft_power_db_planes(xr: jnp.ndarray, xi: jnp.ndarray, fft_size: int,
     )(xr, xi, w2)
     # flat index is the natural bin order k = k2·N1 + k1 (see kernel)
     return out.reshape(lead + (fft_size,))
+
+
+def _dft_n1_split(ar, ai, N1, m):
+    """DFT over the N1 row axis as a DIT split N1 = m·128: shared
+    128-point matmul DFT + DFT-m butterflies (m ∈ {2, 4}).  Rows
+    n1 = m·c + a gather for free as a sublane reshape; output blocks
+    k1 = k̄ + 128·s concatenate in natural order.  Cuts the N1-stage
+    MACs by N1/128 (the 65536 spectrum's F1 was the WFM-8 headline's
+    flop floor once the spectrum fused into the front-end kernel)."""
+    n2 = ar.shape[-1]
+    L = N1 // m                                   # 128
+    # [N1, n2] -> [c, a, n2] (n1 = m·c + a) -> contract c
+    xr = ar.reshape(L, m * n2)
+    xi = ai.reshape(L, m * n2)
+    fLr, fLi = _dft_mats(L, L, L)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    yr = dot(fLr, xr) - dot(fLi, xi)              # [L, m·n2]
+    yi = dot(fLr, xi) + dot(fLi, xr)
+    yr = yr.reshape(L, m, n2)
+    yi = yi.reshape(L, m, n2)
+    # twiddle w_N1^{k̄·a}
+    # twiddle w_N1^{k̄·a} computed from iotas (pallas kernels may not
+    # capture host constants; two [L, m, n2] transcendentals are noise
+    # next to the matmuls)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (L, m, 1), 0)
+    aa = jax.lax.broadcasted_iota(jnp.int32, (L, m, 1), 1)
+    ang = jnp.float32(-2.0 * np.pi / N1) * (kk * aa).astype(jnp.float32)
+    twr = jnp.cos(ang)
+    twi = jnp.sin(ang)
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    # DFT-m butterflies over a, output block s: X[k̄ + L·s]
+    outs_r, outs_i = [], []
+    for ss in range(m):
+        acc_r = jnp.zeros((L, n2), jnp.float32)
+        acc_i = jnp.zeros((L, n2), jnp.float32)
+        for a in range(m):
+            th = -2.0 * np.pi * ss * a / m
+            cr, ci = float(np.cos(th)), float(np.sin(th))
+            ra, ia = tr[:, a, :], ti[:, a, :]
+            if abs(cr - 1.0) < 1e-12 and abs(ci) < 1e-12:
+                acc_r, acc_i = acc_r + ra, acc_i + ia
+            elif abs(cr + 1.0) < 1e-12 and abs(ci) < 1e-12:
+                acc_r, acc_i = acc_r - ra, acc_i - ia
+            elif abs(cr) < 1e-12 and abs(ci + 1.0) < 1e-12:   # −j
+                acc_r, acc_i = acc_r + ia, acc_i - ra
+            elif abs(cr) < 1e-12 and abs(ci - 1.0) < 1e-12:   # +j
+                acc_r, acc_i = acc_r - ia, acc_i + ra
+            else:
+                acc_r = acc_r + cr * ra - ci * ia
+                acc_i = acc_i + cr * ia + ci * ra
+        outs_r.append(acc_r)
+        outs_i.append(acc_i)
+    return (jnp.concatenate(outs_r, axis=0),
+            jnp.concatenate(outs_i, axis=0))
+
+
+def fft_tile_flops(N1: int, N2: int) -> int:
+    """Real MACs of fft_pow_db_tile: N1-stage (split when N1 = m·128,
+    m ∈ {2,4}) + N1×N2 twiddle + N2-stage."""
+    n1c = 128 if (N1 > 128 and N1 % 128 == 0 and N1 // 128 in (2, 4)) \
+        else N1
+    return 8 * N1 * N2 * (n1c + N2) + 6 * N1 * N2
+
+
+def fft_pow_db_tile(ar: jnp.ndarray, ai: jnp.ndarray, N1: int, N2: int,
+                    inv_n2: float, floor: float) -> jnp.ndarray:
+    """The rectangular (N1, N2) 4-step power-dB FFT on VMEM values —
+    shared by the standalone spectrum kernels and the fused mono
+    front end (windowing is the caller's job)."""
+    twr, twi = _dft_mats(N1, N2, N1 * N2)
+    f2r, f2i = _dft_mats(N2, N2, N2)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if N1 > 128 and N1 % 128 == 0 and N1 // 128 in (2, 4):
+        br, bi = _dft_n1_split(ar, ai, N1, N1 // 128)
+    else:
+        f1r, f1i = _dft_mats(N1, N1, N1)
+        br = dot(f1r, ar) - dot(f1i, ai)
+        bi = dot(f1r, ai) + dot(f1i, ar)
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    er = dg(f2r, cr) - dg(f2i, ci)
+    ei = dg(f2r, ci) + dg(f2i, cr)
+    p2 = (er * er + ei * ei) * inv_n2
+    return (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p2, floor))
 
 
 def _fft_pow_frames_kernel(xr2_ref, xi2_ref, w_ref, o_ref,
@@ -211,27 +300,12 @@ def _fft_pow_frames_kernel(xr2_ref, xi2_ref, w_ref, o_ref,
     cp_r.wait()
     cp_i.wait()
 
-    f1r, f1i = _dft_mats(N1, N1, N1)
-    twr, twi = _dft_mats(N1, N2, N1 * N2)
-    f2r, f2i = _dft_mats(N2, N2, N2)
     ar = wvr[...]
     ai = wvi[...]
     if windowed:
         ar = ar * w_ref[...]
         ai = ai * w_ref[...]
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    br = dot(f1r, ar) - dot(f1i, ai)
-    bi = dot(f1r, ai) + dot(f1i, ar)
-    cr = br * twr - bi * twi
-    ci = br * twi + bi * twr
-    dg = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    er = dg(f2r, cr) - dg(f2i, ci)
-    ei = dg(f2r, ci) + dg(f2i, cr)
-    p2 = (er * er + ei * ei) * inv_n2
-    o_ref[0] = (10.0 / np.log(10.0)) * jnp.log(jnp.maximum(p2, floor))
+    o_ref[0] = fft_pow_db_tile(ar, ai, N1, N2, inv_n2, floor)
 
 
 #: spectrum-frame kernel needs the full F_N1 DFT pair in VMEM:
@@ -280,7 +354,7 @@ def spectrum_frames_db(xr: jnp.ndarray, xi: jnp.ndarray, keep: int,
     out = costed_pallas_call(
         kern,
         grid=(n,),
-        flops=int(n * 16 * N1 * N2 * max(N1, N2)),
+        flops=int(n * fft_tile_flops(N1, N2)),
         transcendentals=int(n * (fft_size
                                  + 2 * (N1 * N1 + N1 * N2 + N2 * N2))),
         manual_spec=[(2 * 4 * keep, n)],
