@@ -166,6 +166,8 @@ class P25NidProcessor:
         self.last_ldu2: Optional[dict] = None
         self.hdu_decodes = 0
         self.ldu2_decodes = 0
+        self.tsbk_decodes = 0
+        self.last_tsbk: Optional[dict] = None
 
     def process(self, dibits33: np.ndarray):
         """33 on-air dibits following the 24-dibit sync."""
@@ -233,13 +235,20 @@ class P25NidProcessor:
             else:
                 self.lc_failures += 1
             return lc
+        if duid == "TSDU":
+            tsbks = parse_tsdu(dibits_post_nid)
+            if tsbks:
+                self.tsbk_decodes += len(tsbks)
+                self.last_tsbk = tsbks[-1]
+            return tsbks or None
         return None
 
     #: post-NID window (dibits incl. statuses) per signalling DUID
     @staticmethod
     def frame_window(duid: str) -> int:
         need = {"LDU1": LDU1_LC_PAYLOAD, "LDU2": LDU2_LC_PAYLOAD,
-                "HDU": HDU_PAYLOAD, "TDULC": TDULC_PAYLOAD}.get(duid)
+                "HDU": HDU_PAYLOAD, "TDULC": TDULC_PAYLOAD,
+                "TSDU": TSDU_PAYLOAD}.get(duid)
         return 0 if need is None else frame_window_dibits(need)
 
     def summary(self) -> dict:
@@ -252,7 +261,9 @@ class P25NidProcessor:
                 "hduDecodes": self.hdu_decodes,
                 "lastHDU": self.last_hdu,
                 "ldu2Decodes": self.ldu2_decodes,
-                "lastLDU2": self.last_ldu2}
+                "lastLDU2": self.last_ldu2,
+                "tsbkDecodes": self.tsbk_decodes,
+                "lastTSBK": self.last_tsbk}
 
 
 # ---------------------------------------------------------------------------
@@ -851,3 +862,211 @@ def _insert_status(flat: np.ndarray) -> np.ndarray:
 def frame_window_dibits(payload: int) -> int:
     c = _FrameCursor(np.zeros(0, np.uint8), LDU_PAYLOAD_OFF)
     return c.payload_span(payload)
+
+
+# ---------------------------------------------------------------------------
+# TSDU / TSBK trunking signalling (TIA-102.AABB air interface,
+# TIA-102.AABC control messages)
+#
+# BEYOND the reference: dsd_p25.cpp:1419-1437 recognizes the TSDU DUID
+# but only counts off its dibits (no trellis decode, no TSBK parse);
+# processP25PDU (dsd_p25.cpp:1439-1442) drops data units outright.
+# Here the full 1/2-rate trellis chain is implemented: each TSBK is 96
+# bits (incl. CRC-CCITT16) -> 49 dibits with a flush dibit -> 4-state
+# FSM emitting one 4-bit constellation word per dibit -> 196 bits,
+# bit-interleaved.  Decode runs a 4-state Viterbi over the constellation
+# words; loopback-gated (no P25 trunking golden capture is mounted).
+# ---------------------------------------------------------------------------
+
+def _tsbk_deinterleave_tb() -> np.ndarray:
+    """TIA-102.BAAA data-unit interleave schedule: deinterleaved bit i
+    reads interleaved position tb[i]; 13 rows of 4-bit groups at column
+    bases (0, 52, 100, 148)."""
+    tb = np.empty(196, np.int64)
+    bases = (0, 52, 100, 148)
+    i = 0
+    for r in range(13):
+        for c in range(4):
+            for j in range(4):
+                if i >= 196:
+                    break
+                tb[i] = bases[c] + 4 * r + j
+                i += 1
+    return tb
+
+
+_TSBK_DEINT_TB = _tsbk_deinterleave_tb()
+
+#: 1/2-rate trellis FSM (TIA-102.BAAA): state = previous input dibit,
+#: entry [s][d] = the 4-bit constellation word transmitted for input
+#: dibit d from state s (word sent MSB-first as two dibits)
+_TRELLIS12_WORDS = np.array([[0x2, 0xC, 0x1, 0xF],
+                             [0xE, 0x0, 0xD, 0x3],
+                             [0x9, 0x7, 0xA, 0x4],
+                             [0x5, 0xB, 0x6, 0x8]], np.uint8)
+
+
+def crc16_ccitt(bits: np.ndarray) -> int:
+    """CRC-CCITT over a bit vector (poly x^16+x^12+x^5+1, zero init,
+    complemented remainder — the TSBK checksum convention)."""
+    reg = 0
+    for b in np.asarray(bits, np.uint8):
+        reg = ((reg << 1) | int(b)) & 0x1FFFF
+        if reg & 0x10000:
+            reg ^= 0x11021
+    for _ in range(16):
+        reg = (reg << 1) & 0x1FFFF
+        if reg & 0x10000:
+            reg ^= 0x11021
+    return (reg ^ 0xFFFF) & 0xFFFF
+
+
+def trellis_1_2_encode(bits96: np.ndarray) -> np.ndarray:
+    """96 bits -> 196 interleaved bits (48 data dibits + flush)."""
+    bits96 = np.asarray(bits96, np.uint8)
+    assert bits96.shape == (96,)
+    dibits = bits96[0::2] * 2 + bits96[1::2]
+    dibits = np.concatenate([dibits, [0]]).astype(np.uint8)  # flush
+    out = np.empty(196, np.uint8)
+    s = 0
+    for k, d in enumerate(dibits):
+        w = int(_TRELLIS12_WORDS[s, d])
+        for j in range(4):
+            out[4 * k + j] = (w >> (3 - j)) & 1
+        s = int(d)
+    tx = np.empty(196, np.uint8)
+    tx[_TSBK_DEINT_TB] = out
+    return tx
+
+
+def trellis_1_2_decode(bits196: np.ndarray):
+    """(96 decoded bits, path hamming distance) via a 4-state Viterbi
+    over the 49 constellation words."""
+    deint = np.asarray(bits196, np.uint8)[_TSBK_DEINT_TB]
+    words = (deint[0::4].astype(np.int64) * 8 + deint[1::4] * 4
+             + deint[2::4] * 2 + deint[3::4])          # [49]
+    pop = np.array([bin(v).count("1") for v in range(16)], np.int64)
+    bm = pop[words[:, None, None] ^
+             _TRELLIS12_WORDS[None, :, :].astype(np.int64)]  # [49,s,d]
+    INF = 1 << 30
+    metric = np.full(4, INF, np.int64)
+    metric[0] = 0
+    bptr = np.empty((49, 4), np.int64)
+    for k in range(49):
+        # transition s -> (state d) with cost bm[k, s, d]
+        cand = metric[:, None] + bm[k]                 # [s, d]
+        bptr[k] = np.argmin(cand, axis=0)
+        metric = cand[bptr[k], np.arange(4)]
+    # flush dibit forces the last input to 0
+    end = int(np.argmin(metric))
+    dist = int(metric[end])
+    path = np.empty(49, np.uint8)
+    st = end
+    for k in range(48, -1, -1):
+        path[k] = st
+        st = int(bptr[k, st])
+    dibits = path[:48]                                 # drop the flush
+    bits = np.empty(96, np.uint8)
+    bits[0::2] = (dibits >> 1) & 1
+    bits[1::2] = dibits & 1
+    return bits, dist
+
+
+def _uint(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+#: TIA-102.AABC opcode names (the commonly-broadcast subset)
+TSBK_OPCODES = {0x00: "GRP_V_CH_GRANT", 0x02: "GRP_V_CH_GRANT_UPDT",
+                0x04: "UU_V_CH_GRANT", 0x3A: "RFSS_STS_BCST",
+                0x3B: "NET_STS_BCST", 0x3D: "IDEN_UP"}
+
+
+def parse_tsbk(bits196: np.ndarray, max_dist: int = 10):
+    """One 196-bit TSBK block -> dict (CRC-gated) or None."""
+    bits, dist = trellis_1_2_decode(bits196)
+    if dist > max_dist:
+        return None
+    if crc16_ccitt(bits[:80]) != _uint(bits[80:96]):
+        return None
+    opcode = _uint(bits[2:8])
+    out = {"lb": int(bits[0]), "protected": int(bits[1]),
+           "opcode": opcode,
+           "opcodeName": TSBK_OPCODES.get(opcode, f"OP{opcode:02X}"),
+           "mfid": _uint(bits[8:16]), "trellisErrors": dist}
+    a = bits[16:80]
+    if opcode == 0x00:                   # group voice channel grant
+        out.update(svcOpts=_uint(a[0:8]), channel=_uint(a[8:24]),
+                   group=_uint(a[24:40]), src=_uint(a[40:64]))
+    elif opcode == 0x02:                 # grant update (two grants)
+        out.update(channel1=_uint(a[0:16]), group1=_uint(a[16:32]),
+                   channel2=_uint(a[32:48]), group2=_uint(a[48:64]))
+    elif opcode == 0x04:                 # unit-to-unit voice grant
+        out.update(channel=_uint(a[0:16]), target=_uint(a[16:40]),
+                   src=_uint(a[40:64]))
+    elif opcode == 0x3A:                 # RFSS status broadcast
+        out.update(lra=_uint(a[0:8]), sysId=_uint(a[12:24]),
+                   rfssId=_uint(a[24:32]), siteId=_uint(a[32:40]),
+                   channel=_uint(a[40:56]), services=_uint(a[56:64]))
+    elif opcode == 0x3B:                 # network status broadcast
+        out.update(lra=_uint(a[0:8]), wacn=_uint(a[8:28]),
+                   sysId=_uint(a[28:40]), channel=_uint(a[40:56]),
+                   services=_uint(a[56:64]))
+    elif opcode == 0x3D:                 # channel identifier update
+        out.update(iden=_uint(a[0:4]), bwKhz=_uint(a[4:13]) * 0.125,
+                   txOffsetMhz=_uint(a[13:22]) * 0.25,
+                   spacingKhz=_uint(a[22:32]) * 0.125,
+                   baseFreqMhz=_uint(a[32:64]) * 5e-6)
+    return out
+
+
+def encode_tsbk(opcode: int, mfid: int, args64: np.ndarray,
+                lb: bool = False, protected: bool = False) -> np.ndarray:
+    """-> 196 interleaved bits of one trellis-encoded TSBK."""
+    bits = np.zeros(96, np.uint8)
+    bits[0] = int(lb)
+    bits[1] = int(protected)
+    for b in range(6):
+        bits[2 + b] = (opcode >> (5 - b)) & 1
+    for b in range(8):
+        bits[8 + b] = (mfid >> (7 - b)) & 1
+    bits[16:80] = np.asarray(args64, np.uint8)
+    crc = crc16_ccitt(bits[:80])
+    for b in range(16):
+        bits[80 + b] = (crc >> (15 - b)) & 1
+    return trellis_1_2_encode(bits)
+
+
+#: a TSDU carries up to 3 TSBK blocks of 98 dibits each
+TSDU_PAYLOAD = 3 * 98
+
+
+def encode_tsdu(blocks) -> np.ndarray:
+    """blocks: list of 196-bit arrays (1..3; short TSDUs pad with
+    zero-filled blocks) -> payload dibits with status inserts, ready to
+    append after the NID (same framing as encode_ldu1)."""
+    blocks = list(blocks)
+    while len(blocks) < 3:
+        blocks.append(np.zeros(196, np.uint8))
+    flat = np.concatenate([b[0::2] * 2 + b[1::2] for b in
+                           (np.asarray(b, np.uint8) for b in blocks)])
+    return _insert_status(flat.astype(np.uint8))
+
+
+def parse_tsdu(dibits: np.ndarray):
+    """Post-NID TSDU window -> list of CRC-clean TSBK dicts (stops
+    after the last-block flag)."""
+    cur = _FrameCursor(dibits, LDU_PAYLOAD_OFF)
+    out = []
+    for _ in range(3):
+        d = cur.read(98)
+        tsbk = parse_tsbk(_bits_of(d))
+        if tsbk is None:
+            break
+        out.append(tsbk)
+        if tsbk["lb"]:
+            break
+    return out

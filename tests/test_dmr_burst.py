@@ -513,3 +513,82 @@ def test_p25_hdu_through_processor():
     assert p["hduDecodes"] == 1, p
     assert p["lastHDU"]["talkgroup"] == 4242, p
     assert p["lastHDU"]["algid"] == 0x84, p
+
+
+def test_p25_trellis_and_crc_roundtrip():
+    """1/2-rate trellis + CRC-CCITT TSBK loopback with bit errors."""
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(17)
+    bits = r.integers(0, 2, 96).astype(np.uint8)
+    tx = p25m.trellis_1_2_encode(bits)
+    got, dist = p25m.trellis_1_2_decode(tx)
+    assert dist == 0 and np.array_equal(got, bits)
+    # the 4-state code corrects scattered single-bit constellation hits
+    for errs in ([5], [10, 120], [3, 77, 150]):
+        noisy = tx.copy()
+        for e in errs:
+            noisy[e] ^= 1
+        got, dist = p25m.trellis_1_2_decode(noisy)
+        assert np.array_equal(got, bits), errs
+    # CRC gates trellis-consistent payload corruption
+    blk = p25m.encode_tsbk(0x3D, 0x00, r.integers(0, 2, 64), lb=True)
+    good, _ = p25m.trellis_1_2_decode(blk)
+    assert p25m.parse_tsbk(blk) is not None
+    bad = good.copy()
+    bad[20] ^= 1                          # payload flip, stale CRC
+    assert p25m.parse_tsbk(p25m.trellis_1_2_encode(bad)) is None
+
+
+def test_p25_tsbk_opcode_fields():
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    a = np.zeros(64, np.uint8)
+    ch, grp, src = 0x123A, 5150, 0xBEEF5
+    for b in range(8):
+        a[b] = (0xA0 >> (7 - b)) & 1
+    for b in range(16):
+        a[8 + b] = (ch >> (15 - b)) & 1
+        a[24 + b] = (grp >> (15 - b)) & 1
+    for b in range(24):
+        a[40 + b] = (src >> (23 - b)) & 1
+    t = p25m.parse_tsbk(p25m.encode_tsbk(0x00, 0x00, a, lb=True))
+    assert t["opcodeName"] == "GRP_V_CH_GRANT"
+    assert t["channel"] == ch and t["group"] == grp and t["src"] == src
+    assert t["svcOpts"] == 0xA0 and t["lb"] == 1
+
+
+def test_p25_tsdu_through_processor():
+    """Synthetic TSDU (2 TSBKs + LB) through the burst processor."""
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    r = np.random.default_rng(23)
+    nac, duid = 0x25F, 0x7                        # TSDU (dibits 1,3)
+    nid = _p25_nid_dibits(nac, duid)
+    grant = np.zeros(64, np.uint8)
+    ch, grp, src = 0x0C21, 9000, 123456
+    for b in range(16):
+        grant[8 + b] = (ch >> (15 - b)) & 1
+        grant[24 + b] = (grp >> (15 - b)) & 1
+    for b in range(24):
+        grant[40 + b] = (src >> (23 - b)) & 1
+    net = np.zeros(64, np.uint8)
+    wacn, sysid = 0xBEE00, 0x3A1
+    for b in range(20):
+        net[8 + b] = (wacn >> (19 - b)) & 1
+    for b in range(12):
+        net[28 + b] = (sysid >> (11 - b)) & 1
+    tsdu = p25m.encode_tsdu([
+        p25m.encode_tsbk(0x00, 0x00, grant),
+        p25m.encode_tsbk(0x3B, 0x00, net, lb=True)])
+    sync = _sync_air("P25P1")
+    frame = np.concatenate([sync, nid, tsdu])
+    stream = np.concatenate([r.integers(0, 4, 200).astype(np.uint8),
+                             frame,
+                             r.integers(0, 4, 200).astype(np.uint8)])
+    bp = DMRBurstProcessor()
+    for lo in range(0, len(stream), 173):
+        bp.push(AIR_TO_OUR[stream[lo:lo + 173]])
+    p = bp.summary()["p25"]
+    assert p["duidCounts"].get("TSDU", 0) == 1, p
+    assert p["tsbkDecodes"] == 2, p
+    assert p["lastTSBK"]["opcodeName"] == "NET_STS_BCST", p
+    assert p["lastTSBK"]["wacn"] == wacn, p
+    assert p["lastTSBK"]["sysId"] == sysid, p
