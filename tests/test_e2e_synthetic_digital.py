@@ -19,7 +19,7 @@ SYMRATE = 4_800.0
 DEV = 1_944.0
 
 
-def _p25_frame_dibits(rng, nac, duid):
+def _p25_sync_nid(nac, duid):
     from sdrplusplusbrown_tpu.models import p25 as p25m
     from sdrplusplusbrown_tpu.models.dsd import SYNC_PATTERNS
     pat = dict((n, p) for n, p, _ in SYNC_PATTERNS)["P25P1"]
@@ -33,6 +33,11 @@ def _p25_frame_dibits(rng, nac, duid):
     for k in range(11, 31):
         d.append(bits[2 * k] * 2 + bits[2 * k + 1])
     d.append(bits[62] * 2 + bits[63])
+    return np.concatenate([sync, np.asarray(d, np.uint8)])
+
+
+def _p25_frame_dibits(rng, nac, duid):
+    from sdrplusplusbrown_tpu.models import p25 as p25m
     # full LDU1 body with link control (talkgroup 4242, src 31337)
     lcinfo = np.zeros(56, np.uint8)
     for b in range(16):
@@ -41,7 +46,27 @@ def _p25_frame_dibits(rng, nac, duid):
         lcinfo[32 + b] = (31337 >> (23 - b)) & 1
     ldu = p25m.encode_ldu1(0x00, 0x00, lcinfo, rng)
     filler = rng.integers(0, 4, 40)
-    return np.concatenate([sync, np.asarray(d, np.uint8), ldu, filler])
+    return np.concatenate([_p25_sync_nid(nac, duid), ldu, filler])
+
+
+def _p25_tsdu_frame_dibits(rng, nac):
+    """TSDU frame: group voice grant + NET_STS_BCST (last block)."""
+    from sdrplusplusbrown_tpu.models import p25 as p25m
+    grant = np.zeros(64, np.uint8)
+    for b in range(16):
+        grant[8 + b] = (0x0C21 >> (15 - b)) & 1
+        grant[24 + b] = (4242 >> (15 - b)) & 1
+    for b in range(24):
+        grant[40 + b] = (31337 >> (23 - b)) & 1
+    net = np.zeros(64, np.uint8)
+    for b in range(20):
+        net[8 + b] = (0xBEE00 >> (19 - b)) & 1
+    for b in range(12):
+        net[28 + b] = (0x3A1 >> (11 - b)) & 1
+    tsdu = p25m.encode_tsdu([p25m.encode_tsbk(0x00, 0x00, grant),
+                             p25m.encode_tsbk(0x3B, 0x00, net, lb=True)])
+    filler = rng.integers(0, 4, 40)
+    return np.concatenate([_p25_sync_nid(nac, 0x7), tsdu, filler])
 
 
 def make_p25_capture(tmp_path, nac=0x293, duid=0x5, n_frames=40):
@@ -52,8 +77,10 @@ def make_p25_capture(tmp_path, nac=0x293, duid=0x5, n_frames=40):
     from sdrplusplusbrown_tpu.ops.mod import GFSKMod
 
     rng = np.random.default_rng(5)
-    air = np.concatenate([_p25_frame_dibits(rng, nac, duid)
-                          for _ in range(n_frames)])
+    air = np.concatenate([
+        _p25_tsdu_frame_dibits(rng, nac) if i % 4 == 3
+        else _p25_frame_dibits(rng, nac, duid)
+        for i in range(n_frames)])
     # air dibit -> deviation level: 01=+3, 00=+1, 10=-1, 11=-3
     lvl = np.select([air == 1, air == 0, air == 2, air == 3],
                     [1.0, 1.0 / 3.0, -1.0 / 3.0, -1.0]).astype(np.float32)
@@ -87,18 +114,26 @@ def test_p25_nid_products_over_http(tmp_path_factory):
         for _ in range(30):                       # blocks, not seconds
             app.pump_step(10)
             s = app.module_cmd("P25", "status")
-            if s.get("p25", {}).get("nidOk", 0) >= 10:
+            pp = s.get("p25", {})
+            if (pp.get("duidCounts", {}).get("LDU1", 0) >= 10
+                    and pp.get("tsbkDecodes", 0) >= 6):
                 break
         p = s["p25"]
         assert s["counts"]["P25P1"] >= 10, s["counts"]
         assert p["nidOk"] >= 10, p
         assert p["nac"] == 0x293, p
-        assert p["lastDuid"] == "LDU1", p
+        assert p["lastDuid"] in ("LDU1", "TSDU"), p
         assert p["duidCounts"]["LDU1"] >= 10, p
         # link control decoded through the air interface
         assert p["lcDecodes"] >= 5, p
         assert p["lastLC"]["talkgroup"] == 4242, p
         assert p["lastLC"]["src"] == 31337, p
+        # trunking signalling: the interleaved TSDUs' TSBK pairs
+        assert p["duidCounts"].get("TSDU", 0) >= 3, p
+        assert p["tsbkDecodes"] >= 6, p
+        assert p["lastTSBK"]["opcodeName"] == "NET_STS_BCST", p
+        assert p["lastTSBK"]["wacn"] == 0xBEE00, p
+        assert p["lastTSBK"]["sysId"] == 0x3A1, p
         assert s["familySyncs"]["P25P1"] == s["totalSyncs"], s
     finally:
         app.close()
