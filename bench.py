@@ -302,7 +302,10 @@ def build_multimode8():
          ).astype(np.complex64) * 0.1
 
     def step(params, state, xw):
-        outs, state = bank.apply(params, state, xw)
+        # mono audio out (the sink duplicates host-side — the same
+        # ingestion contract as the scanner configs; the on-device L/R
+        # stack measured ~4 audio-rate HBM passes per mode group)
+        outs, state = bank.apply(params, state, xw, mono_out=True)
         return (outs,), state
 
     return step, bank.make_params(), bank.init_state(), jnp.asarray(x), T

@@ -104,20 +104,28 @@ class RadioBank:
                 out[d] = r.make_params_shared(offs)
         return out
 
-    def apply(self, params, state, x):
+    def apply(self, params, state, x, mono_out: bool = False):
         """x: [T] wideband → dict demod_id → ([C_d, 2, T_out_d], ...).
 
         Each mode group reads the wideband once, not C_d times: via the
         fused shared front end (ops/fused_frontend.py) or, for wide
-        groups, the PFB channelizer (models/rx_vfo.py)."""
+        groups, the PFB channelizer (models/rx_vfo.py).
+
+        ``mono_out``: skip the presentational stereo duplication
+        ([C_d, T_out_d] instead) — the sink duplicates host-side, the
+        same contract as the channelized scanner path; on-device the
+        L/R stack costs ~4 full audio-rate HBM passes per mode group
+        (pad ×2 + fusion + relayout copy, measured on the multimode-8
+        bench)."""
         outs = {}
         new_state = {}
         for d, radio in self.radios.items():
             if self.channelized[d]:
                 y, new_state[d] = radio.apply_channelized(
-                    params[d], state[d], x)
+                    params[d], state[d], x, mono_out=mono_out)
             else:
-                y, new_state[d] = radio.apply_shared(params[d], state[d], x)
+                y, new_state[d] = radio.apply_shared(params[d], state[d],
+                                                     x, mono_out=mono_out)
                 C_real = len(self.groups[d])
                 if (y.shape[0] if not isinstance(y, tuple)
                         else y[0].shape[0]) > C_real:

@@ -102,3 +102,27 @@ def test_radio_bank_mixed_modes(rng):
     # at the edge and flipped with fp-reassociation differences.  6x
     # still separates signal (≈0.16) from floor by a wide margin.
     assert tone(a[0]) > 6 * tone(a[1])
+
+
+def test_radio_bank_mono_out_matches_left(rng):
+    """mono_out=True returns the stereo path's L channel per group
+    (the sink duplicates host-side, as on the channelized scanner)."""
+    fs = 1_200_000.0
+    vfos = [VFOSpec("nfm0", DEMOD_NFM, -300e3),
+            VFOSpec("am0", DEMOD_AM, -100e3),
+            VFOSpec("usb0", DEMOD_USB, 200e3)]
+    bank = RadioBank(fs, vfos)
+    g = bank.in_multiple
+    T = ((120_000 + g - 1) // g) * g
+    x = (0.1 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+         ).astype(np.complex64)
+    params = bank.make_params()
+    st0 = bank.init_state()
+    stereo, _ = bank.apply(params, st0, jnp.asarray(x))
+    mono, _ = bank.apply(params, bank.init_state(), jnp.asarray(x),
+                         mono_out=True)
+    for d in stereo:
+        s = np.asarray(stereo[d])
+        m = np.asarray(mono[d])
+        assert m.ndim == 2 and m.shape[0] == s.shape[0], (d, m.shape)
+        np.testing.assert_allclose(m, s[:, 0, :], rtol=1e-5, atol=1e-6)
