@@ -297,14 +297,7 @@ def decode_embedded_lc(frag128: np.ndarray) -> Optional[dict]:
     lc = np.packbits(lc_bits)
     if lc_checksum5(lc) != got:
         return None
-    flco = int(lc[0]) & 0x3F
-    return {
-        "flco": flco,
-        "flco_name": FLCO_NAMES.get(flco, f"FLCO {flco}"),
-        "pf": int(lc[0]) >> 7, "fid": int(lc[1]), "svc": int(lc[2]),
-        "dst": (int(lc[3]) << 16) | (int(lc[4]) << 8) | int(lc[5]),
-        "src": (int(lc[6]) << 16) | (int(lc[7]) << 8) | int(lc[8]),
-    }
+    return _parse_lc_octets(lc[:9])
 
 
 def decode_short_lc(bits68: np.ndarray) -> Optional[dict]:
@@ -407,6 +400,197 @@ def encode_slot_type(cc: int, data_type: int) -> np.ndarray:
 # Streaming burst processor
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Data-burst payloads: BPTC(196,96) -> full LC (voice header / TLC) and
+# CSBK (ETSI TS 102 361-1 B.1.1 / B.2.1 / B.3.6)
+#
+# BEYOND the reference: dsd_dmr.cpp classifies the slot type and skips
+# the 196-bit data payload entirely.  Loopback-gated — the shipped
+# golden capture carries only direct-mode voice bursts (census: zero
+# DATA syncs), so there is no on-air vector for these paths.
+# ---------------------------------------------------------------------------
+
+#: BPTC(196,96) bit interleave: transmitted position of payload bit k
+_BPTC_IL = np.array([(181 * k) % 196 for k in range(196)], np.int64)
+
+_H15_POLY, _H13_POLY = 0b10011, 0b11001   # x^4+x+1, x^4+x^3+1
+
+
+def _hamming_cyclic_correct(row: np.ndarray, poly: int, k: int):
+    """(corrected row, n_errors) for a systematic cyclic Hamming row
+    (n = k+4); single-error correcting, None on failure."""
+    row = np.asarray(row, np.uint8)
+    if np.array_equal(_cyclic_parity(row[:k], poly, 4), row[k:]):
+        return row, 0
+    for i in range(len(row)):
+        t = row.copy()
+        t[i] ^= 1
+        if np.array_equal(_cyclic_parity(t[:k], poly, 4), t[k:]):
+            return t, 1
+    return None, -1
+
+
+def bptc_196_96_encode(bits96: np.ndarray) -> np.ndarray:
+    """96 info bits -> 196 transmitted bits.  Matrix: bit 0 reserved,
+    then 13 rows x 15 cols; rows 0-8 Hamming(15,11,3), each column
+    Hamming(13,9,3); data = row0 cols 3-10 + rows 1-8 cols 0-10."""
+    bits96 = np.asarray(bits96, np.uint8)
+    m = np.zeros((13, 15), np.uint8)
+    m[0, 3:11] = bits96[:8]
+    m[1:9, :11] = bits96[8:].reshape(8, 11)
+    for r in range(9):
+        m[r, 11:] = _cyclic_parity(m[r, :11], _H15_POLY, 4)
+    for c in range(15):
+        m[9:, c] = _cyclic_parity(m[:9, c], _H13_POLY, 4)
+    flat = np.concatenate([[0], m.reshape(-1)]).astype(np.uint8)
+    tx = np.empty(196, np.uint8)
+    tx[_BPTC_IL] = flat
+    return tx
+
+
+def bptc_196_96_decode(bits196: np.ndarray):
+    """196 received bits -> (96 info bits, n_corrected) or (None, -1)."""
+    flat = np.asarray(bits196, np.uint8)[_BPTC_IL]
+    m = flat[1:].reshape(13, 15).copy()
+    n_fix = 0
+    for c in range(15):                    # column pass first (d=3)
+        col, n = _hamming_cyclic_correct(m[:, c], _H13_POLY, 9)
+        if col is not None:
+            m[:, c] = col
+            n_fix += n
+    for r in range(9):
+        row, n = _hamming_cyclic_correct(m[r], _H15_POLY, 11)
+        if row is None:
+            return None, -1
+        m[r] = row
+        n_fix += n
+    out = np.concatenate([m[0, 3:11], m[1:9, :11].reshape(-1)])
+    return out.astype(np.uint8), n_fix
+
+
+# RS(12,9) over GF(256), field poly 0x11D, generator (x+a)(x+a^2)(x+a^3)
+# — the full-LC parity; masks B.3.11: 0x969696 voice header, 0x999999
+# terminator-with-LC
+_RS129_MASKS = {1: 0x96, 2: 0x99}
+
+
+def _gf256_tables():
+    exp = np.zeros(510, np.int64)
+    log = np.zeros(256, np.int64)
+    v = 1
+    for i in range(255):
+        exp[i] = exp[i + 255] = v
+        log[v] = i
+        v <<= 1
+        if v & 0x100:
+            v ^= 0x11D
+    return exp, log
+
+
+_RS_EXP, _RS_LOG = _gf256_tables()
+
+
+def rs_12_9_parity(data9: np.ndarray) -> np.ndarray:
+    """9 octets -> 3 parity octets (polynomial division by g(x))."""
+    exp, log = _RS_EXP, _RS_LOG
+    # g(x) = (x+a)(x+a^2)(x+a^3)
+    g = [1]
+    for r in (1, 2, 3):
+        a = int(exp[r])
+        ng = [0] * (len(g) + 1)
+        for i, c in enumerate(g):
+            ng[i] ^= (exp[log[c] + r] if c else 0)
+            ng[i + 1] ^= c
+        g = ng
+    reg = [0, 0, 0]
+    for d in np.asarray(data9, np.int64):
+        fb = int(d) ^ reg[0]
+        reg = reg[1:] + [0]
+        if fb:
+            for i in range(3):
+                if g[i + 1]:
+                    reg[i] ^= int(exp[_RS_LOG[g[i + 1]] + log[fb]])
+    return np.array(reg, np.uint8)
+
+
+def encode_full_lc(lc9: np.ndarray, data_type: int) -> np.ndarray:
+    """9 LC octets -> 96 BPTC info bits (RS(12,9) parity XOR the
+    burst-type CRC mask)."""
+    par = rs_12_9_parity(lc9) ^ _RS129_MASKS[data_type]
+    return np.unpackbits(np.concatenate([np.asarray(lc9, np.uint8),
+                                         par.astype(np.uint8)]))
+
+
+def decode_full_lc(bits96: np.ndarray, data_type: int):
+    """96 BPTC info bits -> LC dict (parity-gated) or None."""
+    octets = np.packbits(np.asarray(bits96, np.uint8))
+    want = rs_12_9_parity(octets[:9]) ^ _RS129_MASKS[data_type]
+    if not np.array_equal(want.astype(np.uint8), octets[9:]):
+        return None
+    return _parse_lc_octets(octets[:9])
+
+
+def _parse_lc_octets(lc: np.ndarray) -> dict:
+    flco = int(lc[0]) & 0x3F
+    return {
+        "flco": flco,
+        "flco_name": FLCO_NAMES.get(flco, f"FLCO {flco}"),
+        "pf": int(lc[0]) >> 7, "fid": int(lc[1]), "svc": int(lc[2]),
+        "dst": (int(lc[3]) << 16) | (int(lc[4]) << 8) | int(lc[5]),
+        "src": (int(lc[6]) << 16) | (int(lc[7]) << 8) | int(lc[8]),
+    }
+
+
+#: CSBK opcode names (TS 102 361-2 7.1.2 subset)
+CSBKO_NAMES = {4: "UU_V_Req", 5: "UU_Ans_Rsp", 38: "NACK_Rsp",
+               56: "BS_Dwn_Act", 61: "Preamble"}
+
+
+def encode_csbk(csbko: int, fid: int, data64: np.ndarray,
+                lb: bool = True) -> np.ndarray:
+    """-> 96 BPTC info bits (CRC-CCITT XOR the 0xA5A5 CSBK mask)."""
+    from .p25 import crc16_ccitt
+    bits = np.zeros(96, np.uint8)
+    bits[0] = int(lb)
+    for b in range(6):
+        bits[2 + b] = (csbko >> (5 - b)) & 1
+    for b in range(8):
+        bits[8 + b] = (fid >> (7 - b)) & 1
+    bits[16:80] = np.asarray(data64, np.uint8)
+    crc = crc16_ccitt(bits[:80]) ^ 0xA5A5
+    for b in range(16):
+        bits[80 + b] = (crc >> (15 - b)) & 1
+    return bits
+
+
+def decode_csbk(bits96: np.ndarray):
+    from .p25 import crc16_ccitt
+    bits = np.asarray(bits96, np.uint8)
+    got = 0
+    for b in bits[80:96]:
+        got = (got << 1) | int(b)
+    if (crc16_ccitt(bits[:80]) ^ 0xA5A5) != got:
+        return None
+    csbko = 0
+    for b in bits[2:8]:
+        csbko = (csbko << 1) | int(b)
+    fid = 0
+    for b in bits[8:16]:
+        fid = (fid << 1) | int(b)
+    out = {"lb": int(bits[0]), "csbko": csbko,
+           "csbkoName": CSBKO_NAMES.get(csbko, f"CSBKO {csbko}"),
+           "fid": fid}
+    a = bits[16:80]
+    if csbko in (4, 5, 56):                # dst/src address pair
+        dst = src = 0
+        for b in a[16:40]:
+            dst = (dst << 1) | int(b)
+        for b in a[40:64]:
+            src = (src << 1) | int(b)
+        out.update(dst=dst, src=src)
+    return out
+
+
 class DMRBurstProcessor:
     """Streaming DMR burst decoder over the 4FSK dibit stream.
 
@@ -445,6 +629,10 @@ class DMRBurstProcessor:
         self.short_lc_decodes = 0
         self.last_short_lc: Optional[dict] = None
         self._slc_frags: List[np.ndarray] = []
+        self.full_lc_decodes = 0
+        self.last_full_lc: Optional[dict] = None
+        self.csbk_decodes = 0
+        self.last_csbk: Optional[dict] = None
 
     # -- ring helpers ---------------------------------------------------
     def _have(self, lo: int, hi: int) -> bool:
@@ -465,7 +653,7 @@ class DMRBurstProcessor:
     def _process_data(self, p: dict) -> bool:
         idx, name = p["idx"], p["name"]
         s0 = idx - (SYNC_LEN - 1)               # first sync dibit
-        if not self._have(idx - self.LOOKBACK, idx + 6):
+        if not self._have(idx - self.LOOKBACK, idx + 55):
             return False
         st_bits = np.concatenate([self._bits(s0 - 5, s0),
                                   self._bits(idx + 1, idx + 6)])
@@ -475,6 +663,25 @@ class DMRBurstProcessor:
         if st["ok"]:
             self.cc_votes[st["cc"]] = self.cc_votes.get(st["cc"], 0) + 1
             self.color_code = max(self.cc_votes, key=self.cc_votes.get)
+        if st["ok"] and st["data_type"] in (1, 2, 3):
+            # BPTC(196,96) payload: 49 dibits on each side of the
+            # slot-type/sync center (beyond the reference, which skips
+            # the data payload after classifying the slot type)
+            pay = np.concatenate([self._bits(s0 - 54, s0 - 5),
+                                  self._bits(idx + 6, idx + 55)])
+            info, _n = bptc_196_96_decode(pay)
+            if info is not None:
+                if st["data_type"] in (1, 2):
+                    lc = decode_full_lc(info, st["data_type"])
+                    if lc is not None:
+                        self.full_lc_decodes += 1
+                        self.last_full_lc = dict(
+                            lc, burst=st["type_name"])
+                else:
+                    csbk = decode_csbk(info)
+                    if csbk is not None:
+                        self.csbk_decodes += 1
+                        self.last_csbk = csbk
         slot = 0
         if name.startswith("DMR_BS"):           # CACH precedes BS bursts
             cach = decode_cach(self._bits(s0 - 66, s0 - 54))
@@ -648,6 +855,10 @@ class DMRBurstProcessor:
             "lastLC": self.last_lc,
             "shortLcDecodes": self.short_lc_decodes,
             "lastShortLC": self.last_short_lc,
+            "fullLcDecodes": self.full_lc_decodes,
+            "lastFullLC": self.last_full_lc,
+            "csbkDecodes": self.csbk_decodes,
+            "lastCSBK": self.last_csbk,
             "p25": self.p25.summary(),
             "dstar": self.dstar.summary(),
         })

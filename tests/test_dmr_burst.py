@@ -592,3 +592,79 @@ def test_p25_tsdu_through_processor():
     assert p["lastTSBK"]["opcodeName"] == "NET_STS_BCST", p
     assert p["lastTSBK"]["wacn"] == wacn, p
     assert p["lastTSBK"]["sysId"] == sysid, p
+
+
+def test_bptc_196_96_roundtrip_and_correction():
+    from sdrplusplusbrown_tpu.models import dmr_burst as m
+    r = np.random.default_rng(31)
+    b96 = r.integers(0, 2, 96).astype(np.uint8)
+    tx = m.bptc_196_96_encode(b96)
+    got, n = m.bptc_196_96_decode(tx)
+    assert n == 0 and np.array_equal(got, b96)
+    for errs in ([7], [20, 90], [5, 60, 130]):
+        t = tx.copy()
+        for e in errs:
+            t[e] ^= 1
+        got, n = m.bptc_196_96_decode(t)
+        assert np.array_equal(got, b96), errs
+
+
+def test_full_lc_rs_mask_and_csbk_crc():
+    from sdrplusplusbrown_tpu.models import dmr_burst as m
+    lc = np.array([0, 0, 0, 0xFF, 0xFF, 0xFF, 2, 0x4C, 0x3B], np.uint8)
+    for dt in (1, 2):
+        d = m.decode_full_lc(m.encode_full_lc(lc, dt), dt)
+        assert d["dst"] == 16777215 and d["src"] == 150587, d
+    # header/terminator masks must not cross-validate
+    assert m.decode_full_lc(m.encode_full_lc(lc, 1), 2) is None
+    a = np.zeros(64, np.uint8)
+    for b in range(24):
+        a[16 + b] = (7001 >> (23 - b)) & 1
+        a[40 + b] = (150587 >> (23 - b)) & 1
+    c = m.decode_csbk(m.encode_csbk(56, 0, a))
+    assert c["csbkoName"] == "BS_Dwn_Act" and c["dst"] == 7001, c
+    bad = m.encode_csbk(56, 0, a)
+    bad[30] ^= 1
+    assert m.decode_csbk(bad) is None
+
+
+def test_data_burst_payloads_through_processor():
+    """Voice header + TLC + CSBK payloads decode past the slot type."""
+    from sdrplusplusbrown_tpu.models import dmr_burst as m
+    lc = np.array([0, 0, 0, 0, 0x10, 0x65, 2, 0x4C, 0x3B], np.uint8)
+    a = np.zeros(64, np.uint8)
+    for b in range(24):
+        a[16 + b] = (4197 >> (23 - b)) & 1
+        a[40 + b] = (150587 >> (23 - b)) & 1
+    payloads = [
+        (1, m.bptc_196_96_encode(m.encode_full_lc(lc, 1))),
+        (3, m.bptc_196_96_encode(m.encode_csbk(56, 0, a))),
+        (2, m.bptc_196_96_encode(m.encode_full_lc(lc, 2))),
+    ]
+    stream = rng.integers(0, 4, 2500).astype(np.uint8)
+    sync = _sync_air("DMR_BS_DATA")
+    slc_raw = encode_short_lc(0x1, 0x00AB12)
+    for k, (dt, pay) in enumerate(payloads):
+        e = 300 + 288 * k
+        st_bits = encode_slot_type(cc=7, data_type=dt)
+        cach = encode_cach(1, 0, [1, 3, 3][k], slc_raw[17*k:17*(k+1)])
+        stream[e - 89:e - 77] = _bits_to_air(cach)
+        stream[e - 77:e - 28] = _bits_to_air(pay[:98])
+        stream[e - 28:e - 23] = _bits_to_air(st_bits[:10])
+        stream[e - 23:e + 1] = sync
+        stream[e + 1:e + 6] = _bits_to_air(st_bits[10:])
+        stream[e + 6:e + 55] = _bits_to_air(pay[98:])
+    bp = DMRBurstProcessor()
+    for lo in range(0, len(stream), 257):
+        bp.push(AIR_TO_OUR[stream[lo:lo + 257]])
+    s = bp.summary()
+    assert s["burstTypes"].get("VOICE Header", 0) == 1, s["burstTypes"]
+    assert s["burstTypes"].get("TLC", 0) == 1, s["burstTypes"]
+    assert s["burstTypes"].get("CSBK", 0) == 1, s["burstTypes"]
+    assert s["fullLcDecodes"] == 2, s
+    assert s["lastFullLC"]["burst"] == "TLC", s["lastFullLC"]
+    assert s["lastFullLC"]["dst"] == 0x1065, s["lastFullLC"]
+    assert s["lastFullLC"]["src"] == 150587, s["lastFullLC"]
+    assert s["csbkDecodes"] == 1, s
+    assert s["lastCSBK"]["csbkoName"] == "BS_Dwn_Act", s["lastCSBK"]
+    assert s["lastCSBK"]["dst"] == 4197, s["lastCSBK"]
