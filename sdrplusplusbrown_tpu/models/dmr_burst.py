@@ -633,6 +633,10 @@ class DMRBurstProcessor:
         self.last_full_lc: Optional[dict] = None
         self.csbk_decodes = 0
         self.last_csbk: Optional[dict] = None
+        self._pending_x2: List[dict] = []
+        self.x2_burst_counts: Dict[str, int] = {}
+        self.x2_color_code: Optional[int] = None
+        self.x2_slot: Optional[int] = None
 
     # -- ring helpers ---------------------------------------------------
     def _have(self, lo: int, hi: int) -> bool:
@@ -765,6 +769,9 @@ class DMRBurstProcessor:
                 self._pending_p25.append(
                     {"idx": idx, "inv": name.endswith("_INV")})
                 continue
+            if name.startswith("X2TDMA") and "DATA" in name:
+                self._pending_x2.append({"idx": idx, "name": name})
+                continue
             if not name.startswith("DMR"):
                 continue
             if voice:
@@ -775,6 +782,8 @@ class DMRBurstProcessor:
                 self._pending_data.append({"idx": idx, "name": name})
         self._pending_data = [p for p in self._pending_data
                               if not self._process_data(p)]
+        self._pending_x2 = [p for p in self._pending_x2
+                            if not self._process_x2(p)]
         self._pending_p25 = [p for p in self._pending_p25
                              if not self._process_p25(p)]
         self._pending_dstar = [p for p in self._pending_dstar
@@ -784,7 +793,8 @@ class DMRBurstProcessor:
         # trim: keep enough for the oldest pending window + lookback
         keep_from = self._start + len(self._ring) - (self.LOOKAHEAD
                                                      + self.LOOKBACK + 64)
-        for p in self._pending_voice + self._pending_data:
+        for p in (self._pending_voice + self._pending_data
+                  + self._pending_x2):
             keep_from = min(keep_from, p["idx"] - self.LOOKBACK)
         for p in self._pending_p25 + self._pending_dstar:
             keep_from = min(keep_from, p["idx"])
@@ -793,6 +803,29 @@ class DMRBurstProcessor:
             self._ring = self._ring[n_drop:]
             self._start += n_drop
         return hits
+
+    def _process_x2(self, p: dict) -> bool:
+        """X2-TDMA data burst: CACH slot bit + 3-bit colour code + AIEI
+        + 4-bit burst type, read at the reference's exact offsets
+        (dsd_x2tdma.cpp:4-108 processX2TDMAdata — CACH 12 dibits at
+        sync-start−66, slot type = the 5 dibits before the sync; the
+        reference reads all fields raw, no FEC, and so do we).  The
+        X2 voice path beyond sync counting is the vendored-MBE
+        boundary, as upstream."""
+        idx = p["idx"]
+        s0 = idx - (SYNC_LEN - 1)
+        if not self._have(s0 - 66, idx + 1):
+            return False
+        cach = self._bits(s0 - 66, s0 - 54)
+        self.x2_slot = int(cach[4])            # cachdata[2] bit 1
+        st = self._bits(s0 - 5, s0)
+        self.x2_color_code = int(st[0]) * 4 + int(st[1]) * 2 + int(st[2])
+        bt = (int(st[4]) * 8 + int(st[5]) * 4 + int(st[6]) * 2
+              + int(st[7]))
+        name = BURST_TYPE_NAMES.get(bt, "UNK")
+        self.x2_burst_counts[name] = \
+            self.x2_burst_counts.get(name, 0) + 1
+        return True
 
     def _process_p25(self, p: dict) -> bool:
         """NID (NAC + DUID) decode past a P25 sync, then LDU1 link
@@ -859,6 +892,9 @@ class DMRBurstProcessor:
             "lastFullLC": self.last_full_lc,
             "csbkDecodes": self.csbk_decodes,
             "lastCSBK": self.last_csbk,
+            "x2BurstTypes": dict(self.x2_burst_counts),
+            "x2ColorCode": self.x2_color_code,
+            "x2Slot": self.x2_slot,
             "p25": self.p25.summary(),
             "dstar": self.dstar.summary(),
         })

@@ -668,3 +668,33 @@ def test_data_burst_payloads_through_processor():
     assert s["csbkDecodes"] == 1, s
     assert s["lastCSBK"]["csbkoName"] == "BS_Dwn_Act", s["lastCSBK"]
     assert s["lastCSBK"]["dst"] == 4197, s["lastCSBK"]
+
+
+def test_x2tdma_data_burst_fields():
+    """X2-TDMA data burst: CACH slot bit, 3-bit CC, burst type at the
+    reference's raw offsets (dsd_x2tdma.cpp processX2TDMAdata)."""
+    stream = rng.integers(0, 4, 2000).astype(np.uint8)
+    sync = _sync_air("X2TDMA_BS_DATA")
+    for k, bt in enumerate([3, 9]):                # CSBK, Idle
+        e = 400 + 288 * k
+        st_bits = np.zeros(10, np.uint8)
+        cc = 5
+        st_bits[0], st_bits[1], st_bits[2] = (cc >> 2) & 1, \
+            (cc >> 1) & 1, cc & 1
+        st_bits[3] = 0                             # AIEI
+        for b in range(4):
+            st_bits[4 + b] = (bt >> (3 - b)) & 1
+        cach_bits = np.zeros(24, np.uint8)
+        cach_bits[4] = 1                           # slot bit (dibit 2)
+        stream[e - 89:e - 77] = _bits_to_air(cach_bits)
+        stream[e - 28:e - 23] = _bits_to_air(st_bits)
+        stream[e - 23:e + 1] = sync
+    bp = DMRBurstProcessor()
+    for lo in range(0, len(stream), 331):
+        bp.push(AIR_TO_OUR[stream[lo:lo + 331]])
+    s = bp.summary()
+    assert s["counts"]["X2TDMA_BS_DATA"] == 2, s["counts"]
+    assert s["x2BurstTypes"].get("CSBK", 0) == 1, s["x2BurstTypes"]
+    assert s["x2BurstTypes"].get("Idle", 0) == 1, s["x2BurstTypes"]
+    assert s["x2ColorCode"] == 5, s
+    assert s["x2Slot"] == 1, s
